@@ -1,0 +1,17 @@
+# polars-matmul-tpu build/test/bench entry points
+.PHONY: native test test-fast bench clean
+
+native: polars_matmul_tpu/interop/_pmm_native.so
+
+polars_matmul_tpu/interop/_pmm_native.so: native/pmm_native.cpp
+	g++ -O3 -shared -fPIC -std=c++17 -o $@ $<
+
+test: native
+	python -m pytest tests/ -x -q
+
+bench: native
+	python bench.py
+
+clean:
+	rm -f polars_matmul_tpu/interop/_pmm_native.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -1,0 +1,84 @@
+"""The two public operations on Arrow columns.
+
+This is the boundary the Polars namespace calls through (Polars Series
+round-trip to Arrow zero-copy), and it is directly usable with pyarrow —
+so the full API contract is testable without polars installed.
+
+Behavioural parity with the reference orchestrators
+(src/matmul.rs:295-315, 473-519):
+- empty left column  -> typed empty result (not an error)
+- empty corpus       -> "Empty series" error
+- both-f32 rule for compute dtype
+- k clamped to corpus size
+- top-k scores always widened to f64
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import SearchConfig
+from ..interop import arrow as ai
+from ..ops.metrics import Metric
+from . import search
+
+
+def _as_array(col: Union[pa.Array, pa.ChunkedArray]) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def topk_arrow(
+    left: Union[pa.Array, pa.ChunkedArray],
+    corpus: Union[pa.Array, pa.ChunkedArray],
+    k: int,
+    metric: Union[str, Metric] = "cosine",
+    *,
+    config: Optional[SearchConfig] = None,
+) -> pa.Array:
+    """Arrow List/FixedSizeList embeddings -> List[Struct{index, score}]."""
+    Metric.parse(metric)  # validate metric before touching data
+    left = _as_array(left)
+    corpus = _as_array(corpus)
+    if len(left) == 0:
+        return ai.empty_topk_arrow()
+    if len(corpus) == 0:
+        raise ValueError("Empty series")
+    dt = ai.promote_pair(ai._value_type(left), ai._value_type(corpus))
+    q = ai.extract_matrix(left, dt)
+    c = ai.extract_matrix(corpus, dt)
+    idx, scores = search.topk(q, c, k, metric, config=config)
+    return ai.topk_to_arrow(idx, scores)
+
+
+def matmul_arrow(
+    left: Union[pa.Array, pa.ChunkedArray],
+    corpus: Union[pa.Array, pa.ChunkedArray],
+    *,
+    flatten: bool = False,
+    config: Optional[SearchConfig] = None,
+) -> pa.Array:
+    """Arrow embeddings -> FixedSizeList[n_corpus] of pairwise dot products
+    (or a flat row-major column when ``flatten`` — reference
+    __init__.py:177-181)."""
+    left = _as_array(left)
+    corpus = _as_array(corpus)
+    if len(left) == 0:
+        if len(corpus) == 0:
+            dt = np.dtype(np.float64)
+        else:
+            dt = ai.promote_pair(ai._value_type(left), ai._value_type(corpus))
+        return ai.empty_matrix_arrow(dt)
+    if len(corpus) == 0:
+        raise ValueError("Empty series")
+    dt = ai.promote_pair(ai._value_type(left), ai._value_type(corpus))
+    q = ai.extract_matrix(left, dt)
+    c = ai.extract_matrix(corpus, dt)
+    out = search.matmul(q, c, config=config)
+    if flatten:
+        return pa.array(np.ascontiguousarray(out).reshape(-1))
+    return ai.matrix_to_arrow(out)

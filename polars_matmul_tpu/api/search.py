@@ -1,0 +1,197 @@
+"""Engine orchestration: the two public operations on Arrow / NumPy data.
+
+This layer owns what the reference's ``matmul_impl`` / ``topk_impl`` own
+(src/matmul.rs:295-519): dtype dispatch (both-f32 rule), empty-input fast
+returns, dimension-mismatch errors, k clamping, and output assembly — with
+the compute dispatched to the Pallas fused kernel (TPU) or the XLA reference
+path, optionally across a device mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from ..config import SearchConfig, resolve, ensure_x64
+from ..ops.metrics import Metric
+from ..utils.profiling import annotate
+
+ArrayLike = Union[np.ndarray, "jax.Array"]  # noqa: F821
+
+
+def _to_jax(x: np.ndarray, dtype: np.dtype):
+    import jax
+
+    if np.dtype(dtype) == np.float64:
+        ensure_x64()
+    import jax.numpy as jnp
+
+    return jnp.asarray(x, dtype=dtype)
+
+
+def _validate_pair(q: np.ndarray, c: np.ndarray) -> None:
+    if q.ndim != 2 or c.ndim != 2:
+        raise ValueError("Embeddings must be 2-D (n_rows, dim) matrices")
+    if q.shape[1] != c.shape[1]:
+        raise ValueError(
+            f"Dimension mismatch: left has {q.shape[1]} dimensional vectors, "
+            f"right has {c.shape[1]} dimensional vectors"
+        )
+    if q.shape[1] == 0:
+        raise ValueError("Zero-dimensional vectors")
+
+
+def compute_dtype(q_dtype, c_dtype) -> np.dtype:
+    """Both-f32 rule (reference matmul.rs:13-19,308,427)."""
+    if np.dtype(q_dtype) == np.float32 and np.dtype(c_dtype) == np.float32:
+        return np.dtype(np.float32)
+    return np.dtype(np.float64)
+
+
+def matmul(
+    queries: ArrayLike,
+    corpus: ArrayLike,
+    *,
+    config: Optional[SearchConfig] = None,
+) -> np.ndarray:
+    """All pairwise dot products: (m, n) = Q . C^T.
+
+    dtype follows the both-f32 rule; output matches the compute dtype
+    (reference matmul_impl, matmul.rs:295-315).
+    """
+    from ..kernels.matmul import pairwise_matmul
+
+    cfg = resolve(config)
+    q = np.asarray(queries)
+    c = np.asarray(corpus)
+    if q.shape[0] == 0:
+        return np.empty((0, c.shape[0]), dtype=compute_dtype(q.dtype, c.dtype))
+    if c.shape[0] == 0:
+        raise ValueError("Empty series")
+    _validate_pair(q, c)
+    dt = compute_dtype(q.dtype, c.dtype)
+    with annotate("pmm.matmul"):
+        out = pairwise_matmul(
+            _to_jax(q, dt), _to_jax(c, dt), precision=cfg.precision
+        )
+    return np.asarray(out)
+
+
+def topk(
+    queries: ArrayLike,
+    corpus: ArrayLike,
+    k: int,
+    metric: Union[str, Metric] = "cosine",
+    *,
+    config: Optional[SearchConfig] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fused top-k search.
+
+    Returns ``(indices (m, k') u32, scores (m, k') f64)`` with
+    ``k' = min(k, n_corpus)`` (reference matmul.rs:443,463), rows sorted
+    best-first, ties broken lowest-index-first.
+    """
+    metric = Metric.parse(metric)
+    q = np.asarray(queries)
+    c = np.asarray(corpus)
+    if q.shape[0] == 0:
+        return (np.empty((0, 0), np.uint32), np.empty((0, 0), np.float64))
+    if c.shape[0] == 0:
+        raise ValueError("Empty series")
+    _validate_pair(q, c)
+    kk = min(int(k), c.shape[0])
+    if kk <= 0:
+        # k=0 yields empty match lists (reference quickselect truncates to 0)
+        return (
+            np.empty((q.shape[0], 0), np.uint32),
+            np.empty((q.shape[0], 0), np.float64),
+        )
+    dt = compute_dtype(q.dtype, c.dtype)
+    vals, idx = _device_topk(
+        _to_jax(q, dt), _to_jax(c, dt), kk, metric, resolve(config)
+    )
+    return (
+        np.asarray(idx).astype(np.uint32),
+        np.asarray(vals).astype(np.float64),
+    )
+
+
+def _device_topk(qj, cj, k: int, metric: Metric, cfg: SearchConfig):
+    """Dispatch to the Pallas fused kernel / XLA path on device arrays."""
+    from ..kernels.fused_topk import fused_topk
+
+    with annotate(f"pmm.topk.{metric.value}"):
+        return fused_topk(qj, cj, k, metric, config=cfg)
+
+
+class Corpus:
+    """Device-resident corpus handle (new capability vs the reference).
+
+    The reference re-marshals the corpus on every call (SURVEY.md §5
+    checkpoint/resume: the one stateful thing worth adding).  ``Corpus``
+    uploads (and optionally shards across a mesh axis) once; subsequent
+    ``topk`` / ``matmul`` calls only move the queries.
+    """
+
+    def __init__(
+        self,
+        embeddings: ArrayLike,
+        *,
+        mesh=None,
+        config: Optional[SearchConfig] = None,
+    ):
+        cfg = resolve(config)
+        c = np.asarray(embeddings)
+        if c.ndim != 2:
+            raise ValueError("Embeddings must be 2-D (n_rows, dim) matrices")
+        if c.shape[0] == 0:
+            raise ValueError("Empty series")
+        if c.shape[1] == 0:
+            raise ValueError("Zero-dimensional vectors")
+        self.config = cfg
+        self.mesh = mesh
+        self.n, self.dim = c.shape
+        self.dtype = np.dtype(c.dtype)
+        dt = self.dtype if self.dtype == np.float32 else np.dtype(np.float64)
+
+        if mesh is not None:
+            from ..parallel.sharded import shard_corpus
+
+            self._device = shard_corpus(_to_jax(c, dt), mesh, cfg)
+        else:
+            self._device = _to_jax(c, dt)
+
+    def topk(
+        self, queries: ArrayLike, k: int, metric: Union[str, Metric] = "cosine"
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        metric = Metric.parse(metric)
+        q = np.asarray(queries)
+        if q.shape[0] == 0:
+            return (np.empty((0, 0), np.uint32), np.empty((0, 0), np.float64))
+        if q.ndim != 2 or q.shape[1] != self.dim:
+            raise ValueError(
+                f"Dimension mismatch: left has "
+                f"{q.shape[1] if q.ndim == 2 else q.shape} dimensional "
+                f"vectors, right has {self.dim} dimensional vectors"
+            )
+        kk = min(int(k), self.n)
+        dt = compute_dtype(q.dtype, self.dtype)
+        qj = _to_jax(q, dt)
+        if self.mesh is not None:
+            from ..parallel.sharded import distributed_topk
+
+            vals, idx = distributed_topk(
+                qj, self._device, kk, metric, self.mesh, self.config
+            )
+        else:
+            cj = self._device if dt == self._device.dtype else \
+                self._device.astype(dt)
+            vals, idx = _device_topk(qj, cj, kk, metric, self.config)
+        return (
+            np.asarray(idx).astype(np.uint32),
+            np.asarray(vals).astype(np.float64),
+        )
+
+    def matmul(self, queries: ArrayLike) -> np.ndarray:
+        return matmul(queries, np.asarray(self._device), config=self.config)

@@ -1,0 +1,85 @@
+"""Global configuration for polars-matmul-tpu.
+
+The reference library (polars-matmul, see /root/reference) is zero-config:
+behaviour is fully determined by the call signature
+(``topk(corpus, k, metric="cosine")`` — reference ``__init__.py:63-68`` —
+and ``matmul(corpus, flatten=False)`` — reference ``__init__.py:121-125``).
+We keep that contract: every knob here has a compiled default that preserves
+reference semantics, and ``SearchConfig`` is an *optional* override for tile
+sizes, mesh shape, merge strategy and precision.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# x64: the reference computes in f64 whenever either input is f64
+# (both-f32 rule, reference matmul.rs:13-19,308).  JAX disables 64-bit by
+# default, so the package enables it at import unless explicitly disabled.
+# ---------------------------------------------------------------------------
+
+_X64_DISABLED = os.environ.get("PMM_TPU_DISABLE_X64", "0") == "1"
+
+
+def ensure_x64() -> bool:
+    """Enable jax 64-bit mode (needed for the f64 compute path).
+
+    Returns True if x64 is active after the call.
+    """
+    if _X64_DISABLED:
+        return False
+    import jax
+
+    try:
+        jax.config.update("jax_enable_x64", True)
+    except Exception:  # pragma: no cover - config frozen after trace
+        pass
+    return bool(jax.config.jax_enable_x64)
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchConfig:
+    """Tuning knobs for the fused search path.
+
+    Defaults are chosen for TPU v5e-class hardware (128x128 MXU, ~16 MB
+    VMEM/core).  All sizes are in elements, not bytes.
+    """
+
+    # Pallas fused-topk kernel tiling.
+    block_q: int = 256       # query rows per grid step (multiple of 8)
+    block_n: int = 1024      # corpus rows per grid step (multiple of 128)
+    # Padded width of the top-k carry (lane dimension); k is clamped to this.
+    k_pad: int = 128
+    # Matmul precision inside kernels.  "highest" keeps f32 accuracy within
+    # rtol=1e-5 of the CPU reference (SURVEY.md §7 hard part #2); "default"
+    # allows bf16 MXU passes for maximum throughput.
+    precision: str = "highest"
+    # Use the Pallas kernel when possible; False forces the XLA lax.top_k path.
+    use_pallas: bool = True
+    # Distributed merge strategy: "allgather" (gather per-shard k candidates,
+    # re-select locally) or "ring" (ppermute carry merge).
+    merge: str = "allgather"
+    # Mesh axis names used by the parallel layer.
+    mesh_axes: Tuple[str, str] = ("data", "corpus")
+
+    def with_updates(self, **kw) -> "SearchConfig":
+        return dataclasses.replace(self, **kw)
+
+
+_default_config = SearchConfig()
+
+
+def default_config() -> SearchConfig:
+    return _default_config
+
+
+def set_default_config(cfg: SearchConfig) -> None:
+    global _default_config
+    _default_config = cfg
+
+
+def resolve(cfg: Optional[SearchConfig]) -> SearchConfig:
+    return cfg if cfg is not None else _default_config

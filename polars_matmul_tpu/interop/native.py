@@ -1,0 +1,135 @@
+"""Loader for the C++ native marshaling library (ctypes C ABI).
+
+The shared object is built from ``native/pmm_native.cpp`` either by
+``make native`` (see Makefile) or lazily here on first import if a compiler
+is available.  Every entry point has a pure-NumPy fallback, so the package
+works (slower on ragged List inputs) without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import sysconfig
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger("polars_matmul_tpu")
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "pmm_native.cpp")
+_SO_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_SO_DIR, "_pmm_native.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "-o", _SO, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:  # pragma: no cover
+        log.debug("native build failed: %s", e)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:  # pragma: no cover
+        return None
+
+    i64 = ctypes.c_int64
+    p = ctypes.POINTER
+    lib.pmm_pack_list_f32.restype = ctypes.c_int
+    lib.pmm_pack_list_f32.argtypes = [
+        p(ctypes.c_float), p(ctypes.c_int64), ctypes.c_void_p, i64, i64,
+        p(ctypes.c_float),
+    ]
+    lib.pmm_pack_list_f64.restype = ctypes.c_int
+    lib.pmm_pack_list_f64.argtypes = [
+        p(ctypes.c_double), p(ctypes.c_int64), ctypes.c_void_p, i64, i64,
+        p(ctypes.c_double),
+    ]
+    lib.pmm_half_to_float.restype = None
+    lib.pmm_half_to_float.argtypes = [
+        p(ctypes.c_uint16), p(ctypes.c_float), i64,
+    ]
+    lib.pmm_assemble_topk.restype = None
+    lib.pmm_assemble_topk.argtypes = [
+        p(ctypes.c_int32), p(ctypes.c_float), i64, i64,
+        p(ctypes.c_uint32), p(ctypes.c_double),
+    ]
+    _lib = lib
+    return _lib
+
+
+def native_pack_list(
+    values: np.ndarray,
+    offsets: np.ndarray,
+    validity: Optional[np.ndarray],
+    n_rows: int,
+    dim: int,
+) -> Optional[np.ndarray]:
+    """Dense-pack a ragged list column via the C++ kernel.
+
+    ``validity`` is a boolean per-row array (or None).  Returns None when the
+    native library is unavailable (caller falls back to NumPy), raises on
+    dimension mismatch.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    dtype = values.dtype
+    if dtype == np.float32:
+        fn, ctype = lib.pmm_pack_list_f32, ctypes.c_float
+    elif dtype == np.float64:
+        fn, ctype = lib.pmm_pack_list_f64, ctypes.c_double
+    else:
+        return None
+
+    values = np.ascontiguousarray(values)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    out = np.empty((n_rows, dim), dtype=dtype)
+
+    vbits_ptr = None
+    if validity is not None:
+        vbits = np.packbits(
+            np.ascontiguousarray(validity, dtype=np.uint8), bitorder="little"
+        )
+        vbits_ptr = vbits.ctypes.data_as(ctypes.c_void_p)
+
+    rc = fn(
+        values.ctypes.data_as(ctypes.POINTER(ctype)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vbits_ptr,
+        n_rows,
+        dim,
+        out.ctypes.data_as(ctypes.POINTER(ctype)),
+    )
+    if rc != 0:
+        raise ValueError(
+            "Dimension mismatch: ragged List rows have inconsistent lengths"
+        )
+    return out
+
+
+def native_available() -> bool:
+    return get_lib() is not None

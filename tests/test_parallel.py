@@ -1,0 +1,100 @@
+"""Distributed search over a fake 8-device CPU mesh (SURVEY.md §4 tier (b)).
+
+Exercises corpus sharding, global-index offsets, padding masks, and the
+candidate-merge re-select — all deterministically, without a cluster.
+"""
+
+import numpy as np
+import pytest
+
+import polars_matmul_tpu as pmt
+from polars_matmul_tpu.ops import topk_search
+
+from conftest import assert_topk_equivalent
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return pmt.make_mesh(1, 8)
+
+
+@pytest.fixture(scope="module")
+def mesh2x4():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return pmt.make_mesh(2, 4)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+def test_distributed_topk_matches_single_device(qc_f32, mesh8, metric):
+    q, c = qc_f32  # N=203: not divisible by 8 -> exercises padding mask
+    import jax.numpy as jnp
+
+    sharded = pmt.shard_corpus(jnp.asarray(c), mesh8)
+    assert sharded.n_true == c.shape[0]
+    v1, i1 = pmt.distributed_topk(jnp.asarray(q), sharded, 10, metric, mesh8)
+    v0, i0 = topk_search(q, c, 10, metric)
+    assert_topk_equivalent(
+        np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+    )
+
+
+def test_distributed_topk_k_exceeds_shard(mesh8):
+    """k larger than one shard's row count: per-shard k_local clamps."""
+    rng = np.random.default_rng(7)
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    c = rng.standard_normal((24, 16)).astype(np.float32)  # 3 rows/shard
+    import jax.numpy as jnp
+
+    sharded = pmt.shard_corpus(jnp.asarray(c), mesh8)
+    v1, i1 = pmt.distributed_topk(jnp.asarray(q), sharded, 10, "cosine", mesh8)
+    v0, i0 = topk_search(q, c, 10, "cosine")
+    assert_topk_equivalent(
+        np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+    )
+
+
+def test_distributed_matmul(qc_f32, mesh8):
+    q, c = qc_f32
+    import jax.numpy as jnp
+
+    sharded = pmt.shard_corpus(jnp.asarray(c), mesh8)
+    out = np.asarray(pmt.distributed_matmul(jnp.asarray(q), sharded, mesh8))
+    np.testing.assert_allclose(out, q @ c.T, rtol=1e-5, atol=1e-5)
+
+
+def test_data_and_corpus_sharding(mesh2x4):
+    """2-D mesh: queries sharded over 'data', corpus over 'corpus'."""
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    c = rng.standard_normal((100, 32)).astype(np.float32)
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharded = pmt.shard_corpus(jnp.asarray(c), mesh2x4)
+    qj = jax.device_put(
+        jnp.asarray(q), NamedSharding(mesh2x4, P("data", None))
+    )
+    v1, i1 = pmt.distributed_topk(qj, sharded, 10, "cosine", mesh2x4)
+    v0, i0 = topk_search(q, c, 10, "cosine")
+    assert_topk_equivalent(
+        np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+    )
+
+
+def test_corpus_handle_with_mesh(mesh8):
+    rng = np.random.default_rng(13)
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    c = rng.standard_normal((50, 16)).astype(np.float32)
+    corpus = pmt.Corpus(c, mesh=mesh8)
+    idx, scores = corpus.topk(q, 5)
+    i0, s0 = pmt.topk(q, c, 5)
+    assert_topk_equivalent(idx, scores, i0, s0)
+    assert idx.dtype == np.uint32 and scores.dtype == np.float64

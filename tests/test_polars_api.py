@@ -1,0 +1,548 @@
+"""Polars `.pmm` expression-namespace tests.
+
+Direct port of the reference's integration suite
+(reference tests/test_polars_matmul.py, 33 tests / 6 classes) against the
+TPU-native implementation.  Skipped wholesale when polars is not installed
+in the environment (the Arrow-level equivalents run in test_api.py).
+"""
+
+import numpy as np
+import pytest
+
+pl = pytest.importorskip("polars")
+
+import polars_matmul_tpu  # noqa: F401, E402 - registers .pmm
+
+
+class TestTopk:
+    def test_basic_cosine(self):
+        queries = pl.DataFrame({
+            "query_id": [0, 1],
+            "embedding": [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+        })
+        corpus = pl.DataFrame({
+            "corpus_id": [0, 1, 2],
+            "embedding": [
+                [1.0, 0.0, 0.0],
+                [0.0, 1.0, 0.0],
+                [0.0, 0.0, 1.0],
+            ],
+        })
+        result = queries.with_columns(
+            pl.col("embedding").pmm.topk(corpus["embedding"], k=2)
+            .alias("matches")
+        )
+        assert len(result) == 2
+        assert result["matches"].dtype == pl.List(
+            pl.Struct({"index": pl.UInt32, "score": pl.Float64})
+        )
+        top = result.filter(pl.col("query_id") == 0)["matches"][0][0]
+        assert top["index"] == 0
+        assert abs(top["score"] - 1.0) < 1e-6
+
+    def test_explode_unnest_pattern(self):
+        queries = pl.DataFrame({
+            "query_id": [0, 1],
+            "embedding": [[1.0, 0.0], [0.0, 1.0]],
+        })
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]])
+        result = (
+            queries
+            .with_columns(
+                pl.col("embedding").pmm.topk(corpus_emb, k=2).alias("matches")
+            )
+            .explode("matches")
+            .unnest("matches")
+        )
+        assert len(result) == 4
+        assert "index" in result.columns and "score" in result.columns
+
+    def test_dot_product(self):
+        queries = pl.DataFrame({"embedding": [[2.0, 0.0]]})
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [3.0, 0.0]])
+        result = (
+            queries
+            .with_columns(
+                pl.col("embedding").pmm.topk(corpus_emb, k=2, metric="dot")
+                .alias("m")
+            )
+            .explode("m").unnest("m")
+        )
+        top = result.sort("score", descending=True).row(0)
+        assert top[1] == 1
+        assert abs(top[2] - 6.0) < 1e-6
+
+    def test_euclidean(self):
+        queries = pl.DataFrame({"embedding": [[0.0, 0.0]]})
+        corpus_emb = pl.Series("e", [[3.0, 4.0], [1.0, 0.0]])
+        result = (
+            queries
+            .with_columns(
+                pl.col("embedding").pmm.topk(
+                    corpus_emb, k=2, metric="euclidean"
+                ).alias("m")
+            )
+            .explode("m").unnest("m")
+        )
+        top = result.sort("score").row(0)
+        assert top[1] == 1
+        assert abs(top[2] - 1.0) < 1e-6
+
+    def test_k_larger_than_corpus(self):
+        queries = pl.DataFrame({"embedding": [[1.0, 0.0]]})
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0]])
+        result = (
+            queries
+            .with_columns(
+                pl.col("embedding").pmm.topk(corpus_emb, k=10).alias("m")
+            )
+            .explode("m").unnest("m")
+        )
+        assert len(result) == 2
+
+    def test_join_with_corpus_metadata(self):
+        queries = pl.DataFrame({
+            "query_id": [0],
+            "embedding": [[1.0, 0.0, 0.0]],
+        })
+        corpus = pl.DataFrame({
+            "corpus_id": [0, 1, 2],
+            "embedding": [
+                [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0],
+            ],
+            "label": ["a", "b", "c"],
+        })
+        result = (
+            queries
+            .with_columns(
+                pl.col("embedding").pmm.topk(corpus["embedding"], k=2)
+                .alias("m")
+            )
+            .explode("m").unnest("m")
+            .join(corpus.with_row_index("index"), on="index")
+        )
+        assert "label" in result.columns
+        assert "corpus_id" in result.columns
+        assert "score" in result.columns
+
+
+class TestMatmul:
+    def test_basic(self):
+        df = pl.DataFrame({"embedding": [[1.0, 2.0], [3.0, 4.0]]})
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0]])
+        result = df.select(
+            pl.col("embedding").pmm.matmul(corpus_emb).alias("scores")
+        )
+        assert result["scores"][0].to_list() == pytest.approx([1.0, 2.0])
+        assert result["scores"][1].to_list() == pytest.approx([3.0, 4.0])
+
+    def test_against_numpy(self):
+        np.random.seed(42)
+        ln = np.random.randn(10, 32)
+        rn = np.random.randn(20, 32)
+        df = pl.DataFrame({"embedding": ln.tolist()})
+        corpus_emb = pl.Series("e", rn.tolist())
+        result = df.select(
+            pl.col("embedding").pmm.matmul(corpus_emb).alias("scores")
+        )
+        expected = ln @ rn.T
+        for i in range(10):
+            np.testing.assert_allclose(
+                result["scores"][i].to_list(), expected[i], rtol=1e-5
+            )
+
+    def test_flatten_mode(self):
+        df = pl.DataFrame({
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        })
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0]])
+        result = df.select(
+            pl.col("embedding").pmm.matmul(corpus_emb, flatten=True)
+            .alias("flat")
+        )
+        assert len(result) == 6
+        assert result["flat"].dtype == pl.Float64
+        np.testing.assert_allclose(
+            result["flat"].to_list(),
+            [1.0, 0.0, 0.0, 1.0, 1.0, 1.0],
+            rtol=1e-5,
+        )
+
+    def test_list_input_type(self):
+        df = pl.DataFrame({"embedding": [[1.0, 2.0], [3.0, 4.0]]})
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0]])
+        result = df.select(
+            pl.col("embedding").pmm.matmul(corpus_emb).alias("scores")
+        )
+        assert result["scores"].dtype == pl.Array(pl.Float64, 2)
+
+    def test_array_input_type(self):
+        dim = 4
+        df = pl.DataFrame({
+            "embedding": [[1.0, 2.0, 3.0, 4.0], [5.0, 6.0, 7.0, 8.0]]
+        }).with_columns(
+            pl.col("embedding").cast(pl.Array(pl.Float64, dim))
+        )
+        corpus_emb = pl.Series(
+            "e", [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+        ).cast(pl.Array(pl.Float64, dim))
+        result = df.select(
+            pl.col("embedding").pmm.matmul(corpus_emb).alias("scores")
+        )
+        assert result["scores"].dtype == pl.Array(pl.Float64, 2)
+        expected = np.array([[1.0, 2.0], [5.0, 6.0]])
+        for i in range(2):
+            np.testing.assert_allclose(
+                result["scores"][i].to_list(), expected[i], rtol=1e-5
+            )
+
+
+class TestNumpyEquivalence:
+    def test_cosine_similarity_matches_numpy(self):
+        np.random.seed(42)
+        qn = np.random.randn(5, 16)
+        cn = np.random.randn(20, 16)
+        qnorm = qn / np.linalg.norm(qn, axis=1, keepdims=True)
+        cnorm = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+        expected = qnorm @ cnorm.T
+        query_df = pl.DataFrame({"embedding": qn.tolist()})
+        corpus_emb = pl.Series("e", cn.tolist())
+        result = (
+            query_df
+            .with_row_index("qid")
+            .with_columns(
+                pl.col("embedding").pmm.topk(corpus_emb, k=20).alias("m")
+            )
+            .explode("m").unnest("m")
+        )
+        for i in range(5):
+            actual = result.filter(pl.col("qid") == i)["score"].to_list()
+            np.testing.assert_allclose(
+                sorted(actual, reverse=True),
+                sorted(expected[i].tolist(), reverse=True),
+                rtol=1e-5,
+            )
+
+
+class TestErrorHandling:
+    def test_invalid_metric(self):
+        df = pl.DataFrame({"embedding": [[1.0, 0.0]]})
+        corpus_emb = pl.Series("e", [[1.0, 0.0]])
+        with pytest.raises(Exception, match="Unknown metric"):
+            df.select(
+                pl.col("embedding").pmm.topk(
+                    corpus_emb, k=1, metric="invalid_metric"
+                )
+            )
+
+    def test_corpus_expression_raises_error(self):
+        df = pl.DataFrame({"embedding": [[1.0, 0.0]]})
+        with pytest.raises(TypeError, match="corpus must be a Polars Series"):
+            df.select(
+                pl.col("embedding").pmm.topk(pl.col("embedding"), k=1)
+            )
+
+    def test_empty_query(self):
+        df = pl.DataFrame({"embedding": []}).cast(
+            {"embedding": pl.List(pl.Float64)}
+        )
+        corpus_emb = pl.Series("e", [[1.0, 0.0]])
+        result = df.select(pl.col("embedding").pmm.topk(corpus_emb, k=1))
+        assert len(result) == 0
+
+    def test_empty_corpus(self):
+        df = pl.DataFrame({"embedding": [[1.0, 0.0]]})
+        corpus_emb = pl.Series("e", [], dtype=pl.List(pl.Float64))
+        with pytest.raises(Exception, match="Empty"):
+            df.select(pl.col("embedding").pmm.topk(corpus_emb, k=1))
+
+    def test_matmul_dimension_mismatch(self):
+        df = pl.DataFrame({"embedding": [[1.0, 2.0]]})
+        corpus_emb = pl.Series("e", [[1.0, 2.0, 3.0]])
+        with pytest.raises(Exception, match="Dimension mismatch"):
+            df.select(pl.col("embedding").pmm.matmul(corpus_emb))
+
+    def test_topk_dimension_mismatch(self):
+        df = pl.DataFrame({"embedding": [[1.0, 2.0]]})
+        corpus_emb = pl.Series("e", [[1.0, 2.0, 3.0]])
+        with pytest.raises(Exception, match="Dimension mismatch"):
+            df.select(pl.col("embedding").pmm.topk(corpus_emb, k=1))
+
+
+class TestFloat32Support:
+    def test_matmul_f32(self):
+        df = pl.DataFrame({"embedding": [[1.0, 2.0], [3.0, 4.0]]}) \
+            .with_columns(pl.col("embedding").cast(pl.List(pl.Float32)))
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0]]).cast(
+            pl.List(pl.Float32)
+        )
+        result = df.select(
+            pl.col("embedding").pmm.matmul(corpus_emb).alias("scores")
+        )
+        assert result["scores"].dtype == pl.Array(pl.Float32, 2)
+
+    def test_matmul_f64(self):
+        df = pl.DataFrame({"embedding": [[1.0, 2.0], [3.0, 4.0]]})
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0]])
+        result = df.select(
+            pl.col("embedding").pmm.matmul(corpus_emb).alias("scores")
+        )
+        assert result["scores"].dtype == pl.Array(pl.Float64, 2)
+
+    def test_topk_f32(self):
+        np.random.seed(42)
+        dim = 32
+        df = pl.DataFrame({
+            "query_id": [0, 1],
+            "embedding": [
+                [float(x) for x in np.random.randn(dim)],
+                [float(x) for x in np.random.randn(dim)],
+            ],
+        }).with_columns(pl.col("embedding").cast(pl.List(pl.Float32)))
+        corpus_emb = pl.Series("e", [
+            [float(x) for x in np.random.randn(dim)] for _ in range(10)
+        ]).cast(pl.List(pl.Float32))
+        result = (
+            df
+            .with_columns(
+                pl.col("embedding").pmm.topk(corpus_emb, k=2).alias("m")
+            )
+            .explode("m").unnest("m")
+        )
+        assert len(result) == 4
+        assert all(-1.01 <= s <= 1.01 for s in result["score"].to_list())
+
+    def test_mixed_f32_f64_uses_f64(self):
+        df = pl.DataFrame({"embedding": [[1.0, 2.0]]}).with_columns(
+            pl.col("embedding").cast(pl.List(pl.Float32))
+        )
+        corpus_emb = pl.Series("e", [[1.0, 0.0]])
+        result = df.select(
+            pl.col("embedding").pmm.matmul(corpus_emb).alias("scores")
+        )
+        assert result["scores"].dtype == pl.Array(pl.Float64, 1)
+
+    def test_f32_array_type(self):
+        dim = 8
+        df = pl.DataFrame({
+            "embedding": [[1.0] * dim, [2.0] * dim]
+        }).with_columns(pl.col("embedding").cast(pl.Array(pl.Float32, dim)))
+        corpus_emb = pl.Series(
+            "e", [[1.0] * dim, [0.5] * dim]
+        ).cast(pl.Array(pl.Float32, dim))
+        result = df.select(
+            pl.col("embedding").pmm.matmul(corpus_emb).alias("scores")
+        )
+        assert result["scores"].dtype == pl.Array(pl.Float32, 2)
+        assert len(result) == 2
+
+
+class TestLazyFrameEdgeCases:
+    def test_lazy_basic_topk(self):
+        queries = pl.LazyFrame({
+            "query_id": [0, 1, 2],
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]],
+        })
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0]])
+        result = queries.with_columns(
+            pl.col("embedding").pmm.topk(corpus_emb, k=2).alias("matches")
+        ).collect()
+        assert len(result) == 3
+
+    def test_lazy_with_filter_before(self):
+        queries = pl.LazyFrame({
+            "query_id": [0, 1, 2, 3],
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5], [1.0, 1.0]],
+            "active": [True, False, True, True],
+        })
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0]])
+        result = (
+            queries.filter(pl.col("active"))
+            .with_columns(
+                pl.col("embedding").pmm.topk(corpus_emb, k=1).alias("matches")
+            ).collect()
+        )
+        assert len(result) == 3
+        assert 1 not in result["query_id"].to_list()
+
+    def test_lazy_with_filter_after(self):
+        queries = pl.LazyFrame({
+            "query_id": [0, 1, 2],
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]],
+        })
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0]])
+        result = (
+            queries.with_columns(
+                pl.col("embedding").pmm.topk(corpus_emb, k=2).alias("matches")
+            )
+            .filter(pl.col("query_id") > 0)
+            .collect()
+        )
+        assert len(result) == 2
+
+    def test_lazy_with_select(self):
+        queries = pl.LazyFrame({
+            "query_id": [0, 1],
+            "embedding": [[1.0, 0.0], [0.0, 1.0]],
+            "metadata": ["a", "b"],
+        })
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0]])
+        result = queries.select([
+            pl.col("query_id"),
+            pl.col("embedding").pmm.topk(corpus_emb, k=1).alias("top_match"),
+        ]).collect()
+        assert result.columns == ["query_id", "top_match"]
+
+    def test_lazy_multiple_pmm_operations(self):
+        queries = pl.LazyFrame({
+            "query_id": [0, 1],
+            "embedding": [[1.0, 0.0], [0.0, 1.0]],
+        })
+        corpus1 = pl.Series("c1", [[1.0, 0.0], [0.0, 1.0]])
+        corpus2 = pl.Series("c2", [[0.5, 0.5], [1.0, 1.0]])
+        result = queries.with_columns([
+            pl.col("embedding").pmm.topk(corpus1, k=1).alias("m1"),
+            pl.col("embedding").pmm.topk(corpus2, k=1).alias("m2"),
+        ]).collect()
+        assert "m1" in result.columns and "m2" in result.columns
+
+    def test_lazy_explode_unnest_chain(self):
+        queries = pl.LazyFrame({
+            "query_id": [0, 1],
+            "embedding": [[1.0, 0.0], [0.0, 1.0]],
+        })
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]])
+        result = (
+            queries.with_columns(
+                pl.col("embedding").pmm.topk(corpus_emb, k=2).alias("matches")
+            )
+            .explode("matches").unnest("matches").collect()
+        )
+        assert len(result) == 4
+
+    def test_lazy_with_join_after(self):
+        queries = pl.LazyFrame({
+            "query_id": [0, 1],
+            "embedding": [[1.0, 0.0], [0.0, 1.0]],
+        })
+        corpus = pl.DataFrame({
+            "corpus_id": [0, 1, 2],
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]],
+            "label": ["cat", "dog", "bird"],
+        })
+        corpus_meta = corpus.select(["label"]).with_row_index("index").lazy()
+        result = (
+            queries.with_columns(
+                pl.col("embedding").pmm.topk(corpus["embedding"], k=1)
+                .alias("m")
+            )
+            .explode("m").unnest("m")
+            .join(corpus_meta, on="index", how="left")
+            .collect()
+        )
+        assert "label" in result.columns
+        assert len(result) == 2
+
+    def test_lazy_with_group_by_after(self):
+        queries = pl.LazyFrame({
+            "category": ["A", "A", "B"],
+            "embedding": [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]],
+        })
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0]])
+        result = (
+            queries.with_columns(
+                pl.col("embedding").pmm.topk(corpus_emb, k=1).alias("m")
+            )
+            .explode("m").unnest("m")
+            .group_by("category")
+            .agg([
+                pl.col("score").mean().alias("avg_score"),
+                pl.col("index").n_unique().alias("unique_matches"),
+            ])
+            .collect()
+        )
+        assert len(result) == 2
+
+    def test_lazy_matmul_basic(self):
+        queries = pl.LazyFrame({"embedding": [[1.0, 2.0], [3.0, 4.0]]})
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0]])
+        result = queries.with_columns(
+            pl.col("embedding").pmm.matmul(corpus_emb).alias("scores")
+        ).collect()
+        scores_0 = result["scores"][0].to_list()
+        assert abs(scores_0[0] - 1.0) < 1e-6
+        assert abs(scores_0[1] - 2.0) < 1e-6
+
+    def test_lazy_with_streaming(self):
+        np.random.seed(42)
+        n_queries, dim = 100, 32
+        queries = pl.LazyFrame({
+            "query_id": list(range(n_queries)),
+            "embedding": [
+                np.random.randn(dim).tolist() for _ in range(n_queries)
+            ],
+        })
+        corpus_emb = pl.Series(
+            "e", [np.random.randn(dim).tolist() for _ in range(50)]
+        )
+        result = queries.with_columns(
+            pl.col("embedding").pmm.topk(corpus_emb, k=5).alias("matches")
+        ).collect()
+        assert len(result) == n_queries
+
+    def test_lazy_empty_after_filter(self):
+        queries = pl.LazyFrame({
+            "query_id": [0, 1],
+            "embedding": [[1.0, 0.0], [0.0, 1.0]],
+            "active": [False, False],
+        })
+        corpus_emb = pl.Series("e", [[1.0, 0.0]])
+        result = (
+            queries.filter(pl.col("active"))
+            .with_columns(
+                pl.col("embedding").pmm.topk(corpus_emb, k=1).alias("matches")
+            ).collect()
+        )
+        assert len(result) == 0
+        assert "matches" in result.columns
+
+    def test_lazy_with_limit(self):
+        queries = pl.LazyFrame({
+            "query_id": list(range(100)),
+            "embedding": [[float(i), 0.0] for i in range(100)],
+        })
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0]])
+        result = (
+            queries.head(5)
+            .with_columns(
+                pl.col("embedding").pmm.topk(corpus_emb, k=1).alias("matches")
+            ).collect()
+        )
+        assert len(result) == 5
+
+    def test_lazy_with_sort_before(self):
+        queries = pl.LazyFrame({
+            "query_id": [2, 0, 1],
+            "embedding": [[0.5, 0.5], [1.0, 0.0], [0.0, 1.0]],
+        })
+        corpus_emb = pl.Series("e", [[1.0, 0.0], [0.0, 1.0]])
+        result = (
+            queries.sort("query_id")
+            .with_columns(
+                pl.col("embedding").pmm.topk(corpus_emb, k=1).alias("matches")
+            ).collect()
+        )
+        assert result["query_id"].to_list() == [0, 1, 2]
+
+    def test_lazy_array_type_optimization(self):
+        dim = 8
+        queries = pl.LazyFrame({
+            "embedding": [[1.0] * dim, [2.0] * dim, [0.5] * dim],
+        }).with_columns(pl.col("embedding").cast(pl.Array(pl.Float32, dim)))
+        corpus_emb = pl.Series(
+            "e", [[1.0] * dim, [0.0] * dim]
+        ).cast(pl.Array(pl.Float32, dim))
+        result = queries.with_columns(
+            pl.col("embedding").pmm.topk(corpus_emb, k=1).alias("matches")
+        ).collect()
+        assert len(result) == 3
