@@ -104,26 +104,41 @@ def _kernel(
 
     # Mask out-of-range corpus rows (padding tail of the last tile).
     col = jax.lax.broadcasted_iota(jnp.int32, (tm, block_n), 1)
-    gidx = col + j * block_n
-    s = jnp.where(gidx < n_corpus, s, _NEG_INF)
+    s = jnp.where(col + j * block_n < n_corpus, s, _NEG_INF)
 
     # --- blockwise top-k merge: carry <- top_k([carry, s]) ------------------
-    vals = jnp.concatenate([carry_vals[:], s], axis=1)        # (TM, KP+TN)
-    gids = jnp.concatenate([carry_idx[:], gidx], axis=1)
-
-    # Explicit int32 constant: a bare Python int literal would be typed as a
-    # weak i64 scalar under jax_enable_x64, which Mosaic cannot lower.
-    big = jnp.int32(_BIG_I32)
+    # Iterative extraction, one winner per step.  The carry (KP lanes) and
+    # the fresh tile scores (TN lanes) are kept separate: per step, argmax
+    # each side, pick the better, mask it in its source.  Tie-breaking is
+    # lowest-global-index-wins for free:
+    #  - argmax returns the FIRST (lowest-lane) maximum; tile lanes are in
+    #    index order, and carry entries with equal values were extracted
+    #    lowest-index-first on an earlier step (induction);
+    #  - on a carry-vs-tile tie the carry wins (>=), and every carry index
+    #    is from an earlier corpus tile, hence smaller.
+    cv = carry_vals[:]                                        # (TM, KP)
+    ci = carry_idx[:]
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
+    lane_n = col
+    n_base = j * block_n
     out_v = []
     out_i = []
     for _t in range(k):
-        m = jnp.max(vals, axis=1)                             # (TM,)
-        sel = vals == m[:, None]
-        cand = jnp.where(sel, gids, big)
-        choose = jnp.min(cand, axis=1)                        # lowest index wins
+        mc = jnp.max(cv, axis=1)                              # (TM,) cheap
+        pc = jnp.argmax(cv, axis=1).astype(jnp.int32)
+        ms = jnp.max(s, axis=1)                               # full-width
+        ps = jnp.argmax(s, axis=1).astype(jnp.int32)          # full-width
+        use_c = mc >= ms
+        m = jnp.where(use_c, mc, ms)
+        hot_c = lane_k == pc[:, None]
+        g_c = jnp.sum(jnp.where(hot_c, ci, 0), axis=1)        # cheap gather
+        g = jnp.where(use_c, g_c, n_base + ps)
         out_v.append(m)
-        out_i.append(choose)
-        vals = jnp.where(sel & (gids == choose[:, None]), _NEG_INF, vals)
+        out_i.append(g)
+        cv = jnp.where(use_c[:, None] & hot_c, _NEG_INF, cv)  # cheap
+        s = jnp.where(
+            (~use_c)[:, None] & (lane_n == ps[:, None]), _NEG_INF, s
+        )                                                     # full-width
 
     new_v = jnp.stack(out_v, axis=1)                          # (TM, k)
     new_i = jnp.stack(out_i, axis=1)
