@@ -109,11 +109,28 @@ def main():
     qps = N_QUERIES * BATCH / (batch_ms / 1e3)
 
     # ---- device-only kernel time (no host transfers) ----------------------
+    # The TPU here sits behind a tunnel with ~30-40 ms per dispatch RPC, so a
+    # single block_until_ready-bracketed call measures the tunnel, not the
+    # chip.  Chain REPS dependent kernel invocations inside one jit and
+    # subtract a trivial-body baseline to recover true per-call device time.
     qj = jnp.asarray(q)
     jax.block_until_ready(qj)
-    kernel_ms = median_ms(
-        lambda: jax.block_until_ready(step(qj))
-    )
+    REPS = 200
+
+    def chained(body):
+        @jax.jit
+        def chain(x):
+            return jax.lax.fori_loop(0, REPS, body, x)
+        return median_ms(lambda: jax.block_until_ready(chain(qj)), iters=3)
+
+    def topk_body(i, carry):
+        v, _ = fused_topk(carry, cj, K, "cosine")
+        return carry * (1.0 + 1e-5 * jnp.tanh(v[0, 0]))
+
+    def trivial_body(i, carry):
+        return carry * (1.0 + 1e-6 * jnp.tanh(cj[0, 0] * carry[0, 0]))
+
+    kernel_ms = (chained(topk_body) - chained(trivial_body)) / REPS
 
     flops = 2.0 * N_QUERIES * N_CORPUS * DIM
     roof = roofline(flops, kernel_ms / 1e3, "float32")
