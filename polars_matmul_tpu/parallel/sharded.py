@@ -77,6 +77,24 @@ def _shard_map(fn, mesh, in_specs, out_specs):
               check_rep=False)
 
 
+def _merge_sorted_2key(vals, idx, k: int, hib: bool):
+    """Exact top-k of a candidate panel with explicit (score, index) keys.
+
+    Used where candidate order is NOT global-index order (ring merge), so a
+    positional tie-break would be wrong: sorts ascending by
+    (-score if hib else score, index) and keeps the first k columns.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = -vals if hib else vals
+    key_s, idx_s, vals_s = jax.lax.sort(
+        (key, idx, vals), dimension=1, num_keys=2
+    )
+    del key_s
+    return vals_s[:, :k], idx_s[:, :k]
+
+
 def distributed_topk(
     q,
     corpus: ShardedCorpus,
@@ -88,8 +106,20 @@ def distributed_topk(
     """Top-k over a sharded corpus.
 
     Phase 1 (shard_map): per-shard fused top-k with global index offsets,
-    padding rows masked to worst-score.  Phase 2: gather the (m, S*k_local)
-    candidate panels (XLA inserts the all-gather over ICI) and re-select.
+    padding rows masked to worst-score.  Phase 2 merge, per
+    ``config.merge``:
+
+    - ``"allgather"`` (default): gather the (m, S*k_local) candidate panels
+      (XLA lowers the all-gather onto ICI) and re-select locally.  Candidate
+      order is shard order = global-index order, so lax.top_k's positional
+      tie-break preserves lowest-index-wins.
+    - ``"ring"``: S-1 ``ppermute`` steps around the corpus-axis ring, each
+      device merging the visiting candidate set into its running k-best —
+      the ring-attention-shaped variant (SURVEY.md §5 long-context) whose
+      per-step exchange is k x (idx, score) and can overlap the next tile's
+      compute.  Ties are broken by explicit (score, index) sort keys since
+      visit order is not index order.
+
     Returns (scores, indices) like the single-device path.
     """
     import jax
@@ -109,28 +139,45 @@ def distributed_topk(
     k_local = min(k, ns)
     hib = metric.higher_is_better
     worst = jnp.float32(-np.inf if hib else np.inf)
+    shards_data = mesh.shape[d_axis] > 1
+    q_spec = P(d_axis, None) if shards_data else P()
+    row_spec = d_axis if shards_data else None
 
-    def local_fn(q_, c_):
+    def local_topk(q_, c_):
         vals, idx = fused_topk(q_, c_, k_local, metric, config=cfg)
         off = jax.lax.axis_index(c_axis) * ns
         gidx = idx + off
         vals = jnp.where(gidx < n_true, vals, worst)
         return vals, gidx
 
-    shards_data = mesh.shape[d_axis] > 1
-    q_spec = P(d_axis, None) if shards_data else P()
+    if cfg.merge == "ring":
+        def ring_fn(q_, c_):
+            acc_v, acc_i = local_topk(q_, c_)
+            buf_v, buf_i = acc_v, acc_i
+            perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+            for _step in range(n_shards - 1):
+                buf_v = jax.lax.ppermute(buf_v, c_axis, perm)
+                buf_i = jax.lax.ppermute(buf_i, c_axis, perm)
+                cat_v = jnp.concatenate([acc_v, buf_v], axis=1)
+                cat_i = jnp.concatenate([acc_i, buf_i], axis=1)
+                acc_v, acc_i = _merge_sorted_2key(cat_v, cat_i, k, hib)
+            return acc_v, acc_i
+
+        vals_m, idx_m = _shard_map(
+            ring_fn,
+            mesh,
+            in_specs=(q_spec, P(c_axis, None)),
+            out_specs=(P(row_spec, None), P(row_spec, None)),
+        )(q, corpus.data)
+        return vals_m[:, :k], idx_m[:, :k].astype(jnp.int32)
+
     vals_g, idx_g = _shard_map(
-        local_fn,
+        local_topk,
         mesh,
         in_specs=(q_spec, P(c_axis, None)),
-        out_specs=(
-            P(d_axis if shards_data else None, c_axis),
-            P(d_axis if shards_data else None, c_axis),
-        ),
+        out_specs=(P(row_spec, c_axis), P(row_spec, c_axis)),
     )(q, corpus.data)
 
-    # Phase 2: merge. Candidates are ordered by shard = by global index, so
-    # lax.top_k's positional tie-break preserves lowest-index-wins.
     merged_vals, merged_pos = topk_from_scores(vals_g, k, hib)
     merged_idx = jnp.take_along_axis(idx_g, merged_pos, axis=1)
     return merged_vals, merged_idx.astype(jnp.int32)

@@ -89,6 +89,43 @@ def test_data_and_corpus_sharding(mesh2x4):
     )
 
 
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+def test_ring_merge_matches_single_device(qc_f32, mesh8, metric):
+    """ppermute ring merge == allgather merge == single-device result."""
+    from polars_matmul_tpu.config import SearchConfig
+
+    q, c = qc_f32
+    import jax.numpy as jnp
+
+    sharded = pmt.shard_corpus(jnp.asarray(c), mesh8)
+    cfg = SearchConfig(merge="ring")
+    v1, i1 = pmt.distributed_topk(jnp.asarray(q), sharded, 10, metric, mesh8,
+                                  cfg)
+    v0, i0 = topk_search(q, c, 10, metric)
+    assert_topk_equivalent(
+        np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+    )
+
+
+def test_ring_merge_cross_shard_ties(mesh8):
+    """Duplicated corpus rows across shards: exact index parity under ties
+    requires the (score, index) 2-key merge, not positional tie-break."""
+    from polars_matmul_tpu.config import SearchConfig
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((13, 16)).astype(np.float32)
+    cdup = np.concatenate([base] * 8)
+    import jax.numpy as jnp
+
+    sharded = pmt.shard_corpus(jnp.asarray(cdup), mesh8)
+    cfg = SearchConfig(merge="ring")
+    v1, i1 = pmt.distributed_topk(
+        jnp.asarray(base[:3]), sharded, 16, "dot", mesh8, cfg
+    )
+    v0, i0 = topk_search(base[:3], cdup, 16, "dot")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+
+
 def test_corpus_handle_with_mesh(mesh8):
     rng = np.random.default_rng(13)
     q = rng.standard_normal((6, 16)).astype(np.float32)
