@@ -41,6 +41,8 @@ def topk_arrow(
     config: Optional[SearchConfig] = None,
 ) -> pa.Array:
     """Arrow List/FixedSizeList embeddings -> List[Struct{index, score}]."""
+    from ..utils.profiling import annotate
+
     Metric.parse(metric)  # validate metric before touching data
     left = _as_array(left)
     corpus = _as_array(corpus)
@@ -49,10 +51,12 @@ def topk_arrow(
     if len(corpus) == 0:
         raise ValueError("Empty series")
     dt = ai.promote_pair(ai._value_type(left), ai._value_type(corpus))
-    q = ai.extract_matrix(left, dt)
-    c = ai.extract_matrix(corpus, dt)
+    with annotate("pmm.extract"):
+        q = ai.extract_matrix(left, dt)
+        c = ai.extract_matrix(corpus, dt)
     idx, scores = search.topk(q, c, k, metric, config=config)
-    return ai.topk_to_arrow(idx, scores)
+    with annotate("pmm.assemble"):
+        return ai.topk_to_arrow(idx, scores)
 
 
 def matmul_arrow(

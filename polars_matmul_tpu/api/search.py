@@ -194,4 +194,22 @@ class Corpus:
         )
 
     def matmul(self, queries: ArrayLike) -> np.ndarray:
+        q = np.asarray(queries)
+        if q.shape[0] == 0:
+            dt = compute_dtype(q.dtype, self.dtype)
+            return np.empty((0, self.n), dtype=dt)
+        if q.ndim != 2 or q.shape[1] != self.dim:
+            raise ValueError(
+                f"Dimension mismatch: left has "
+                f"{q.shape[1] if q.ndim == 2 else q.shape} dimensional "
+                f"vectors, right has {self.dim} dimensional vectors"
+            )
+        if self.mesh is not None:
+            from ..parallel.sharded import distributed_matmul
+
+            dt = compute_dtype(q.dtype, self.dtype)
+            out = distributed_matmul(
+                _to_jax(q, dt), self._device, self.mesh, self.config
+            )
+            return np.asarray(out)
         return matmul(queries, np.asarray(self._device), config=self.config)

@@ -84,6 +84,14 @@ def test_fused_topk_duplicate_corpus_rows_tie_break():
     assert idx[2] == idx[0] + 8
 
 
+def test_fused_topk_large_k_falls_back(qc_f32):
+    """k > 128 exceeds the carry width -> dispatcher uses the XLA path."""
+    q, c = qc_f32
+    v1, i1 = fused_topk(q, c, 200, "cosine")
+    v0, i0 = topk_search(q, c, 200, "cosine")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+
+
 def test_fused_topk_f64_falls_back(qc_f64):
     q, c = qc_f64
     v1, i1 = fused_topk(q, c, 5, "cosine")  # dispatcher -> XLA path

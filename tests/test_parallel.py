@@ -135,3 +135,12 @@ def test_corpus_handle_with_mesh(mesh8):
     i0, s0 = pmt.topk(q, c, 5)
     assert_topk_equivalent(idx, scores, i0, s0)
     assert idx.dtype == np.uint32 and scores.dtype == np.float64
+
+
+def test_corpus_handle_matmul_with_mesh(mesh8):
+    rng = np.random.default_rng(17)
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    c = rng.standard_normal((50, 16)).astype(np.float32)
+    corpus = pmt.Corpus(c, mesh=mesh8)
+    out = corpus.matmul(q)
+    np.testing.assert_allclose(out, q @ c.T, rtol=1e-5, atol=1e-5)
