@@ -61,9 +61,16 @@ def main():
     q = rng.standard_normal((N_QUERIES, DIM)).astype(np.float32)
     c = rng.standard_normal((N_CORPUS, DIM)).astype(np.float32)
 
+    from polars_matmul_tpu.api.search import _pack_pair, _unpack_pair
+
     backend = jax.default_backend()
     cj = jnp.asarray(c)
     jax.block_until_ready(cj)
+
+    @jax.jit
+    def step_packed(qq):
+        v, i = fused_topk(qq, cj, K, "cosine")
+        return _pack_pair(v, i)
 
     step = jax.jit(lambda qq: fused_topk(qq, cj, K, "cosine"))
 
@@ -91,19 +98,18 @@ def main():
         sys.exit(1)
 
     # ---- serial latency: one 1000-query request per call ------------------
+    # Results come back in ONE packed device->host transfer (each extra
+    # fetch costs a full tunnel round trip).
     def serial_call():
-        v, i = step(jnp.asarray(q))
-        np.asarray(v), np.asarray(i)
+        _unpack_pair(np.asarray(step_packed(jnp.asarray(q))), K)
 
     serial_ms = median_ms(serial_call)
 
     # ---- steady-state throughput: BATCH stacked requests per call ---------
     q_batch = np.concatenate([q] * BATCH, axis=0)
-    step_b = jax.jit(lambda qq: fused_topk(qq, cj, K, "cosine"))
 
     def batched_call():
-        v, i = step_b(jnp.asarray(q_batch))
-        np.asarray(v), np.asarray(i)
+        _unpack_pair(np.asarray(step_packed(jnp.asarray(q_batch))), K)
 
     batch_ms = median_ms(batched_call)
     qps = N_QUERIES * BATCH / (batch_ms / 1e3)

@@ -111,10 +111,8 @@ def topk(
     vals, idx = _device_topk(
         _to_jax(q, dt), _to_jax(c, dt), kk, metric, resolve(config)
     )
-    return (
-        np.asarray(idx).astype(np.uint32),
-        np.asarray(vals).astype(np.float64),
-    )
+    v, i = _fetch_topk(vals, idx, kk)
+    return i.astype(np.uint32), v.astype(np.float64)
 
 
 def _device_topk(qj, cj, k: int, metric: Metric, cfg: SearchConfig):
@@ -123,6 +121,38 @@ def _device_topk(qj, cj, k: int, metric: Metric, cfg: SearchConfig):
 
     with annotate(f"pmm.topk.{metric.value}"):
         return fused_topk(qj, cj, k, metric, config=cfg)
+
+
+def _pack_pair(vals, idx):
+    """Pack (vals, idx) into one device array so results come back to the
+    host in a single transfer (each extra fetch costs a full round trip on
+    tunneled/remote devices)."""
+    import jax
+    import jax.numpy as jnp
+
+    if vals.dtype == jnp.float32:
+        return jnp.concatenate(
+            [vals, jax.lax.bitcast_convert_type(idx, jnp.float32)], axis=1
+        )
+    return jnp.concatenate([vals, idx.astype(vals.dtype)], axis=1)
+
+
+def _unpack_pair(packed: np.ndarray, k: int):
+    vals = packed[:, :k]
+    raw = np.ascontiguousarray(packed[:, k:])
+    if packed.dtype == np.float32:
+        idx = raw.view(np.int32)
+    else:
+        idx = raw.astype(np.int64)
+    return vals, idx
+
+
+def _fetch_topk(vals, idx, k: int):
+    """Single-transfer device->host fetch of a top-k result pair."""
+    import jax
+
+    packed = np.asarray(jax.jit(_pack_pair)(vals, idx))
+    return _unpack_pair(packed, k)
 
 
 class Corpus:
@@ -188,10 +218,8 @@ class Corpus:
             cj = self._device if dt == self._device.dtype else \
                 self._device.astype(dt)
             vals, idx = _device_topk(qj, cj, kk, metric, self.config)
-        return (
-            np.asarray(idx).astype(np.uint32),
-            np.asarray(vals).astype(np.float64),
-        )
+        v, i = _fetch_topk(vals, idx, kk)
+        return i.astype(np.uint32), v.astype(np.float64)
 
     def matmul(self, queries: ArrayLike) -> np.ndarray:
         q = np.asarray(queries)

@@ -121,9 +121,11 @@ def _kernel(
     lane_k = jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
     lane_n = col
     n_base = j * block_n
-    out_v = []
-    out_i = []
-    for _t in range(k):
+    out_v0 = jnp.full((tm, kp), _NEG_INF, dtype=jnp.float32)
+    out_i0 = jnp.full((tm, kp), _BIG_I32, dtype=jnp.int32)
+
+    def extract(t, state):
+        cv, s, out_v, out_i = state
         mc = jnp.max(cv, axis=1)                              # (TM,) cheap
         pc = jnp.argmax(cv, axis=1).astype(jnp.int32)
         ms = jnp.max(s, axis=1)                               # full-width
@@ -133,20 +135,25 @@ def _kernel(
         hot_c = lane_k == pc[:, None]
         g_c = jnp.sum(jnp.where(hot_c, ci, 0), axis=1)        # cheap gather
         g = jnp.where(use_c, g_c, n_base + ps)
-        out_v.append(m)
-        out_i.append(g)
+        slot = lane_k == t                                    # one-hot column
+        out_v = jnp.where(slot, m[:, None], out_v)
+        out_i = jnp.where(slot, g[:, None], out_i)
         cv = jnp.where(use_c[:, None] & hot_c, _NEG_INF, cv)  # cheap
         s = jnp.where(
             (~use_c)[:, None] & (lane_n == ps[:, None]), _NEG_INF, s
         )                                                     # full-width
+        return cv, s, out_v, out_i
 
-    new_v = jnp.stack(out_v, axis=1)                          # (TM, k)
-    new_i = jnp.stack(out_i, axis=1)
-    if k < kp:
-        pad_v = jnp.full((tm, kp - k), _NEG_INF, dtype=jnp.float32)
-        pad_i = jnp.full((tm, kp - k), _BIG_I32, dtype=jnp.int32)
-        new_v = jnp.concatenate([new_v, pad_v], axis=1)
-        new_i = jnp.concatenate([new_i, pad_i], axis=1)
+    # Small k unrolls (fastest); larger k uses fori_loop — Mosaic allocates
+    # fresh stack VMEM per unrolled step, so a k=100 unroll blows the 16 MB
+    # scoped-vmem limit while the rolled loop keeps constant footprint.
+    state = (cv, s, out_v0, out_i0)
+    if k <= 16:
+        for t in range(k):
+            state = extract(t, state)
+    else:
+        state = jax.lax.fori_loop(0, k, extract, state)
+    _, _, new_v, new_i = state
     carry_vals[:] = new_v
     carry_idx[:] = new_i
 
