@@ -126,24 +126,29 @@ def _device_topk(qj, cj, k: int, metric: Metric, cfg: SearchConfig):
 def _pack_pair(vals, idx):
     """Pack (vals, idx) into one device array so results come back to the
     host in a single transfer (each extra fetch costs a full round trip on
-    tunneled/remote devices)."""
+    tunneled/remote devices).
+
+    The f32 path packs in INTEGER space (scores bitcast to int32), never
+    the other way around: small int32 indices bitcast to f32 are denormals,
+    which TPU float pipelines flush to zero in transit.
+    """
     import jax
     import jax.numpy as jnp
 
     if vals.dtype == jnp.float32:
         return jnp.concatenate(
-            [vals, jax.lax.bitcast_convert_type(idx, jnp.float32)], axis=1
+            [jax.lax.bitcast_convert_type(vals, jnp.int32), idx], axis=1
         )
     return jnp.concatenate([vals, idx.astype(vals.dtype)], axis=1)
 
 
 def _unpack_pair(packed: np.ndarray, k: int):
-    vals = packed[:, :k]
-    raw = np.ascontiguousarray(packed[:, k:])
-    if packed.dtype == np.float32:
-        idx = raw.view(np.int32)
+    if packed.dtype == np.int32:
+        vals = np.ascontiguousarray(packed[:, :k]).view(np.float32)
+        idx = packed[:, k:]
     else:
-        idx = raw.astype(np.int64)
+        vals = packed[:, :k]
+        idx = np.ascontiguousarray(packed[:, k:]).astype(np.int64)
     return vals, idx
 
 

@@ -48,11 +48,14 @@ class SearchConfig:
     VMEM/core).  All sizes are in elements, not bytes.
     """
 
-    # Pallas fused-topk kernel tiling.
+    # Pallas fused-topk kernel tiling (tuned on TPU v5e, see bench sweeps).
     block_q: int = 256       # query rows per grid step (multiple of 8)
-    block_n: int = 1024      # corpus rows per grid step (multiple of 128)
+    block_n: int = 2048      # corpus rows per grid step (multiple of 128)
     # Padded width of the top-k carry (lane dimension); k is clamped to this.
     k_pad: int = 128
+    # Fused-kernel selection strategy: "extract" (k full-width argmax
+    # extraction steps) or "bucket" (lane-class reduce + narrow merge).
+    selection: str = "extract"
     # Matmul precision inside kernels.  "highest" keeps f32 accuracy within
     # rtol=1e-5 of the CPU reference (SURVEY.md §7 hard part #2); "default"
     # allows bf16 MXU passes for maximum throughput.

@@ -7,27 +7,43 @@ per-row quickselect src/topk.rs:6-75).  Instead of materializing the full
 mark (SURVEY.md §3.1) — the corpus is streamed tile-by-tile through VMEM and a
 per-query running top-k carry lives in VMEM scratch across grid steps.
 
-Algorithm (per query-block i):
-  for each corpus tile j (grid minor axis, sequential on TPU):
-    d  = Q_i @ C_j^T                  on the MXU, f32 accumulation
-    s  = metric epilogue(d)           on the VPU (see below)
-    carry = top_k(concat([carry, s])) iterative masked-argmax, k steps
-  emit carry -> (vals, idx) output block
+Per corpus tile (grid minor axis, sequential on TPU):
+  d = Q_i @ C_j^T on the MXU (f32 accumulation), then at most one VPU bias
+  pass, then the carry is merged with the tile's top-k.  Two selection
+  strategies are provided (SearchConfig.selection):
 
-Metric epilogues operate on a "maximize" orientation so one carry works for
-all metrics:
-  dot:       s = d
-  cosine:    s = d * qinv_i * cinv_j  (inverse norms precomputed per shard;
-             zero-norm rows get qinv = 0 so the score is exactly 0.0,
-             matching reference metrics.rs:275-289)
-  euclidean: s = 2 d - |q_i|^2 - |c_j|^2   (negated *squared* distance;
-             sqrt is monotonic so selection is done pre-sqrt and the final
-             distance sqrt(max(0, -s)) is applied once on the (M, k) result,
-             matching reference metrics.rs:302-307 up to rounding)
+  "extract" — k iterative masked-argmax extractions over the full tile.
+      O(k * TN) VPU work per tile, but every op is a plain full-width
+      max/argmax/where that Mosaic schedules extremely well.
+
+  "bucket"  — two-level: one full-width pass keeps each of the 128 lane
+      classes' best-3 over the tile's groups (only the best-2 carry
+      positions), then k lexicographic-max extractions run over the 256
+      bucket winners — ~G x narrower than the tile.  Exact for every input:
+      the merge can only miss an element if >=3 of a row's top-k fall in
+      one lane class of one tile, which is detected by (m3 >= k-th best)
+      and repaired in a lax.cond-gated refill loop (bounded by k rounds).
+      The common path runs no loop and never mutates the score tile.
+
+Metric handling (all metrics reduce to a plain dot product plus at most one
+cheap additive-bias pass; SURVEY.md §2.2 C7):
+  dot:       s = q . c
+  cosine:    inputs are pre-scaled by their inverse norms outside the kernel
+             (zero-norm rows scaled by 0 so their scores are exactly 0.0,
+             matching reference metrics.rs:275-289), so s = q' . c'
+  euclidean: s = 2 q.c - |c|^2  (the per-query |q|^2 term shifts every score
+             in a row equally, so it cannot change the selection; it is
+             applied to the final (m, k) values outside the kernel, and the
+             monotonic sqrt once at the end — matching reference
+             metrics.rs:302-307 up to rounding).
+  The same bias vector masks the padded corpus tail with -BIG, so no
+  per-tile iota masking is needed.
 
 Tie-breaking is lowest-corpus-index-wins, identical to jax.lax.top_k
 (SURVEY.md §7 hard part #1: the contract the reference's unstable quickselect
-never pinned down).
+never pinned down).  Both strategies preserve it under exact duplicate
+scores ("extract" via first-maximum argmax over in-order lanes; "bucket" via
+lowest-group-wins reduction plus (value, index)-lexicographic merge).
 """
 
 from __future__ import annotations
@@ -49,78 +65,35 @@ _BIG_I32 = jnp.iinfo(jnp.int32).max
 
 _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
+    "high": jax.lax.Precision.HIGHEST,  # Mosaic has no HIGH; round up
     "highest": jax.lax.Precision.HIGHEST,
 }
+
+_LANES = 128
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(
-    q_ref,      # (TM, D)    queries tile
-    c_ref,      # (TN, D)    corpus tile
-    qa_ref,     # (TM, 1)    per-query aux (inv-norm or sq-norm)
-    ca_ref,     # (1, TN)    per-corpus aux
-    vals_ref,   # (TM, KP)   output: top-k scores (maximize orientation)
-    idx_ref,    # (TM, KP)   output: top-k corpus indices
-    carry_vals, # (TM, KP)   scratch
-    carry_idx,  # (TM, KP)   scratch
-    *,
-    k: int,
-    kp: int,
-    block_n: int,
-    n_corpus: int,
-    metric: Metric,
-    precision: jax.lax.Precision,
-):
-    j = pl.program_id(1)
-    n_j = pl.num_programs(1)
-    tm = q_ref.shape[0]
+# ---------------------------------------------------------------------------
+# Strategy "extract": k masked-argmax extractions over the full tile.
+# ---------------------------------------------------------------------------
 
-    # Reset the carry at the first corpus tile of each query block.
-    @pl.when(j == 0)
-    def _():
-        carry_vals[:] = jnp.full((tm, kp), _NEG_INF, dtype=jnp.float32)
-        carry_idx[:] = jnp.full((tm, kp), _BIG_I32, dtype=jnp.int32)
 
-    # --- MXU: raw dot products for this tile --------------------------------
-    d = jax.lax.dot_general(
-        q_ref[:],
-        c_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )
+def _select_extract(s, carry_vals, carry_idx, lane_n, n_base, k, kp, tm):
+    """carry <- top_k(carry u tile) by k full-width argmax extractions.
 
-    # --- VPU: metric epilogue (maximize orientation) ------------------------
-    if metric is Metric.DOT:
-        s = d
-    elif metric is Metric.COSINE:
-        s = d * qa_ref[:] * ca_ref[:]
-    else:  # EUCLIDEAN: negated squared distance
-        s = 2.0 * d - qa_ref[:] - ca_ref[:]
-
-    # Mask out-of-range corpus rows (padding tail of the last tile).
-    col = jax.lax.broadcasted_iota(jnp.int32, (tm, block_n), 1)
-    s = jnp.where(col + j * block_n < n_corpus, s, _NEG_INF)
-
-    # --- blockwise top-k merge: carry <- top_k([carry, s]) ------------------
-    # Iterative extraction, one winner per step.  The carry (KP lanes) and
-    # the fresh tile scores (TN lanes) are kept separate: per step, argmax
-    # each side, pick the better, mask it in its source.  Tie-breaking is
-    # lowest-global-index-wins for free:
-    #  - argmax returns the FIRST (lowest-lane) maximum; tile lanes are in
-    #    index order, and carry entries with equal values were extracted
-    #    lowest-index-first on an earlier step (induction);
-    #  - on a carry-vs-tile tie the carry wins (>=), and every carry index
-    #    is from an earlier corpus tile, hence smaller.
-    cv = carry_vals[:]                                        # (TM, KP)
-    ci = carry_idx[:]
+    Tie-breaking is lowest-global-index-wins for free:
+      - argmax returns the FIRST (lowest-lane) maximum; tile lanes are in
+        index order, and carry entries with equal values were extracted
+        lowest-index-first on an earlier step (induction);
+      - on a carry-vs-tile tie the carry wins (>=), and every carry index
+        is from an earlier corpus tile, hence smaller.
+    """
+    cv = carry_vals
+    ci = carry_idx
     lane_k = jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
-    lane_n = col
-    n_base = j * block_n
     out_v0 = jnp.full((tm, kp), _NEG_INF, dtype=jnp.float32)
     out_i0 = jnp.full((tm, kp), _BIG_I32, dtype=jnp.int32)
 
@@ -135,7 +108,7 @@ def _kernel(
         hot_c = lane_k == pc[:, None]
         g_c = jnp.sum(jnp.where(hot_c, ci, 0), axis=1)        # cheap gather
         g = jnp.where(use_c, g_c, n_base + ps)
-        slot = lane_k == t                                    # one-hot column
+        slot = lane_k == t
         out_v = jnp.where(slot, m[:, None], out_v)
         out_i = jnp.where(slot, g[:, None], out_i)
         cv = jnp.where(use_c[:, None] & hot_c, _NEG_INF, cv)  # cheap
@@ -153,11 +126,195 @@ def _kernel(
             state = extract(t, state)
     else:
         state = jax.lax.fori_loop(0, k, extract, state)
-    _, _, new_v, new_i = state
+    return state[2], state[3]
+
+
+# ---------------------------------------------------------------------------
+# Strategy "bucket": lane-class top-3 reduce + narrow lexicographic merge.
+# ---------------------------------------------------------------------------
+
+
+def _bucket_top3(s, tm: int, groups: int):
+    """Per-lane-class best-3 values (positions for the best-2) over groups.
+
+    s: (TM, G*128).  All slices are vreg-aligned; each group update is a
+    handful of single-vreg-row VPU ops.  Lowest group wins value ties, so
+    candidate order respects global index order within a lane.
+    """
+    m1 = s[:, 0:_LANES]
+    p1 = jnp.zeros((tm, _LANES), jnp.int32)
+    m2 = jnp.full((tm, _LANES), _NEG_INF, jnp.float32)
+    p2 = jnp.zeros((tm, _LANES), jnp.int32)
+    m3 = jnp.full((tm, _LANES), _NEG_INF, jnp.float32)
+    for g in range(1, groups):
+        sg = s[:, g * _LANES:(g + 1) * _LANES]
+        b1 = sg > m1
+        b2 = sg > m2
+        b3 = sg > m3
+        m3 = jnp.where(b2, m2, jnp.where(b3, sg, m3))
+        m2n = jnp.where(b1, m1, jnp.where(b2, sg, m2))
+        p2n = jnp.where(b1, p1, jnp.where(b2, g, p2))
+        m1 = jnp.where(b1, sg, m1)
+        p1 = jnp.where(b1, g, p1)
+        m2, p2 = m2n, p2n
+    return m1, p1, m2, p2, m3
+
+
+def _merge_narrow(cv, ci, mv, mi, k: int, kp: int, tm: int):
+    """New carry = top-k of carry (cv,ci) u candidates (mv,mi), both narrow.
+
+    Lexicographic (value desc, index asc) extraction so ties are exact.
+    Slots beyond k keep (-inf, BIG); only the first k are ever read.
+    """
+    lane_kp = jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
+    out_v0 = jnp.full((tm, kp), _NEG_INF, jnp.float32)
+    out_i0 = jnp.full((tm, kp), _BIG_I32, jnp.int32)
+
+    def step(t, state):
+        cv, ci, mv, mi, out_v, out_i = state
+        vk = jnp.max(cv, axis=1)
+        eqk = cv == vk[:, None]
+        ik = jnp.min(jnp.where(eqk, ci, _BIG_I32), axis=1)
+        vc = jnp.max(mv, axis=1)
+        eqc = mv == vc[:, None]
+        ic = jnp.min(jnp.where(eqc, mi, _BIG_I32), axis=1)
+        use_k = (vk > vc) | ((vk == vc) & (ik < ic))
+        v = jnp.where(use_k, vk, vc)
+        g = jnp.where(use_k, ik, ic)
+        slot = lane_kp == t
+        out_v = jnp.where(slot, v[:, None], out_v)
+        out_i = jnp.where(slot, g[:, None], out_i)
+        cv = jnp.where(eqk & (ci == g[:, None]) & use_k[:, None], _NEG_INF, cv)
+        mv = jnp.where(
+            eqc & (mi == g[:, None]) & (~use_k)[:, None], _NEG_INF, mv
+        )
+        return cv, ci, mv, mi, out_v, out_i
+
+    state = (cv, ci, mv, mi, out_v0, out_i0)
+    if k <= 16:
+        for t in range(k):
+            state = step(t, state)
+    else:
+        state = jax.lax.fori_loop(0, k, step, state)
+    return state[4], state[5]
+
+
+def _any_ge(a, thr):
+    """Scalar int32 flag: any(a >= thr).  int32 max-reduce, not jnp.any —
+    Mosaic's reduce_or proxy lowering materializes float constants with the
+    *global* x64 setting and breaks under jax_enable_x64."""
+    return jnp.max(jnp.where(a >= thr, 1, 0).astype(jnp.int32))
+
+
+def _select_bucket(s, carry_vals, carry_idx, lane, n_base, k, kp, tm, groups):
+    """carry <- top_k(carry u tile) via lane-class reduction + narrow merge."""
+    m1, p1, m2, p2, m3 = _bucket_top3(s, tm, groups)
+    cand_v = jnp.concatenate([m1, m2], axis=1)
+    cand_i = jnp.concatenate(
+        [n_base + p1 * _LANES + lane, n_base + p2 * _LANES + lane], axis=1
+    )
+    new_v, new_i = _merge_narrow(carry_vals, carry_idx, cand_v, cand_i,
+                                 k, kp, tm)
+
+    if groups == 1:
+        # Every element of the tile was a candidate; always exact.
+        return new_v, new_i
+
+    # Exactness repair (rare): some lane class may hold a 3rd element that
+    # beats the new k-th best.  Bounded by k rounds (an element with k
+    # better-or-equal-lower-index elements in its own class is not top-k).
+    def fail(st):
+        s, m1, p1, m2, p2, m3, nv, ni, r = st
+        return jnp.logical_and(
+            r < k, _any_ge(m3, nv[:, k - 1][:, None]) == 1
+        )
+
+    def refill(st):
+        s, m1, p1, m2, p2, m3, nv, ni, r = st
+        parts = []
+        for g in range(groups):
+            sg = s[:, g * _LANES:(g + 1) * _LANES]
+            parts.append(
+                jnp.where((p1 == g) | (p2 == g), _NEG_INF, sg)
+            )
+        s = jnp.concatenate(parts, axis=1)
+        m1, p1, m2, p2, m3 = _bucket_top3(s, tm, groups)
+        cv = jnp.concatenate([m1, m2], axis=1)
+        ci = jnp.concatenate(
+            [n_base + p1 * _LANES + lane, n_base + p2 * _LANES + lane],
+            axis=1,
+        )
+        nv, ni = _merge_narrow(nv, ni, cv, ci, k, kp, tm)
+        return s, m1, p1, m2, p2, m3, nv, ni, r + 1
+
+    st0 = (s, m1, p1, m2, p2, m3, new_v, new_i, jnp.int32(2))
+
+    def do_repair(st):
+        return jax.lax.while_loop(fail, refill, st)
+
+    st = jax.lax.cond(fail(st0), do_repair, lambda st: st, st0)
+    return st[6], st[7]
+
+
+# ---------------------------------------------------------------------------
+# Kernel body and dispatcher
+# ---------------------------------------------------------------------------
+
+
+def _kernel(
+    q_ref,      # (TM, D)    queries tile (pre-scaled per metric)
+    c_ref,      # (TN, D)    corpus tile (pre-scaled per metric)
+    cb_ref,     # (1, TN)    per-corpus epilogue bias (euclid -|c|^2, pad -BIG)
+    vals_ref,   # (TM, KP)   output: top-k scores (maximize orientation)
+    idx_ref,    # (TM, KP)   output: top-k corpus indices
+    carry_vals, # (TM, KP)   scratch
+    carry_idx,  # (TM, KP)   scratch
+    *,
+    k: int,
+    kp: int,
+    block_n: int,
+    use_bias: bool,
+    selection: str,
+    precision: jax.lax.Precision,
+):
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    tm = q_ref.shape[0]
+    groups = block_n // _LANES
+
+    @pl.when(j == 0)
+    def _():
+        carry_vals[:] = jnp.full((tm, kp), _NEG_INF, dtype=jnp.float32)
+        carry_idx[:] = jnp.full((tm, kp), _BIG_I32, dtype=jnp.int32)
+
+    # --- MXU: raw dot products for this tile --------------------------------
+    d = jax.lax.dot_general(
+        q_ref[:],
+        c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+    # --- VPU epilogue: a single additive bias pass covers both the
+    # euclidean -|c|^2 term and the padding-tail mask -------------------------
+    s = d + cb_ref[:] if use_bias else d
+
+    n_base = j * block_n
+    if selection == "bucket":
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tm, _LANES), 1)
+        new_v, new_i = _select_bucket(
+            s, carry_vals[:], carry_idx[:], lane, n_base, k, kp, tm, groups
+        )
+    else:
+        lane_n = jax.lax.broadcasted_iota(jnp.int32, (tm, block_n), 1)
+        new_v, new_i = _select_extract(
+            s, carry_vals[:], carry_idx[:], lane_n, n_base, k, kp, tm
+        )
+
     carry_vals[:] = new_v
     carry_idx[:] = new_i
 
-    # Emit on the last corpus tile.
     @pl.when(j == n_j - 1)
     def _():
         vals_ref[:] = carry_vals[:]
@@ -172,9 +329,9 @@ def _pick_block_n(dim: int, block_q: int, block_n: int, kp: int) -> int:
         tile_bytes = (
             block_q * dim * 4          # Q tile
             + bn * dim * 4 * 2         # C tile (double-buffered)
-            + block_q * bn * 4         # dot tile
-            + block_q * (kp + bn) * 8  # merge candidates (vals + idx)
-            + block_q * kp * 8         # carry
+            + block_q * bn * 4 * 2     # score tile + selection working set
+            + block_q * kp * 8 * 2     # carry + merge working set
+            + block_q * _LANES * 5 * 4 # bucket reduce state
         )
         if tile_bytes <= budget:
             break
@@ -197,13 +354,11 @@ def supports(q_shape, c_shape, dtype, k: int, cfg: SearchConfig) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "block_q", "block_n", "k_pad",
-                     "precision", "interpret"),
+                     "precision", "selection", "interpret"),
 )
 def _fused_topk_f32(
     q: jax.Array,
     c: jax.Array,
-    qa: jax.Array,
-    ca: jax.Array,
     *,
     k: int,
     metric: Metric,
@@ -211,10 +366,26 @@ def _fused_topk_f32(
     block_n: int,
     k_pad: int,
     precision: str,
+    selection: str,
     interpret: bool,
 ) -> Tuple[jax.Array, jax.Array]:
     m, dim = q.shape
     n = c.shape[0]
+
+    # Metric pre-scaling (see module docstring): cosine folds the inverse
+    # norms into the inputs; euclidean doubles q and biases by -|c|^2.
+    if metric is Metric.COSINE:
+        eps = cosine_eps(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(q * q, axis=1, keepdims=True))
+        cn = jnp.sqrt(jnp.sum(c * c, axis=1, keepdims=True))
+        q = q * jnp.where(qn > eps, 1.0 / qn, 0.0)
+        c = c * jnp.where(cn > eps, 1.0 / cn, 0.0)
+        cb = jnp.zeros((1, n), jnp.float32)
+    elif metric is Metric.EUCLIDEAN:
+        cb = -jnp.sum(c * c, axis=1).reshape(1, n)
+        q = 2.0 * q
+    else:
+        cb = jnp.zeros((1, n), jnp.float32)
 
     tm = min(block_q, _round_up(m, 8))
     tn = _pick_block_n(_round_up(dim, 128), tm, block_n, k_pad)
@@ -225,8 +396,10 @@ def _fused_topk_f32(
 
     qp = jnp.pad(q, ((0, mp - m), (0, dp - dim)))
     cp = jnp.pad(c, ((0, np_ - n), (0, dp - dim)))
-    qap = jnp.pad(qa.reshape(m, 1), ((0, mp - m), (0, 0)))
-    cap = jnp.pad(ca.reshape(1, n), ((0, 0), (0, np_ - n)))
+    # Padding corpus rows get a -BIG bias so they can never be selected
+    # (k <= n_corpus is guaranteed by the caller).
+    cbp = jnp.pad(cb, ((0, 0), (0, np_ - n)), constant_values=-1e30)
+    use_bias = metric is Metric.EUCLIDEAN or np_ != n
 
     grid = (mp // tm, np_ // tn)
 
@@ -235,8 +408,8 @@ def _fused_topk_f32(
         k=k,
         kp=k_pad,
         block_n=tn,
-        n_corpus=n,
-        metric=metric,
+        use_bias=use_bias,
+        selection=selection,
         precision=_PRECISION[precision],
     )
 
@@ -247,7 +420,6 @@ def _fused_topk_f32(
         in_specs=[
             pl.BlockSpec((tm, dp), lambda i, j: (i, 0)),
             pl.BlockSpec((tn, dp), lambda i, j: (j, 0)),
-            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),
             pl.BlockSpec((1, tn), lambda i, j: (0, j)),
         ],
         out_specs=[
@@ -268,26 +440,9 @@ def _fused_topk_f32(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qp, cp, qap, cap)
+    )(qp, cp, cbp)
 
     return vals[:m, :k], idx[:m, :k]
-
-
-def _aux_vectors(q, c, metric: Metric):
-    """Per-row auxiliary vectors consumed by the kernel epilogue."""
-    if metric is Metric.COSINE:
-        eps = cosine_eps(q.dtype)
-        qn = jnp.sqrt(jnp.sum(q * q, axis=1))
-        cn = jnp.sqrt(jnp.sum(c * c, axis=1))
-        qa = jnp.where(qn > eps, 1.0 / qn, 0.0)
-        ca = jnp.where(cn > eps, 1.0 / cn, 0.0)
-    elif metric is Metric.EUCLIDEAN:
-        qa = jnp.sum(q * q, axis=1)
-        ca = jnp.sum(c * c, axis=1)
-    else:
-        qa = jnp.zeros((q.shape[0],), q.dtype)
-        ca = jnp.zeros((c.shape[0],), c.dtype)
-    return qa, ca
 
 
 def fused_topk(
@@ -314,21 +469,24 @@ def fused_topk(
             q, c, k, metric, precision=cfg.precision
         )
 
-    qa, ca = _aux_vectors(q, c, metric)
     # Trace the Pallas kernel with x64 disabled: the kernel is pure
     # f32/int32, and under jax_enable_x64 bare Python int literals (e.g. in
     # BlockSpec index maps) become i64 scalars that Mosaic cannot lower.
     with jax.enable_x64(False):
         vals, idx = _fused_topk_f32(
-            q, c, qa, ca,
+            q, c,
             k=k,
             metric=metric,
             block_q=cfg.block_q,
             block_n=cfg.block_n,
             k_pad=cfg.k_pad,
             precision=cfg.precision,
+            selection=cfg.selection,
             interpret=interpret,
         )
     if metric is Metric.EUCLIDEAN:
-        vals = jnp.sqrt(jnp.maximum(-vals, 0.0))
+        # Kernel scores are 2 q.c - |c|^2 (maximize orientation, |q|^2
+        # omitted as rank-invariant); recover the true distance here.
+        qsq = jnp.sum(q * q, axis=1, keepdims=True).astype(jnp.float32)
+        vals = jnp.sqrt(jnp.maximum(qsq - vals, 0.0))
     return vals, idx

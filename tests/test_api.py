@@ -210,3 +210,37 @@ class TestNumpyApi:
     def test_corpus_empty_raises(self):
         with pytest.raises(ValueError, match="Empty"):
             pmt.Corpus(np.zeros((0, 4), np.float32))
+
+
+class TestResultPacking:
+    """The single-transfer result fetch must never move int32 indices
+    through f32 space: small ints bitcast to f32 are denormals and TPU
+    float pipelines flush them to zero in transit (regression: indices all
+    came back 0 on real hardware while CPU tests stayed green)."""
+
+    def test_f32_pack_is_integer_space(self):
+        import jax.numpy as jnp
+
+        from polars_matmul_tpu.api.search import _pack_pair, _unpack_pair
+
+        vals = jnp.asarray(
+            np.array([[0.5, -1.25], [3.0, 1e-30]], np.float32)
+        )
+        idx = jnp.asarray(np.array([[1, 4999], [0, 7]], np.int32))
+        packed = _pack_pair(vals, idx)
+        assert packed.dtype == jnp.int32
+        v, i = _unpack_pair(np.asarray(packed), 2)
+        np.testing.assert_array_equal(v, np.asarray(vals))
+        np.testing.assert_array_equal(i, np.asarray(idx))
+
+    def test_f64_pack_roundtrip(self):
+        import jax.numpy as jnp
+
+        from polars_matmul_tpu.api.search import _pack_pair, _unpack_pair
+
+        vals = jnp.asarray(np.array([[0.5, -1.25]], np.float64))
+        idx = jnp.asarray(np.array([[123456789, 2]], np.int32))
+        packed = _pack_pair(vals, idx)
+        v, i = _unpack_pair(np.asarray(packed), 2)
+        np.testing.assert_array_equal(v, np.asarray(vals))
+        np.testing.assert_array_equal(i, np.asarray(idx))

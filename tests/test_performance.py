@@ -15,7 +15,9 @@ import pytest
 import polars_matmul_tpu as pmt
 
 
-def _bench(fn, warmup=1, iters=3):
+def _bench(fn, warmup=1, iters=5):
+    # min, not median: the gates compare best-case costs and must shrug off
+    # scheduler noise when the suite runs under load.
     for _ in range(warmup):
         fn()
     ts = []
@@ -23,7 +25,7 @@ def _bench(fn, warmup=1, iters=3):
         t0 = time.perf_counter()
         fn()
         ts.append(time.perf_counter() - t0)
-    return sorted(ts)[len(ts) // 2]
+    return min(ts)
 
 
 class TestPerformance:
