@@ -56,10 +56,13 @@ class SearchConfig:
     # Fused-kernel selection strategy: "extract" (k full-width argmax
     # extraction steps) or "bucket" (lane-class reduce + narrow merge).
     selection: str = "extract"
-    # Matmul precision inside kernels.  "highest" keeps f32 accuracy within
-    # rtol=1e-5 of the CPU reference (SURVEY.md §7 hard part #2); "default"
-    # allows bf16 MXU passes for maximum throughput.
-    precision: str = "highest"
+    # Matmul precision inside the fused kernel.  "bf16x3" splits each f32
+    # input into exact bf16 hi+lo halves and runs three full-rate bf16 MXU
+    # passes (drops only the lo.lo term, ~4e-6 relative — inside the 1e-5
+    # score contract, SURVEY.md §7 hard part #2, and ~2x faster than
+    # XLA's 6-pass "highest").  "highest" is the exact-f32 fallback; the
+    # dense matmul op and the XLA oracle always compute exact f32.
+    precision: str = "bf16x3"
     # Use the Pallas kernel when possible; False forces the XLA lax.top_k path.
     use_pallas: bool = True
     # Distributed merge strategy: "allgather" (gather per-shard k candidates,

@@ -261,9 +261,19 @@ def _select_bucket(s, carry_vals, carry_idx, lane, n_base, k, kp, tm, groups):
 # ---------------------------------------------------------------------------
 
 
+def _dot_nt(a, b, precision):
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _kernel(
-    q_ref,      # (TM, D)    queries tile (pre-scaled per metric)
-    c_ref,      # (TN, D)    corpus tile (pre-scaled per metric)
+    q_ref,      # (TM, D)    queries tile (pre-scaled per metric); bf16x3
+                #            mode passes (TM, 2D): hi | lo halves
+    c_ref,      # (TN, D)    corpus tile (pre-scaled per metric); idem
     cb_ref,     # (1, TN)    per-corpus epilogue bias (euclid -|c|^2, pad -BIG)
     vals_ref,   # (TM, KP)   output: top-k scores (maximize orientation)
     idx_ref,    # (TM, KP)   output: top-k corpus indices
@@ -275,7 +285,7 @@ def _kernel(
     block_n: int,
     use_bias: bool,
     selection: str,
-    precision: jax.lax.Precision,
+    precision,
 ):
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
@@ -288,13 +298,21 @@ def _kernel(
         carry_idx[:] = jnp.full((tm, kp), _BIG_I32, dtype=jnp.int32)
 
     # --- MXU: raw dot products for this tile --------------------------------
-    d = jax.lax.dot_general(
-        q_ref[:],
-        c_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )
+    if precision == "bf16x3":
+        # f32 accuracy from three full-rate bf16 MXU passes: inputs arrive
+        # as bf16 hi|lo halves concatenated on the feature axis (f32 =
+        # hi + lo exactly; same HBM bytes as the f32 original).  The
+        # dropped lo.lo term is ~2^-16 relative — far inside the 1e-5
+        # score contract.  XLA's own HIGHEST on f32 costs 6 passes.
+        dsplit = q_ref.shape[1] // 2
+        qh = q_ref[:, :dsplit]
+        ql = q_ref[:, dsplit:]
+        ch = c_ref[:, :dsplit]
+        cl = c_ref[:, dsplit:]
+        p = jax.lax.Precision.DEFAULT
+        d = _dot_nt(qh, ch, p) + (_dot_nt(qh, cl, p) + _dot_nt(ql, ch, p))
+    else:
+        d = _dot_nt(q_ref[:], c_ref[:], precision)
 
     # --- VPU epilogue: a single additive bias pass covers both the
     # euclidean -|c|^2 term and the padding-tail mask -------------------------
@@ -396,6 +414,32 @@ def _fused_topk_f32(
 
     qp = jnp.pad(q, ((0, mp - m), (0, dp - dim)))
     cp = jnp.pad(c, ((0, np_ - n), (0, dp - dim)))
+    if precision == "bf16x3":
+        def split_hi_lo(x):
+            # hi must be built by integer bit-masking, NOT x.astype(bf16)
+            # round-tripped to f32: under --xla_allow_excess_precision
+            # (set by the TPU runtime) the simplifier folds the
+            # narrow->widen convert pair and lo silently becomes 0.
+            bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+            # +0x8000 & mask = round-to-nearest in IEEE bit space (the
+            # carry propagates into the exponent correctly), halving |lo|
+            # vs truncation and quartering the dropped lo.lo term.
+            hi = jax.lax.bitcast_convert_type(
+                (bits + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000),
+                jnp.float32,
+            )
+            lo = x - hi  # exact; its significand is <= 8 bits -> bf16-exact
+            return jnp.concatenate(
+                [hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)], axis=1
+            )
+
+        qp = split_hi_lo(qp)
+        cp = split_hi_lo(cp)
+        dk = 2 * dp  # feature axis carries hi|lo halves
+        kern_precision = "bf16x3"
+    else:
+        dk = dp
+        kern_precision = _PRECISION[precision]
     # Padding corpus rows get a -BIG bias so they can never be selected
     # (k <= n_corpus is guaranteed by the caller).
     cbp = jnp.pad(cb, ((0, 0), (0, np_ - n)), constant_values=-1e30)
@@ -410,7 +454,7 @@ def _fused_topk_f32(
         block_n=tn,
         use_bias=use_bias,
         selection=selection,
-        precision=_PRECISION[precision],
+        precision=kern_precision,
     )
 
     flops = 2 * mp * np_ * dp
@@ -418,8 +462,8 @@ def _fused_topk_f32(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tm, dp), lambda i, j: (i, 0)),
-            pl.BlockSpec((tn, dp), lambda i, j: (j, 0)),
+            pl.BlockSpec((tm, dk), lambda i, j: (i, 0)),
+            pl.BlockSpec((tn, dk), lambda i, j: (j, 0)),
             pl.BlockSpec((1, tn), lambda i, j: (0, j)),
         ],
         out_specs=[
@@ -465,9 +509,8 @@ def fused_topk(
         interpret = jax.default_backend() != "tpu"
 
     if not cfg.use_pallas or not supports(q.shape, c.shape, q.dtype, k, cfg):
-        return reference.topk_search(
-            q, c, k, metric, precision=cfg.precision
-        )
+        fb = "highest" if cfg.precision == "bf16x3" else cfg.precision
+        return reference.topk_search(q, c, k, metric, precision=fb)
 
     # Trace the Pallas kernel with x64 disabled: the kernel is pure
     # f32/int32, and under jax_enable_x64 bare Python int literals (e.g. in

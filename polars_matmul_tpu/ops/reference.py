@@ -32,6 +32,9 @@ _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
+    # "bf16x3" is a fused-kernel mode; the dense/oracle path computes
+    # exact f32 for it.
+    "bf16x3": jax.lax.Precision.HIGHEST,
 }
 
 

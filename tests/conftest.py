@@ -30,10 +30,14 @@ def rng():
 
 
 @pytest.fixture(scope="session")
-def qc_f32(rng):
-    """Shared medium problem reused across tests to amortize jit compiles."""
-    q = rng.standard_normal((37, 56)).astype(np.float32)
-    c = rng.standard_normal((203, 56)).astype(np.float32)
+def qc_f32():
+    """Shared medium problem reused across tests to amortize jit compiles.
+
+    Uses its own seeded rng: drawing from the shared session rng would make
+    the data depend on test execution order."""
+    r = np.random.default_rng(1234)
+    q = r.standard_normal((37, 56)).astype(np.float32)
+    c = r.standard_normal((203, 56)).astype(np.float32)
     return q, c
 
 
@@ -43,8 +47,14 @@ def qc_f64(qc_f32):
     return q.astype(np.float64), c.astype(np.float64)
 
 
-def assert_topk_equivalent(idx_a, val_a, idx_b, val_b, rtol=1e-5, atol=1e-6):
-    """Top-k results equal, tolerating swaps among numerically-tied scores."""
+def assert_topk_equivalent(idx_a, val_a, idx_b, val_b, rtol=2e-5, atol=8e-6):
+    """Top-k results equal, tolerating swaps among numerically-tied scores.
+
+    Tolerances cover the default bf16x3 kernel precision: its score error
+    is the dropped lo.lo cross term, ~2^-18 per product accumulated over
+    dim (~1e-5 relative worst-case, ~3e-6 absolute on unit-scale scores) —
+    irrelevant next to embedding noise but above f32 roundoff.
+    """
     np.testing.assert_allclose(val_a, val_b, rtol=rtol, atol=atol)
     mism = idx_a != idx_b
     if mism.any():
