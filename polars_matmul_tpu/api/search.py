@@ -196,6 +196,31 @@ class Corpus:
             self._device = shard_corpus(_to_jax(c, dt), mesh, cfg)
         else:
             self._device = _to_jax(c, dt)
+        # Per-metric prepared forms (pre-scaled + padded + precision-split),
+        # built lazily on first use: steady-state queries then do zero
+        # per-call corpus work on device.
+        self._prepared = {}
+
+    def _prepared_for(self, metric):
+        """Cached (cp, cbp) from kernels.fused_topk.prepare_corpus."""
+        key = (metric.value, self.config.precision)
+        if key not in self._prepared:
+            import functools
+
+            import jax
+
+            from ..kernels.fused_topk import corpus_tile_rows, prepare_corpus
+
+            tn = corpus_tile_rows(self.dim, self.config)
+            with jax.enable_x64(False):
+                prep = jax.jit(functools.partial(
+                    prepare_corpus, metric=metric, tn=tn,
+                    precision=self.config.precision,
+                ))
+                self._prepared[key] = jax.block_until_ready(
+                    prep(self._device)
+                )
+        return self._prepared[key]
 
     def topk(
         self, queries: ArrayLike, k: int, metric: Union[str, Metric] = "cosine"
@@ -220,9 +245,24 @@ class Corpus:
                 qj, self._device, kk, metric, self.mesh, self.config
             )
         else:
-            cj = self._device if dt == self._device.dtype else \
-                self._device.astype(dt)
-            vals, idx = _device_topk(qj, cj, kk, metric, self.config)
+            from ..kernels.fused_topk import fused_topk_prepared, supports
+
+            if (
+                self.config.use_pallas
+                and dt == np.float32
+                and np.dtype(self._device.dtype) == np.float32
+                and supports(q.shape, (self.n, self.dim), dt, kk,
+                             self.config)
+            ):
+                cp, cbp = self._prepared_for(metric)
+                with annotate(f"pmm.topk.{metric.value}"):
+                    vals, idx = fused_topk_prepared(
+                        qj, cp, cbp, kk, metric, config=self.config
+                    )
+            else:
+                cj = self._device if dt == self._device.dtype else \
+                    self._device.astype(dt)
+                vals, idx = _device_topk(qj, cj, kk, metric, self.config)
         v, i = _fetch_topk(vals, idx, kk)
         return i.astype(np.uint32), v.astype(np.float64)
 

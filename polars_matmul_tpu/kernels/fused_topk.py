@@ -369,81 +369,102 @@ def supports(q_shape, c_shape, dtype, k: int, cfg: SearchConfig) -> bool:
     return True
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "metric", "block_q", "block_n", "k_pad",
-                     "precision", "selection", "interpret"),
-)
-def _fused_topk_f32(
-    q: jax.Array,
-    c: jax.Array,
-    *,
-    k: int,
-    metric: Metric,
-    block_q: int,
-    block_n: int,
-    k_pad: int,
-    precision: str,
-    selection: str,
-    interpret: bool,
-) -> Tuple[jax.Array, jax.Array]:
-    m, dim = q.shape
-    n = c.shape[0]
+def _split_hi_lo(x):
+    """f32 -> bf16 hi|lo halves concatenated on the feature axis.
 
-    # Metric pre-scaling (see module docstring): cosine folds the inverse
-    # norms into the inputs; euclidean doubles q and biases by -|c|^2.
+    hi must be built by integer bit-masking, NOT x.astype(bf16)
+    round-tripped to f32: under --xla_allow_excess_precision (set by the
+    TPU runtime) the simplifier folds the narrow->widen convert pair and
+    lo silently becomes 0.  +0x8000 & mask = round-to-nearest in IEEE bit
+    space (the carry propagates into the exponent correctly), halving
+    |lo| vs truncation and quartering the dropped lo.lo term.
+    """
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        (bits + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000),
+        jnp.float32,
+    )
+    lo = x - hi  # exact; its significand is <= 8 bits -> bf16-exact
+    return jnp.concatenate(
+        [hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)], axis=1
+    )
+
+
+def corpus_tile_rows(dim: int, cfg: SearchConfig) -> int:
+    """The corpus tile height the kernel will use (prep must pad to it)."""
+    return _pick_block_n(
+        _round_up(dim, 128), cfg.block_q, cfg.block_n, cfg.k_pad
+    )
+
+
+def prepare_corpus(c: jax.Array, metric, *, tn: int, precision: str):
+    """Metric pre-scaling + padding + (bf16x3) splitting of the corpus.
+
+    Pure and traceable; the Corpus handle jits this once and caches the
+    result on device so steady-state queries do zero per-call corpus work.
+    Returns (cp, cbp): the processed corpus and the epilogue-bias row.
+    """
+    metric = Metric.parse(metric)
+    n, dim = c.shape
     if metric is Metric.COSINE:
         eps = cosine_eps(jnp.float32)
-        qn = jnp.sqrt(jnp.sum(q * q, axis=1, keepdims=True))
         cn = jnp.sqrt(jnp.sum(c * c, axis=1, keepdims=True))
-        q = q * jnp.where(qn > eps, 1.0 / qn, 0.0)
         c = c * jnp.where(cn > eps, 1.0 / cn, 0.0)
         cb = jnp.zeros((1, n), jnp.float32)
     elif metric is Metric.EUCLIDEAN:
         cb = -jnp.sum(c * c, axis=1).reshape(1, n)
-        q = 2.0 * q
     else:
         cb = jnp.zeros((1, n), jnp.float32)
 
-    tm = min(block_q, _round_up(m, 8))
-    tn = _pick_block_n(_round_up(dim, 128), tm, block_n, k_pad)
-
-    mp = _round_up(m, tm)
     np_ = _round_up(n, tn)
     dp = _round_up(dim, 128)
-
-    qp = jnp.pad(q, ((0, mp - m), (0, dp - dim)))
     cp = jnp.pad(c, ((0, np_ - n), (0, dp - dim)))
     if precision == "bf16x3":
-        def split_hi_lo(x):
-            # hi must be built by integer bit-masking, NOT x.astype(bf16)
-            # round-tripped to f32: under --xla_allow_excess_precision
-            # (set by the TPU runtime) the simplifier folds the
-            # narrow->widen convert pair and lo silently becomes 0.
-            bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
-            # +0x8000 & mask = round-to-nearest in IEEE bit space (the
-            # carry propagates into the exponent correctly), halving |lo|
-            # vs truncation and quartering the dropped lo.lo term.
-            hi = jax.lax.bitcast_convert_type(
-                (bits + jnp.uint32(0x8000)) & jnp.uint32(0xFFFF0000),
-                jnp.float32,
-            )
-            lo = x - hi  # exact; its significand is <= 8 bits -> bf16-exact
-            return jnp.concatenate(
-                [hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)], axis=1
-            )
+        cp = _split_hi_lo(cp)
+    # Padding corpus rows get a -BIG bias so they can never be selected
+    # (k <= n_corpus is guaranteed by the caller).
+    cbp = jnp.pad(cb, ((0, 0), (0, np_ - n)), constant_values=-1e30)
+    return cp, cbp
 
-        qp = split_hi_lo(qp)
-        cp = split_hi_lo(cp)
+
+def _run_prepared(
+    q: jax.Array,
+    cp: jax.Array,
+    cbp: jax.Array,
+    *,
+    k: int,
+    metric: Metric,
+    block_q: int,
+    tn: int,
+    k_pad: int,
+    precision: str,
+    selection: str,
+    use_bias: bool,
+    interpret: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Query-side prep + the pallas call, against a prepared corpus."""
+    m, dim = q.shape
+
+    if metric is Metric.COSINE:
+        eps = cosine_eps(jnp.float32)
+        qn = jnp.sqrt(jnp.sum(q * q, axis=1, keepdims=True))
+        q = q * jnp.where(qn > eps, 1.0 / qn, 0.0)
+    elif metric is Metric.EUCLIDEAN:
+        q = 2.0 * q
+
+    tm = min(block_q, _round_up(m, 8))
+    mp = _round_up(m, tm)
+    dp = _round_up(dim, 128)
+    np_ = cbp.shape[1]
+
+    qp = jnp.pad(q, ((0, mp - m), (0, dp - dim)))
+    if precision == "bf16x3":
+        qp = _split_hi_lo(qp)
         dk = 2 * dp  # feature axis carries hi|lo halves
         kern_precision = "bf16x3"
     else:
         dk = dp
         kern_precision = _PRECISION[precision]
-    # Padding corpus rows get a -BIG bias so they can never be selected
-    # (k <= n_corpus is guaranteed by the caller).
-    cbp = jnp.pad(cb, ((0, 0), (0, np_ - n)), constant_values=-1e30)
-    use_bias = metric is Metric.EUCLIDEAN or np_ != n
 
     grid = (mp // tm, np_ // tn)
 
@@ -487,6 +508,85 @@ def _fused_topk_f32(
     )(qp, cp, cbp)
 
     return vals[:m, :k], idx[:m, :k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "block_q", "block_n", "k_pad",
+                     "precision", "selection", "interpret"),
+)
+def _fused_topk_f32(
+    q: jax.Array,
+    c: jax.Array,
+    *,
+    k: int,
+    metric: Metric,
+    block_q: int,
+    block_n: int,
+    k_pad: int,
+    precision: str,
+    selection: str,
+    interpret: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """One-shot path: corpus prep + run fused in a single jit."""
+    n, dim = c.shape[0], q.shape[1]
+    tn = _pick_block_n(
+        _round_up(dim, 128), min(block_q, _round_up(q.shape[0], 8)),
+        block_n, k_pad,
+    )
+    cp, cbp = prepare_corpus(c, metric, tn=tn, precision=precision)
+    use_bias = metric is Metric.EUCLIDEAN or cbp.shape[1] != n
+    return _run_prepared(
+        q, cp, cbp,
+        k=k, metric=metric, block_q=block_q, tn=tn, k_pad=k_pad,
+        precision=precision, selection=selection, use_bias=use_bias,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "block_q", "tn", "k_pad",
+                     "precision", "selection", "use_bias", "interpret"),
+)
+def _run_prepared_jit(q, cp, cbp, **kw):
+    return _run_prepared(q, cp, cbp, **kw)
+
+
+def fused_topk_prepared(
+    q: jax.Array,
+    cp: jax.Array,
+    cbp: jax.Array,
+    k: int,
+    metric,
+    *,
+    config: Optional[SearchConfig] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Run the fused kernel against a corpus prepared by prepare_corpus.
+
+    The euclidean final sqrt/shift needs the raw queries, so it is applied
+    here exactly as in fused_topk.
+    """
+    cfg = resolve(config)
+    metric = Metric.parse(metric)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tn = corpus_tile_rows(q.shape[1], cfg)
+    # The prepared cbp always carries the pad mask, so keep the bias pass.
+    use_bias = True
+    with jax.enable_x64(False):
+        vals, idx = _run_prepared_jit(
+            q, cp, cbp,
+            k=k, metric=metric, block_q=cfg.block_q, tn=tn,
+            k_pad=cfg.k_pad, precision=cfg.precision,
+            selection=cfg.selection, use_bias=use_bias,
+            interpret=interpret,
+        )
+    if metric is Metric.EUCLIDEAN:
+        qsq = jnp.sum(q * q, axis=1, keepdims=True).astype(jnp.float32)
+        vals = jnp.sqrt(jnp.maximum(qsq - vals, 0.0))
+    return vals, idx
 
 
 def fused_topk(

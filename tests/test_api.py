@@ -244,3 +244,31 @@ class TestResultPacking:
         v, i = _unpack_pair(np.asarray(packed), 2)
         np.testing.assert_array_equal(v, np.asarray(vals))
         np.testing.assert_array_equal(i, np.asarray(idx))
+
+
+class TestPreparedCorpus:
+    """Corpus caches the prepared (pre-scaled/split/padded) corpus per
+    metric; results must be identical to the one-shot path."""
+
+    def test_prepared_matches_oneshot(self):
+        rng = np.random.default_rng(11)
+        q = rng.standard_normal((23, 48)).astype(np.float32)
+        c = rng.standard_normal((900, 48)).astype(np.float32)
+        h = pmt.Corpus(c)
+        for metric in ("cosine", "dot", "euclidean"):
+            i1, v1 = h.topk(q, 7, metric)
+            i0, v0 = pmt.topk(q, c, 7, metric)
+            np.testing.assert_array_equal(i1, i0)
+            np.testing.assert_allclose(v1, v0, rtol=1e-6, atol=1e-7)
+        # the cache holds one entry per metric now
+        assert len(h._prepared) == 3
+
+    def test_prepared_k_clamp_and_reuse(self):
+        rng = np.random.default_rng(12)
+        q = rng.standard_normal((5, 16)).astype(np.float32)
+        c = rng.standard_normal((9, 16)).astype(np.float32)
+        h = pmt.Corpus(c)
+        i1, v1 = h.topk(q, 99, "cosine")   # clamps to 9
+        assert i1.shape == (5, 9)
+        i2, v2 = h.topk(q, 3, "cosine")    # reuses the cached prep
+        np.testing.assert_array_equal(i2, i1[:, :3])
