@@ -65,7 +65,9 @@ def main():
     from polars_matmul_tpu.config import SearchConfig
 
     backend = jax.default_backend()
-    n_corpus = args.corpus or (20_000 if backend == "cpu" else 2_000_000)
+    # metric prep (normalize + bf16 hi/lo split) transiently holds ~3x the
+    # corpus bytes on device, so cap the default at ~1/4 of v5e HBM
+    n_corpus = args.corpus or (20_000 if backend == "cpu" else 1_250_000)
     print(f"backend: {backend}, corpus {n_corpus}x{args.dim} f32, "
           f"{args.queries} queries, k={args.k}")
 

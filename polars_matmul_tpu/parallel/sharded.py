@@ -16,7 +16,7 @@ with no extra keying.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import numpy as np
@@ -95,6 +95,76 @@ def _merge_sorted_2key(vals, idx, k: int, hib: bool):
     return vals_s[:, :k], idx_s[:, :k]
 
 
+# The shard_map program is expensive to trace AND compile (seconds);
+# cache the jitted callable per (mesh, problem signature).  Mesh and the
+# frozen SearchConfig are both hashable; jit itself handles shape
+# polymorphism beneath each cache entry.
+@lru_cache(maxsize=64)
+def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
+                   cfg: SearchConfig):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..kernels.fused_topk import fused_topk
+
+    d_axis, c_axis = cfg.mesh_axes
+    n_shards = mesh.shape[c_axis]
+    hib = metric.higher_is_better
+    worst = jnp.float32(-np.inf if hib else np.inf)
+    shards_data = mesh.shape[d_axis] > 1
+    q_spec = P(d_axis, None) if shards_data else P()
+    row_spec = d_axis if shards_data else None
+
+    def local_topk(q_, c_):
+        vals, idx = fused_topk(q_, c_, k_local, metric, config=cfg)
+        off = jax.lax.axis_index(c_axis) * ns
+        gidx = idx + off
+        vals = jnp.where(gidx < n_true, vals, worst)
+        return vals, gidx
+
+    if cfg.merge == "ring":
+        def ring_fn(q_, c_):
+            acc_v, acc_i = local_topk(q_, c_)
+            buf_v, buf_i = acc_v, acc_i
+            perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+            for _step in range(n_shards - 1):
+                buf_v = jax.lax.ppermute(buf_v, c_axis, perm)
+                buf_i = jax.lax.ppermute(buf_i, c_axis, perm)
+                cat_v = jnp.concatenate([acc_v, buf_v], axis=1)
+                cat_i = jnp.concatenate([acc_i, buf_i], axis=1)
+                acc_v, acc_i = _merge_sorted_2key(cat_v, cat_i, k, hib)
+            return acc_v, acc_i
+
+        mapped = _shard_map(
+            ring_fn,
+            mesh,
+            in_specs=(q_spec, P(c_axis, None)),
+            out_specs=(P(row_spec, None), P(row_spec, None)),
+        )
+
+        def run(q, data):
+            vals_m, idx_m = mapped(q, data)
+            return vals_m[:, :k], idx_m[:, :k].astype(jnp.int32)
+
+        return jax.jit(run)
+
+    mapped = _shard_map(
+        local_topk,
+        mesh,
+        in_specs=(q_spec, P(c_axis, None)),
+        out_specs=(P(row_spec, c_axis), P(row_spec, c_axis)),
+    )
+
+    def run(q, data):
+        vals_g, idx_g = mapped(q, data)
+        merged_vals, merged_pos = topk_from_scores(vals_g, k, hib)
+        merged_idx = jnp.take_along_axis(idx_g, merged_pos, axis=1)
+        return merged_vals, merged_idx.astype(jnp.int32)
+
+    return jax.jit(run)
+
+
 def distributed_topk(
     q,
     corpus: ShardedCorpus,
@@ -122,65 +192,39 @@ def distributed_topk(
 
     Returns (scores, indices) like the single-device path.
     """
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
-
-    from ..kernels.fused_topk import fused_topk
-
     cfg = resolve(config)
     metric = Metric.parse(metric)
-    d_axis, c_axis = cfg.mesh_axes
+    c_axis = cfg.mesh_axes[1]
     n_shards = mesh.shape[c_axis]
-    n_pad = corpus.shape[0]
-    ns = n_pad // n_shards
+    ns = corpus.shape[0] // n_shards
     n_true = corpus.n_true
     k = min(k, n_true)
     k_local = min(k, ns)
-    hib = metric.higher_is_better
-    worst = jnp.float32(-np.inf if hib else np.inf)
+    fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg)
+    return fn(q, corpus.data)
+
+
+@lru_cache(maxsize=64)
+def _matmul_callable(mesh, n_true, cfg: SearchConfig):
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from ..kernels.matmul import pairwise_matmul
+
+    d_axis, c_axis = cfg.mesh_axes
     shards_data = mesh.shape[d_axis] > 1
-    q_spec = P(d_axis, None) if shards_data else P()
-    row_spec = d_axis if shards_data else None
 
-    def local_topk(q_, c_):
-        vals, idx = fused_topk(q_, c_, k_local, metric, config=cfg)
-        off = jax.lax.axis_index(c_axis) * ns
-        gidx = idx + off
-        vals = jnp.where(gidx < n_true, vals, worst)
-        return vals, gidx
+    def local_fn(q_, c_):
+        return pairwise_matmul(q_, c_, precision=cfg.precision)
 
-    if cfg.merge == "ring":
-        def ring_fn(q_, c_):
-            acc_v, acc_i = local_topk(q_, c_)
-            buf_v, buf_i = acc_v, acc_i
-            perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-            for _step in range(n_shards - 1):
-                buf_v = jax.lax.ppermute(buf_v, c_axis, perm)
-                buf_i = jax.lax.ppermute(buf_i, c_axis, perm)
-                cat_v = jnp.concatenate([acc_v, buf_v], axis=1)
-                cat_i = jnp.concatenate([acc_i, buf_i], axis=1)
-                acc_v, acc_i = _merge_sorted_2key(cat_v, cat_i, k, hib)
-            return acc_v, acc_i
-
-        vals_m, idx_m = _shard_map(
-            ring_fn,
-            mesh,
-            in_specs=(q_spec, P(c_axis, None)),
-            out_specs=(P(row_spec, None), P(row_spec, None)),
-        )(q, corpus.data)
-        return vals_m[:, :k], idx_m[:, :k].astype(jnp.int32)
-
-    vals_g, idx_g = _shard_map(
-        local_topk,
+    mapped = _shard_map(
+        local_fn,
         mesh,
-        in_specs=(q_spec, P(c_axis, None)),
-        out_specs=(P(row_spec, c_axis), P(row_spec, c_axis)),
-    )(q, corpus.data)
+        in_specs=(P(d_axis, None) if shards_data else P(), P(c_axis, None)),
+        out_specs=P(d_axis if shards_data else None, c_axis),
+    )
 
-    merged_vals, merged_pos = topk_from_scores(vals_g, k, hib)
-    merged_idx = jnp.take_along_axis(idx_g, merged_pos, axis=1)
-    return merged_vals, merged_idx.astype(jnp.int32)
+    return jax.jit(lambda q, data: mapped(q, data)[:, :n_true])
 
 
 def distributed_matmul(
@@ -192,22 +236,5 @@ def distributed_matmul(
     """Dense Q . C^T over a sharded corpus: per-shard panels concatenated
     along the corpus axis (the output IS (m, n), so it is materialized —
     this op exists for parity with the reference's raw matmul)."""
-    import jax
-    from jax.sharding import PartitionSpec as P
-
-    from ..kernels.matmul import pairwise_matmul
-
     cfg = resolve(config)
-    d_axis, c_axis = cfg.mesh_axes
-    shards_data = mesh.shape[d_axis] > 1
-
-    def local_fn(q_, c_):
-        return pairwise_matmul(q_, c_, precision=cfg.precision)
-
-    out = _shard_map(
-        local_fn,
-        mesh,
-        in_specs=(P(d_axis, None) if shards_data else P(), P(c_axis, None)),
-        out_specs=P(d_axis if shards_data else None, c_axis),
-    )(q, corpus.data)
-    return out[:, : corpus.n_true]
+    return _matmul_callable(mesh, corpus.n_true, cfg)(q, corpus.data)
