@@ -40,10 +40,47 @@ class ShardedCorpus:
 
     data: "jax.Array"  # noqa: F821  (n_padded, dim), sharded over corpus axis
     n_true: int
+    # Lazily-built per-(metric, precision) prepared forms (pre-scaled,
+    # padded, precision-split per shard) so steady-state distributed
+    # queries do zero per-call corpus work — the sharded analog of
+    # Corpus._prepared_for.
+    _prepared: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @property
     def shape(self):
         return self.data.shape
+
+    def prepared_for(self, metric: Metric, mesh, cfg: SearchConfig):
+        """Cached per-shard (cp, cbp) from kernels.fused_topk.prepare_corpus."""
+        key = (metric.value, cfg.precision)
+        if key not in self._prepared:
+            import jax
+            from jax.sharding import PartitionSpec as P
+
+            from ..kernels.fused_topk import (
+                corpus_tile_rows,
+                prepare_corpus,
+            )
+
+            c_axis = cfg.mesh_axes[1]
+            tn = corpus_tile_rows(self.data.shape[1], cfg)
+
+            def prep_local(c_):
+                return prepare_corpus(
+                    c_, metric, tn=tn, precision=cfg.precision
+                )
+
+            mapped = _shard_map(
+                prep_local,
+                mesh,
+                in_specs=(P(c_axis, None),),
+                out_specs=(P(c_axis, None), P(None, c_axis)),
+            )
+            with jax.enable_x64(False):
+                self._prepared[key] = jax.block_until_ready(
+                    jax.jit(mapped)(self.data)
+                )
+        return self._prepared[key]
 
 
 def shard_corpus(c, mesh, config: Optional[SearchConfig] = None) -> ShardedCorpus:
@@ -98,15 +135,16 @@ def _merge_sorted_2key(vals, idx, k: int, hib: bool):
 # The shard_map program is expensive to trace AND compile (seconds);
 # cache the jitted callable per (mesh, problem signature).  Mesh and the
 # frozen SearchConfig are both hashable; jit itself handles shape
-# polymorphism beneath each cache entry.
+# polymorphism beneath each cache entry.  ``prepared`` selects the
+# zero-corpus-work path fed by ShardedCorpus.prepared_for.
 @lru_cache(maxsize=64)
 def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
-                   cfg: SearchConfig):
+                   cfg: SearchConfig, prepared: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    from ..kernels.fused_topk import fused_topk
+    from ..kernels.fused_topk import fused_topk, fused_topk_prepared
 
     d_axis, c_axis = cfg.mesh_axes
     n_shards = mesh.shape[c_axis]
@@ -116,16 +154,28 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
     q_spec = P(d_axis, None) if shards_data else P()
     row_spec = d_axis if shards_data else None
 
-    def local_topk(q_, c_):
-        vals, idx = fused_topk(q_, c_, k_local, metric, config=cfg)
+    def finish(vals, idx):
         off = jax.lax.axis_index(c_axis) * ns
         gidx = idx + off
         vals = jnp.where(gidx < n_true, vals, worst)
         return vals, gidx
 
+    if prepared:
+        def local_topk(q_, cp_, cb_):
+            return finish(*fused_topk_prepared(
+                q_, cp_, cb_, k_local, metric, config=cfg
+            ))
+
+        corpus_in_specs = (P(c_axis, None), P(None, c_axis))
+    else:
+        def local_topk(q_, c_):
+            return finish(*fused_topk(q_, c_, k_local, metric, config=cfg))
+
+        corpus_in_specs = (P(c_axis, None),)
+
     if cfg.merge == "ring":
-        def ring_fn(q_, c_):
-            acc_v, acc_i = local_topk(q_, c_)
+        def ring_fn(q_, *c_args):
+            acc_v, acc_i = local_topk(q_, *c_args)
             buf_v, buf_i = acc_v, acc_i
             perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
             for _step in range(n_shards - 1):
@@ -139,12 +189,12 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
         mapped = _shard_map(
             ring_fn,
             mesh,
-            in_specs=(q_spec, P(c_axis, None)),
+            in_specs=(q_spec, *corpus_in_specs),
             out_specs=(P(row_spec, None), P(row_spec, None)),
         )
 
-        def run(q, data):
-            vals_m, idx_m = mapped(q, data)
+        def run(q, *c_args):
+            vals_m, idx_m = mapped(q, *c_args)
             return vals_m[:, :k], idx_m[:, :k].astype(jnp.int32)
 
         return jax.jit(run)
@@ -152,12 +202,12 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
     mapped = _shard_map(
         local_topk,
         mesh,
-        in_specs=(q_spec, P(c_axis, None)),
+        in_specs=(q_spec, *corpus_in_specs),
         out_specs=(P(row_spec, c_axis), P(row_spec, c_axis)),
     )
 
-    def run(q, data):
-        vals_g, idx_g = mapped(q, data)
+    def run(q, *c_args):
+        vals_g, idx_g = mapped(q, *c_args)
         merged_vals, merged_pos = topk_from_scores(vals_g, k, hib)
         merged_idx = jnp.take_along_axis(idx_g, merged_pos, axis=1)
         return merged_vals, merged_idx.astype(jnp.int32)
@@ -192,6 +242,8 @@ def distributed_topk(
 
     Returns (scores, indices) like the single-device path.
     """
+    import numpy as _np
+
     cfg = resolve(config)
     metric = Metric.parse(metric)
     c_axis = cfg.mesh_axes[1]
@@ -200,6 +252,21 @@ def distributed_topk(
     n_true = corpus.n_true
     k = min(k, n_true)
     k_local = min(k, ns)
+
+    from ..kernels.fused_topk import supports
+
+    dim = corpus.data.shape[1]
+    use_prepared = (
+        cfg.use_pallas
+        and _np.dtype(corpus.data.dtype) == _np.float32
+        and _np.dtype(q.dtype) == _np.float32
+        and supports((q.shape[0], dim), (ns, dim), _np.float32, k_local, cfg)
+    )
+    if use_prepared:
+        cp, cbp = corpus.prepared_for(metric, mesh, cfg)
+        fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg,
+                            prepared=True)
+        return fn(q, cp, cbp)
     fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg)
     return fn(q, corpus.data)
 
