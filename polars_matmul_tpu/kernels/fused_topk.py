@@ -117,15 +117,24 @@ def _select_extract(s, carry_vals, carry_idx, lane_n, n_base, k, kp, tm):
         )                                                     # full-width
         return cv, s, out_v, out_i
 
-    # Small k unrolls (fastest); larger k uses fori_loop — Mosaic allocates
-    # fresh stack VMEM per unrolled step, so a k=100 unroll blows the 16 MB
-    # scoped-vmem limit while the rolled loop keeps constant footprint.
+    # Small k unrolls fully (fastest: one basic block gives Mosaic full
+    # scheduling freedom); larger k uses a fori_loop unrolled 4x per
+    # iteration — a full k=100 unroll blows Mosaic's 16 MB scoped-vmem
+    # stack, while rolled-by-1 iterations cost ~2.6x per extraction in
+    # loop-boundary overhead.  Extractions beyond k land in carry slots
+    # k..kp-1, which are never read (kp is a multiple of 4 and k <= kp,
+    # so ceil(k/4)*4 <= kp always holds).
     state = (cv, s, out_v0, out_i0)
     if k <= 16:
         for t in range(k):
             state = extract(t, state)
     else:
-        state = jax.lax.fori_loop(0, k, extract, state)
+        def extract4(t4, st):
+            for u in range(4):
+                st = extract(t4 * 4 + u, st)
+            return st
+
+        state = jax.lax.fori_loop(0, (k + 3) // 4, extract4, state)
     return state[2], state[3]
 
 
