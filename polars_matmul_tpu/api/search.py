@@ -15,7 +15,7 @@ import numpy as np
 
 from ..config import SearchConfig, resolve, ensure_x64
 from ..ops.metrics import Metric
-from ..utils.profiling import annotate
+from ..utils.profiling import annotate, call_stats
 
 ArrayLike = Union[np.ndarray, "jax.Array"]  # noqa: F821
 
@@ -108,10 +108,15 @@ def topk(
             np.empty((q.shape[0], 0), np.float64),
         )
     dt = compute_dtype(q.dtype, c.dtype)
+    import time as _time
+
+    t0 = _time.perf_counter()
     vals, idx = _device_topk(
         _to_jax(q, dt), _to_jax(c, dt), kk, metric, resolve(config)
     )
     v, i = _fetch_topk(vals, idx, kk)
+    call_stats("topk", m=q.shape[0], n=c.shape[0], dim=q.shape[1], k=kk,
+               dtype=dt, wall_s=_time.perf_counter() - t0)
     return i.astype(np.uint32), v.astype(np.float64)
 
 

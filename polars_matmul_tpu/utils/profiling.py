@@ -100,3 +100,32 @@ def roofline(flops: float, seconds: float, dtype: str = "float32") -> Dict:
         out["peak_tflops"] = peak
         out["fraction_of_peak"] = gflops / (peak * 1e3)
     return out
+
+
+def call_stats(op: str, *, m: int, n: int, dim: int, k: Optional[int] = None,
+               dtype=None, wall_s: Optional[float] = None) -> None:
+    """Structured per-call stats on the package logger (PMM_TPU_DEBUG=1).
+
+    One JSON line per call: shapes, dtype, host->device / device->host
+    bytes, wall time and achieved GFLOP/s (wall-clock; includes transfers).
+    """
+    if not _DEBUG:
+        return
+    import json
+
+    itemsize = 4 if str(dtype) == "float32" else 8
+    rec = {
+        "op": op,
+        "m": m,
+        "n": n,
+        "dim": dim,
+        "dtype": str(dtype),
+        "bytes_h2d": m * dim * itemsize,
+        "bytes_d2h": (m * k * 8 if k is not None else m * n * itemsize),
+    }
+    if k is not None:
+        rec["k"] = k
+    if wall_s:
+        rec["wall_ms"] = round(wall_s * 1e3, 3)
+        rec["wall_gflops"] = round(2.0 * m * n * dim / wall_s / 1e9, 1)
+    log.info(json.dumps(rec))
