@@ -178,6 +178,9 @@ def main():
                 "resident); see module docstring for the tunnel caveat",
         "serial_latency_ms": round(serial_ms, 2),
         "tunnel_e2e_qps": round(tunnel_qps, 1),
+        # honest apples-to-apples vs the reference's END-TO-END 45 ms,
+        # through this rig's serialized RPC tunnel (the pessimal transport)
+        "vs_baseline_e2e": round(tunnel_qps / BASELINE_QPS, 3),
         "device_kernel_ms": round(kernel_ms, 3),
         "kernel_gflops": round(roof["achieved_gflops"], 1),
         "backend": backend,

@@ -208,15 +208,16 @@ class Corpus:
 
     def _prepared_for(self, metric):
         """Cached (cp, cbp) from kernels.fused_topk.prepare_corpus."""
-        key = (metric.value, self.config.precision)
+        from ..kernels.fused_topk import corpus_tile_rows, prepare_corpus
+
+        # Key on the tile height too: the prep is padded for it, and the
+        # handle's config is mutable (examples do `corpus.config = cfg`).
+        tn = corpus_tile_rows(self.dim, self.config)
+        key = (metric.value, self.config.precision, tn)
         if key not in self._prepared:
             import functools
 
             import jax
-
-            from ..kernels.fused_topk import corpus_tile_rows, prepare_corpus
-
-            tn = corpus_tile_rows(self.dim, self.config)
             with jax.enable_x64(False):
                 prep = jax.jit(functools.partial(
                     prepare_corpus, metric=metric, tn=tn,
@@ -241,6 +242,12 @@ class Corpus:
                 f"vectors, right has {self.dim} dimensional vectors"
             )
         kk = min(int(k), self.n)
+        if kk <= 0:
+            # same contract as module-level topk: k=0 -> empty match lists
+            return (
+                np.empty((q.shape[0], 0), np.uint32),
+                np.empty((q.shape[0], 0), np.float64),
+            )
         dt = compute_dtype(q.dtype, self.dtype)
         qj = _to_jax(q, dt)
         if self.mesh is not None:

@@ -57,11 +57,14 @@ class SearchConfig:
     # extraction steps) or "bucket" (lane-class reduce + narrow merge).
     selection: str = "extract"
     # Matmul precision inside the fused kernel.  "bf16x3" splits each f32
-    # input into exact bf16 hi+lo halves and runs three full-rate bf16 MXU
-    # passes (drops only the lo.lo term, ~4e-6 relative — inside the 1e-5
-    # score contract, SURVEY.md §7 hard part #2, and ~2x faster than
-    # XLA's 6-pass "highest").  "highest" is the exact-f32 fallback; the
-    # dense matmul op and the XLA oracle always compute exact f32.
+    # input into bf16 hi+lo halves and runs three full-rate bf16 MXU
+    # passes, dropping the lo.lo term: score error is ~4e-6 relative on
+    # random data and bounded by ~1.5e-5 relative in the adversarial
+    # worst case (all per-term errors aligned) — slightly outside the
+    # reference's rtol=1e-5 in that corner, traded for ~2x the speed of
+    # XLA's 6-pass "highest".  Set precision="highest" for exact f32
+    # (SURVEY.md §7 hard part #2); the dense matmul op and the XLA oracle
+    # always compute exact f32.
     precision: str = "bf16x3"
     # Use the Pallas kernel when possible; False forces the XLA lax.top_k path.
     use_pallas: bool = True

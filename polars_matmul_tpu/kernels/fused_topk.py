@@ -53,6 +53,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -430,9 +431,12 @@ def prepare_corpus(c: jax.Array, metric, *, tn: int, precision: str):
     cp = jnp.pad(c, ((0, np_ - n), (0, dp - dim)))
     if precision == "bf16x3":
         cp = _split_hi_lo(cp)
-    # Padding corpus rows get a -BIG bias so they can never be selected
-    # (k <= n_corpus is guaranteed by the caller).
-    cbp = jnp.pad(cb, ((0, 0), (0, np_ - n)), constant_values=-1e30)
+    # Padding corpus rows get a -inf bias so they can never be selected
+    # (k <= n_corpus is guaranteed by the caller).  -inf, not a large
+    # finite value: legitimate scores can be arbitrarily negative, and
+    # pad-row dot products are exactly 0 (zero rows), so 0 + -inf = -inf
+    # with no NaN risk.
+    cbp = jnp.pad(cb, ((0, 0), (0, np_ - n)), constant_values=-np.inf)
     return cp, cbp
 
 

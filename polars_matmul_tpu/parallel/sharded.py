@@ -52,18 +52,18 @@ class ShardedCorpus:
 
     def prepared_for(self, metric: Metric, mesh, cfg: SearchConfig):
         """Cached per-shard (cp, cbp) from kernels.fused_topk.prepare_corpus."""
-        key = (metric.value, cfg.precision)
+        from ..kernels.fused_topk import corpus_tile_rows, prepare_corpus
+
+        # The prep is padded for a specific corpus tile height, which the
+        # tiling knobs determine — key on it so a different SearchConfig
+        # cannot silently reuse a geometry-mismatched prep.
+        tn = corpus_tile_rows(self.data.shape[1], cfg)
+        key = (metric.value, cfg.precision, tn)
         if key not in self._prepared:
             import jax
             from jax.sharding import PartitionSpec as P
 
-            from ..kernels.fused_topk import (
-                corpus_tile_rows,
-                prepare_corpus,
-            )
-
             c_axis = cfg.mesh_axes[1]
-            tn = corpus_tile_rows(self.data.shape[1], cfg)
 
             def prep_local(c_):
                 return prepare_corpus(
@@ -251,7 +251,13 @@ def distributed_topk(
     ns = corpus.shape[0] // n_shards
     n_true = corpus.n_true
     k = min(k, n_true)
-    k_local = min(k, ns)
+    # Global zero-pad rows (corpus padded to a multiple of the shard
+    # count) take part in the last shard's LOCAL selection before they
+    # are masked to worst score, so they could evict real candidates.
+    # Widening the local k by the pad count (< n_shards rows, all in the
+    # last shard) guarantees every true top-k member survives the local
+    # round.
+    k_local = min(k + (corpus.shape[0] - n_true), ns)
 
     from ..kernels.fused_topk import supports
 

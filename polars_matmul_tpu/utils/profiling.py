@@ -121,7 +121,9 @@ def call_stats(op: str, *, m: int, n: int, dim: int, k: Optional[int] = None,
         "dim": dim,
         "dtype": str(dtype),
         "bytes_h2d": m * dim * itemsize,
-        "bytes_d2h": (m * k * 8 if k is not None else m * n * itemsize),
+        # top-k results come back packed as (m, 2k) of the compute width
+        "bytes_d2h": (m * k * 2 * itemsize if k is not None
+                      else m * n * itemsize),
     }
     if k is not None:
         rec["k"] = k

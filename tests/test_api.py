@@ -272,3 +272,14 @@ class TestPreparedCorpus:
         assert i1.shape == (5, 9)
         i2, v2 = h.topk(q, 3, "cosine")    # reuses the cached prep
         np.testing.assert_array_equal(i2, i1[:, :3])
+
+
+def test_corpus_topk_k_nonpositive():
+    """Corpus.topk must mirror module-level topk for k <= 0."""
+    rng = np.random.default_rng(13)
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    c = rng.standard_normal((5, 8)).astype(np.float32)
+    h = pmt.Corpus(c)
+    for k in (0, -2):
+        i, v = h.topk(q, k)
+        assert i.shape == (3, 0) and v.shape == (3, 0)

@@ -115,3 +115,14 @@ def test_pallas_matmul_k_accumulation():
         pallas_matmul(q, c, block_k=128, interpret=True)
     )
     np.testing.assert_allclose(out, q @ c.T, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_topk_extreme_negative_scores():
+    """Padding-tail masking must be exact (-inf bias), not a finite floor:
+    legitimate scores can fall below any finite constant."""
+    q = np.array([[2e18]], dtype=np.float32)
+    c = np.array([[-2e18], [-1e18], [1e10]], dtype=np.float32)  # n % tn != 0
+    v, i = fused_topk(q, c, 3, "dot", interpret=True)
+    i = np.asarray(i)[0]
+    assert set(i.tolist()) == {0, 1, 2}, i  # no padded index leaks
+    assert i[0] == 2 and i[1] == 1 and i[2] == 0

@@ -144,3 +144,25 @@ def test_corpus_handle_matmul_with_mesh(mesh8):
     corpus = pmt.Corpus(c, mesh=mesh8)
     out = corpus.matmul(q)
     np.testing.assert_allclose(out, q @ c.T, rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_topk_pad_rows_cannot_evict_candidates(mesh8):
+    """Global zero-pad rows join the last shard's local selection; with
+    k_local == shard size they could evict real (negative-score) rows
+    before the post-mask.  All-negative dot scores expose it."""
+    rng = np.random.default_rng(21)
+    import jax.numpy as jnp
+
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    # 27 rows over 8 shards -> padded to 32 with 5 zero rows in shard 7
+    c = -np.abs(rng.standard_normal((27, 8))).astype(np.float32)
+    q = -np.abs(q)  # all dot scores strictly negative; zero rows score 0
+    sharded = pmt.shard_corpus(jnp.asarray(c), mesh8)
+    for merge in ("allgather", "ring"):
+        cfg = pmt.SearchConfig(merge=merge)
+        v1, i1 = pmt.distributed_topk(jnp.asarray(q), sharded, 4, "dot",
+                                      mesh8, cfg)
+        v0, i0 = topk_search(q, c, 4, "dot")
+        assert_topk_equivalent(
+            np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+        )
