@@ -71,6 +71,12 @@ class SearchConfig:
     # Distributed merge strategy: "allgather" (gather per-shard k candidates,
     # re-select locally) or "ring" (ppermute carry merge).
     merge: str = "allgather"
+    # Ring merge only: number of query chunks pipelined around the ring.
+    # Chunk p's ppermute chain has no data dependence on chunk p+1's local
+    # search, so XLA's latency-hiding scheduler can overlap the ICI
+    # exchange with the next chunk's MXU work (the north-star
+    # merge-overlapped-with-compute requirement).  1 disables pipelining.
+    ring_pipeline: int = 2
     # Mesh axis names used by the parallel layer.
     mesh_axes: Tuple[str, str] = ("data", "corpus")
 

@@ -174,16 +174,32 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
         corpus_in_specs = (P(c_axis, None),)
 
     if cfg.merge == "ring":
-        def ring_fn(q_, *c_args):
-            acc_v, acc_i = local_topk(q_, *c_args)
+        perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+        def ring_chain(acc_v, acc_i):
             buf_v, buf_i = acc_v, acc_i
-            perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
             for _step in range(n_shards - 1):
                 buf_v = jax.lax.ppermute(buf_v, c_axis, perm)
                 buf_i = jax.lax.ppermute(buf_i, c_axis, perm)
                 cat_v = jnp.concatenate([acc_v, buf_v], axis=1)
                 cat_i = jnp.concatenate([acc_i, buf_i], axis=1)
                 acc_v, acc_i = _merge_sorted_2key(cat_v, cat_i, k, hib)
+            return acc_v, acc_i
+
+        def ring_fn(q_, *c_args):
+            # Pipeline the merge with compute: each query chunk's ring
+            # exchange is dataflow-independent of the next chunk's local
+            # search, so the latency-hiding scheduler overlaps the ICI
+            # hops with MXU work.
+            m = q_.shape[0]
+            n_chunks = max(1, min(cfg.ring_pipeline, m))
+            bounds = [m * i // n_chunks for i in range(n_chunks + 1)]
+            outs = [
+                ring_chain(*local_topk(q_[bounds[i]:bounds[i + 1]], *c_args))
+                for i in range(n_chunks)
+            ]
+            acc_v = jnp.concatenate([o[0] for o in outs], axis=0)
+            acc_i = jnp.concatenate([o[1] for o in outs], axis=0)
             return acc_v, acc_i
 
         mapped = _shard_map(

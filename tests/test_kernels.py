@@ -126,3 +126,42 @@ def test_fused_topk_extreme_negative_scores():
     i = np.asarray(i)[0]
     assert set(i.tolist()) == {0, 1, 2}, i  # no padded index leaks
     assert i[0] == 2 and i[1] == 1 and i[2] == 0
+
+
+def test_fused_topk_fuzz_shapes_and_tilings():
+    """Randomized sweep over shapes, k, metrics, tile configs and both
+    selection strategies vs the oracle (interpret mode).  Catches padding /
+    tiling / carry edge cases that handpicked shapes miss."""
+    rng = np.random.default_rng(99)
+    metrics = ["cosine", "dot", "euclidean"]
+    for trial in range(18):
+        m = int(rng.integers(1, 40))
+        n = int(rng.integers(1, 600))
+        d = int(rng.integers(1, 200))
+        k = int(rng.integers(1, min(n, 24) + 1))
+        metric = metrics[trial % 3]
+        sel = ("extract", "bucket")[trial % 2]
+        bq = int(rng.choice([8, 16, 64, 256]))
+        bn = int(rng.choice([128, 256, 1024]))
+        prec = ("bf16x3", "highest")[trial % 2]
+        q = rng.standard_normal((m, d)).astype(np.float32)
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        # sprinkle exact duplicates and zero rows
+        if n >= 4:
+            c[n // 2] = c[0]
+            c[-1] = 0.0
+        if m >= 2:
+            q[-1] = 0.0
+        cfg = SearchConfig(selection=sel, block_q=bq, block_n=bn,
+                           precision=prec)
+        v1, i1 = fused_topk(q, c, k, metric, config=cfg, interpret=True)
+        v0, i0 = topk_search(q, c, k, metric)
+        try:
+            assert_topk_equivalent(
+                np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+            )
+        except AssertionError as e:
+            raise AssertionError(
+                f"trial {trial}: m={m} n={n} d={d} k={k} {metric} {sel} "
+                f"bq={bq} bn={bn} {prec}: {e}"
+            ) from e

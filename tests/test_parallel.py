@@ -166,3 +166,22 @@ def test_distributed_topk_pad_rows_cannot_evict_candidates(mesh8):
         assert_topk_equivalent(
             np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
         )
+
+
+@pytest.mark.parametrize("pipeline", [1, 2, 3])
+def test_ring_merge_query_pipelining(mesh8, pipeline):
+    """The chunked (pipelined) ring merge must agree with the oracle for
+    any chunk count, including chunk sizes that do not divide m."""
+    rng = np.random.default_rng(31)
+    import jax.numpy as jnp
+
+    q = rng.standard_normal((7, 24)).astype(np.float32)
+    c = rng.standard_normal((150, 24)).astype(np.float32)
+    sharded = pmt.shard_corpus(jnp.asarray(c), mesh8)
+    cfg = pmt.SearchConfig(merge="ring", ring_pipeline=pipeline)
+    v1, i1 = pmt.distributed_topk(jnp.asarray(q), sharded, 6, "cosine",
+                                  mesh8, cfg)
+    v0, i0 = topk_search(q, c, 6, "cosine")
+    assert_topk_equivalent(
+        np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+    )
