@@ -30,6 +30,7 @@ from .ops.metrics import Metric  # noqa: E402
 from .api.search import Corpus, matmul, topk  # noqa: E402
 from .api.arrow_ops import matmul_arrow, topk_arrow  # noqa: E402
 from .parallel.mesh import init_distributed, make_mesh  # noqa: E402
+from .utils.autotune import autotune  # noqa: E402
 from .parallel.sharded import (  # noqa: E402
     ShardedCorpus,
     distributed_matmul,
@@ -39,6 +40,7 @@ from .parallel.sharded import (  # noqa: E402
 
 __all__ = [
     "Corpus",
+    "autotune",
     "Metric",
     "SearchConfig",
     "ShardedCorpus",

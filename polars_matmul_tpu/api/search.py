@@ -207,25 +207,71 @@ class Corpus:
         self._prepared = {}
 
     def _prepared_for(self, metric):
-        """Cached (cp, cbp) from kernels.fused_topk.prepare_corpus."""
+        """Cached (cp, cbp) from kernels.fused_topk.prepare_corpus.
+
+        Large corpora are prepared in row chunks (multiples of the corpus
+        tile height, so chunk boundaries never introduce interior padding)
+        with the output buffers donated through each update: one-shot prep
+        transiently holds ~3x the corpus bytes, chunked ~2x + one chunk.
+        """
         from ..kernels.fused_topk import corpus_tile_rows, prepare_corpus
 
         # Key on the tile height too: the prep is padded for it, and the
         # handle's config is mutable (examples do `corpus.config = cfg`).
         tn = corpus_tile_rows(self.dim, self.config)
         key = (metric.value, self.config.precision, tn)
-        if key not in self._prepared:
-            import functools
+        if key in self._prepared:
+            return self._prepared[key]
 
-            import jax
-            with jax.enable_x64(False):
-                prep = jax.jit(functools.partial(
-                    prepare_corpus, metric=metric, tn=tn,
-                    precision=self.config.precision,
-                ))
-                self._prepared[key] = jax.block_until_ready(
-                    prep(self._device)
-                )
+        import functools
+
+        import jax
+
+        prep = functools.partial(
+            prepare_corpus, metric=metric, tn=tn,
+            precision=self.config.precision,
+        )
+        c = self._device
+        raw_bytes = c.shape[0] * c.shape[1] * c.dtype.itemsize
+        with jax.enable_x64(False):
+            if raw_bytes <= self.config.prep_chunk_bytes:
+                self._prepared[key] = jax.block_until_ready(jax.jit(prep)(c))
+                return self._prepared[key]
+
+            import jax.numpy as jnp
+
+            # Chunked path: only the final chunk carries padding / the
+            # -inf tail bias, exactly like the one-shot prep.
+            row_bytes = c.shape[1] * c.dtype.itemsize
+            rows_per_chunk = max(
+                tn, self.config.prep_chunk_bytes // row_bytes // tn * tn
+            )
+            n = c.shape[0]
+            np_ = ((n + tn - 1) // tn) * tn
+            probe_cp, probe_cb = jax.eval_shape(
+                prep,
+                jax.ShapeDtypeStruct((rows_per_chunk, c.shape[1]), c.dtype),
+            )
+            buf_cp = jnp.zeros((np_, probe_cp.shape[1]), probe_cp.dtype)
+            buf_cb = jnp.zeros((1, np_), probe_cb.dtype)
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def update(buf_cp, buf_cb, chunk, row0):
+                cpc, cbc = prep(chunk)
+                buf_cp = jax.lax.dynamic_update_slice(
+                    buf_cp, cpc, (row0, jnp.int32(0)))
+                buf_cb = jax.lax.dynamic_update_slice(
+                    buf_cb, cbc, (jnp.int32(0), row0))
+                return buf_cp, buf_cb
+
+            row0 = 0
+            while row0 < n:
+                rows = min(rows_per_chunk, n - row0)
+                chunk = jax.lax.dynamic_slice_in_dim(c, row0, rows, axis=0)
+                buf_cp, buf_cb = update(buf_cp, buf_cb, chunk,
+                                        jnp.int32(row0))
+                row0 += rows
+            self._prepared[key] = jax.block_until_ready((buf_cp, buf_cb))
         return self._prepared[key]
 
     def topk(

@@ -71,6 +71,10 @@ class SearchConfig:
     # Distributed merge strategy: "allgather" (gather per-shard k candidates,
     # re-select locally) or "ring" (ppermute carry merge).
     merge: str = "allgather"
+    # Corpus preparation (Corpus handle) runs in row chunks once the raw
+    # corpus exceeds this many bytes: one-shot prep transiently holds ~3x
+    # the corpus (raw + scaled + split), chunked prep ~2x + one chunk.
+    prep_chunk_bytes: int = 1 << 30
     # Ring merge only: number of query chunks pipelined around the ring.
     # Chunk p's ppermute chain has no data dependence on chunk p+1's local
     # search, so XLA's latency-hiding scheduler can overlap the ICI

@@ -283,3 +283,36 @@ def test_corpus_topk_k_nonpositive():
     for k in (0, -2):
         i, v = h.topk(q, k)
         assert i.shape == (3, 0) and v.shape == (3, 0)
+
+
+def test_prepared_corpus_chunked_prep_matches_oneshot():
+    """Chunked preparation (big-corpus path) must produce identical
+    prepared buffers and results to the one-shot path."""
+    rng = np.random.default_rng(17)
+    q = rng.standard_normal((9, 40)).astype(np.float32)
+    c = rng.standard_normal((777, 40)).astype(np.float32)
+    for metric in ("cosine", "euclidean"):
+        big = pmt.Corpus(c)
+        # force chunking: a few KB per chunk
+        small = pmt.Corpus(c, config=pmt.SearchConfig(prep_chunk_bytes=1 << 16))
+        i1, v1 = big.topk(q, 11, metric)
+        i2, v2 = small.topk(q, 11, metric)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(v1, v2)
+
+
+def test_autotune_returns_config():
+    """autotune sweeps candidates on the live backend and returns the
+    fastest SearchConfig (tiny problem + tiny chains for CI)."""
+    from polars_matmul_tpu.utils.autotune import autotune, device_step_seconds
+    import jax.numpy as jnp
+
+    cfg = autotune(m=8, n=64, dim=16, k=3,
+                   candidates=[(8, 128, "highest"), (16, 128, "highest")])
+    assert isinstance(cfg, pmt.SearchConfig)
+    assert (cfg.block_q, cfg.block_n) in {(8, 128), (16, 128)}
+
+    t = device_step_seconds(
+        lambda q: jnp.max(q, axis=1, keepdims=True), jnp.ones((8, 16)),
+        chain_lo=2, chain_hi=6, iters=2)
+    assert t >= 0.0
