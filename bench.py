@@ -35,7 +35,7 @@ import time
 import numpy as np
 
 N_QUERIES, N_CORPUS, DIM, K = 1000, 10_000, 256, 10
-PIPE = 8  # pipelined in-flight requests for the throughput measurement
+PIPE = 8  # pipelined in-flight requests for the throughput measurement (TPU)
 BASELINE_S = 0.045  # reference fused topk, README.md:166
 BASELINE_QPS = N_QUERIES / BASELINE_S
 
@@ -73,15 +73,21 @@ def main():
     from polars_matmul_tpu.api.search import _pack_pair, _unpack_pair
 
     backend = jax.default_backend()
+    is_tpu = backend == "tpu"
+    # Off-TPU (CI smoke) the Pallas kernel would run in interpret mode at
+    # ~7 s/call; use the XLA product path and short chains there instead.
+    from polars_matmul_tpu.config import SearchConfig, default_config
+
+    cfg = default_config() if is_tpu else SearchConfig(use_pallas=False)
     cj = jnp.asarray(c)
     jax.block_until_ready(cj)
 
     @jax.jit
     def step_packed(qq):
-        v, i = fused_topk(qq, cj, K, "cosine")
+        v, i = fused_topk(qq, cj, K, "cosine", config=cfg)
         return _pack_pair(v, i)
 
-    step = jax.jit(lambda qq: fused_topk(qq, cj, K, "cosine"))
+    step = jax.jit(lambda qq: fused_topk(qq, cj, K, "cosine", config=cfg))
 
     # ---- correctness gate vs NumPy oracle --------------------------------
     vals, idx = step(jnp.asarray(q))
@@ -124,14 +130,16 @@ def main():
     serial_ms = best_ms(serial_call)
 
     # ---- steady-state throughput: PIPE pipelined requests ------------------
+    pipe = PIPE if is_tpu else 2
+
     def pipelined():
         outs = [step_packed(jnp.asarray(fresh_queries()))
-                for _ in range(PIPE)]
+                for _ in range(pipe)]
         for o in outs:
             _unpack_pair(np.asarray(o), K)
 
     pipe_ms = best_ms(pipelined)
-    tunnel_qps = N_QUERIES * PIPE / (pipe_ms / 1e3)
+    tunnel_qps = N_QUERIES * pipe / (pipe_ms / 1e3)
 
     # ---- device-only kernel time -------------------------------------------
     # Difference two dependent in-jit chain lengths; the readback of a
@@ -142,7 +150,7 @@ def main():
             x = x + t
 
             def body(i, x):
-                v, _ = fused_topk(x, cj, K, "cosine")
+                v, _ = fused_topk(x, cj, K, "cosine", config=cfg)
                 return x + jnp.max(v, axis=1, keepdims=True) * 1e-30
 
             x = jax.lax.fori_loop(0, reps, body, x)
@@ -157,7 +165,7 @@ def main():
         _tick[0] += 1e-7
         return float(np.asarray(chain(qj, jnp.float32(_tick[0]))))
 
-    c_lo, c_hi = 8, 104
+    c_lo, c_hi = (8, 104) if is_tpu else (1, 4)
     lo = make_chain(c_lo)
     hi = make_chain(c_hi)
     t_lo = best_ms(lambda: run_chain(lo), iters=5)
