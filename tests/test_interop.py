@@ -170,3 +170,105 @@ class TestNative:
             pytest.skip("native unavailable")
         with pytest.raises(ValueError, match="Dimension mismatch"):
             native_pack_list(values, offsets, None, 2, 2)
+
+
+class TestArrowAdversarial:
+    """Offset/validity/chunking corners of the Arrow marshaling layer
+    (reference matmul.rs:22-286 semantics: nulls -> 0.0, dim from first
+    row, zero-copy only for clean FixedSizeList)."""
+
+    def test_sliced_fixed_size_list(self):
+        import pyarrow as pa
+
+        data = np.arange(24, dtype=np.float32).reshape(8, 3)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(data.reshape(-1)), 3
+        )
+        sliced = arr.slice(2, 4)  # rows 2..5
+        out = extract_matrix(sliced)
+        np.testing.assert_array_equal(out, data[2:6])
+
+    def test_sliced_ragged_list(self):
+        import pyarrow as pa
+
+        rows = [[float(3 * i), float(3 * i + 1), float(3 * i + 2)]
+                for i in range(8)]
+        arr = pa.array(rows, type=pa.list_(pa.float64()))
+        out = extract_matrix(arr.slice(3, 4))
+        np.testing.assert_array_equal(
+            out, np.asarray(rows[3:7], dtype=np.float64))
+
+    def test_chunked_array_combines(self):
+        import pyarrow as pa
+
+        a = pa.array([[1.0, 2.0], [3.0, 4.0]])
+        b = pa.array([[5.0, 6.0]])
+        chunked = pa.chunked_array([a, b])
+        out = extract_matrix(chunked)
+        np.testing.assert_array_equal(
+            out, [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+
+    def test_null_rows_become_zero(self):
+        import pyarrow as pa
+
+        arr = pa.array([[1.0, 2.0], None, [5.0, 6.0]])
+        out = extract_matrix(arr)
+        np.testing.assert_array_equal(out[1], [0.0, 0.0])
+        np.testing.assert_array_equal(out[0], [1.0, 2.0])
+
+    def test_inner_nulls_become_zero(self):
+        import pyarrow as pa
+
+        arr = pa.array([[1.0, None], [None, 4.0]])
+        out = extract_matrix(arr)
+        np.testing.assert_array_equal(out, [[1.0, 0.0], [0.0, 4.0]])
+
+    def test_ragged_length_mismatch_raises(self):
+        import pyarrow as pa
+
+        arr = pa.array([[1.0, 2.0], [3.0, 4.0, 5.0]])
+        with pytest.raises(ValueError, match="[Dd]imension"):
+            extract_matrix(arr)
+
+    def test_large_list(self):
+        import pyarrow as pa
+
+        arr = pa.array([[1.0, 2.0], [3.0, 4.0]],
+                       type=pa.large_list(pa.float64()))
+        out = extract_matrix(arr)
+        np.testing.assert_array_equal(out, [[1.0, 2.0], [3.0, 4.0]])
+
+    def test_integer_embeddings_cast(self):
+        import pyarrow as pa
+
+        arr = pa.array([[1, 2], [3, 4]], type=pa.list_(pa.int32()))
+        out = extract_matrix(arr)
+        assert out.dtype == np.float64
+        np.testing.assert_array_equal(out, [[1.0, 2.0], [3.0, 4.0]])
+
+    def test_f16_storage_casts_up(self):
+        import pyarrow as pa
+
+        vals = np.asarray([1.5, -2.25, 0.5, 4.0], dtype=np.float16)
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(vals), 2)
+        out = extract_matrix(arr)
+        assert out.dtype == np.float64
+        np.testing.assert_array_equal(out, vals.reshape(2, 2).astype(np.float64))
+
+    def test_null_first_row_raises(self):
+        import pyarrow as pa
+
+        arr = pa.array([None, [1.0, 2.0]])
+        with pytest.raises(ValueError, match="null"):
+            extract_matrix(arr)
+
+    def test_e2e_topk_with_sliced_null_column(self):
+        import pyarrow as pa
+
+        import polars_matmul_tpu as pmt
+
+        q = pa.array([None, [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]).slice(1, 3)
+        c = pa.array([[1.0, 0.0], [0.0, 1.0], None, [0.5, 0.5]])
+        out = pmt.topk_arrow(q, c, k=2, metric="dot").to_pylist()
+        assert out[0][0]["index"] == 0          # q=[1,0] best matches c0
+        assert out[1][0]["index"] == 1
