@@ -12,9 +12,10 @@ chip sustains on back-to-back fused-kernel invocations (dependent in-jit
 chain, RPC floor cancelled by chain-length differencing).  That is what a
 co-located serving host gets, since the 1 MB/request query upload rides
 PCIe/ICI and overlaps with compute.  End-to-end numbers through THIS
-environment's RPC tunnel (~60 ms/call serialized; it cannot overlap or
-batch requests) are reported alongside as serial_latency_ms and
-tunnel_e2e_qps — on this rig they measure the tunnel, not the framework.
+environment's RPC tunnel (~30-70 ms/call, strictly serialized — pipelined
+requests do not overlap) are reported alongside: serial_latency_ms for one
+request, tunnel_e2e_qps for the batch-accumulation serving mode (BATCH
+stacked requests amortize the RPC floor over one upload/kernel/fetch).
 
 Tunnel caveats baked into the methodology (this TPU sits behind an RPC
 tunnel): (a) jax.block_until_ready does NOT wait for device completion here,
@@ -35,7 +36,7 @@ import time
 import numpy as np
 
 N_QUERIES, N_CORPUS, DIM, K = 1000, 10_000, 256, 10
-PIPE = 8  # pipelined in-flight requests for the throughput measurement (TPU)
+BATCH = 16  # stacked 1000-query requests per call for tunnel e2e throughput
 BASELINE_S = 0.045  # reference fused topk, README.md:166
 BASELINE_QPS = N_QUERIES / BASELINE_S
 
@@ -129,17 +130,18 @@ def main():
 
     serial_ms = best_ms(serial_call)
 
-    # ---- steady-state throughput: PIPE pipelined requests ------------------
-    pipe = PIPE if is_tpu else 2
+    # ---- tunnel end-to-end throughput: one STACKED batch per call ----------
+    # The tunnel serializes RPCs (pipelined requests do not overlap), so the
+    # serving-throughput mode here is batch accumulation: BATCH concurrent
+    # 1000-query requests ride one upload + one kernel + one fetch.
+    batch = BATCH if is_tpu else 2
 
-    def pipelined():
-        outs = [step_packed(jnp.asarray(fresh_queries()))
-                for _ in range(pipe)]
-        for o in outs:
-            _unpack_pair(np.asarray(o), K)
+    def stacked():
+        qs = np.concatenate([fresh_queries() for _ in range(batch)], axis=0)
+        _unpack_pair(np.asarray(step_packed(jnp.asarray(qs))), K)
 
-    pipe_ms = best_ms(pipelined)
-    tunnel_qps = N_QUERIES * pipe / (pipe_ms / 1e3)
+    stack_ms = best_ms(stacked)
+    tunnel_qps = N_QUERIES * batch / (stack_ms / 1e3)
 
     # ---- device-only kernel time -------------------------------------------
     # Difference two dependent in-jit chain lengths; the readback of a
