@@ -57,9 +57,9 @@ def with_numpy():
 if __name__ == "__main__":
     try:
         import polars  # noqa: F401
-
-        with_polars()
     except ImportError:
         print("(polars not installed; using the Arrow surface)")
         with_arrow()
+    else:
+        with_polars()
     with_numpy()

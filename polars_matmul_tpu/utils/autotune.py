@@ -11,12 +11,15 @@ never be re-served.
 
 from __future__ import annotations
 
+import logging
 import time
-from typing import Iterable, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..config import SearchConfig, default_config, set_default_config
+
+log = logging.getLogger("polars_matmul_tpu")
 
 _tick = [0.0]
 
@@ -50,10 +53,15 @@ def _chain_seconds(step, q, chain: int, iters: int) -> float:
 
 def device_step_seconds(step, q, *, chain_lo: int = 8, chain_hi: int = 72,
                         iters: int = 4) -> float:
-    """Per-invocation device time of ``step(q) -> (m, 1)`` via differencing."""
+    """Per-invocation device time of ``step(q) -> (m, 1)`` via differencing.
+
+    Can return a non-positive value when dispatch jitter exceeds the
+    chained signal — callers must treat that as "measurement invalid",
+    not as a fast candidate.
+    """
     t_lo = _chain_seconds(step, q, chain_lo, iters)
     t_hi = _chain_seconds(step, q, chain_hi, iters)
-    return max((t_hi - t_lo) / (chain_hi - chain_lo), 0.0)
+    return (t_hi - t_lo) / (chain_hi - chain_lo)
 
 
 def autotune(
@@ -81,6 +89,17 @@ def autotune(
     from ..kernels.fused_topk import fused_topk
 
     cfg0 = base if base is not None else default_config()
+    if jax.default_backend() != "tpu":
+        # Off-TPU the Pallas kernel runs in interpret mode (~seconds per
+        # call) and tile timings would rank interpreter overhead, not
+        # hardware.  Nothing meaningful to tune: return the base config.
+        log.warning(
+            "autotune: backend %r is not TPU; returning base config "
+            "unmeasured", jax.default_backend()
+        )
+        if set_default:
+            set_default_config(cfg0)
+        return cfg0
     if candidates is None:
         candidates = [
             (128, 1024, cfg0.precision),
@@ -106,6 +125,11 @@ def autotune(
         t = device_step_seconds(step, q)
         if verbose:
             print(f"autotune bq={bq} bn={bn} {prec}: {t*1e6:.1f} us")
+        if t <= 0:
+            # dispatch jitter swamped the signal; measurement invalid
+            log.warning("autotune: discarding noisy measurement for "
+                        "bq=%d bn=%d %s", bq, bn, prec)
+            continue
         if t < best_t:
             best, best_t = cfg, t
 

@@ -302,17 +302,18 @@ def test_prepared_corpus_chunked_prep_matches_oneshot():
 
 
 def test_autotune_returns_config():
-    """autotune sweeps candidates on the live backend and returns the
-    fastest SearchConfig (tiny problem + tiny chains for CI)."""
+    """Off-TPU (this suite) autotune must refuse to measure interpret-mode
+    kernels and return the base config unchanged; the timer primitive
+    still works standalone."""
     from polars_matmul_tpu.utils.autotune import autotune, device_step_seconds
     import jax.numpy as jnp
 
-    cfg = autotune(m=8, n=64, dim=16, k=3,
-                   candidates=[(8, 128, "highest"), (16, 128, "highest")])
-    assert isinstance(cfg, pmt.SearchConfig)
-    assert (cfg.block_q, cfg.block_n) in {(8, 128), (16, 128)}
+    base = pmt.SearchConfig(block_q=8, block_n=128)
+    cfg = autotune(m=8, n=64, dim=16, k=3, base=base,
+                   candidates=[(16, 128, "highest")])
+    assert cfg is base  # not TPU here -> unmeasured passthrough
 
     t = device_step_seconds(
         lambda q: jnp.max(q, axis=1, keepdims=True), jnp.ones((8, 16)),
         chain_lo=2, chain_hi=6, iters=2)
-    assert t >= 0.0
+    assert isinstance(t, float)
