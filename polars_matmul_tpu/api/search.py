@@ -84,6 +84,7 @@ def topk(
     k: int,
     metric: Union[str, Metric] = "cosine",
     *,
+    mask: Optional[ArrayLike] = None,
     config: Optional[SearchConfig] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Fused top-k search.
@@ -91,6 +92,10 @@ def topk(
     Returns ``(indices (m, k') u32, scores (m, k') f64)`` with
     ``k' = min(k, n_corpus)`` (reference matmul.rs:443,463), rows sorted
     best-first, ties broken lowest-index-first.
+
+    ``mask`` (n_corpus,) bool enables filtered search (no reference
+    analog): excluded rows never match; slots beyond the number of
+    matching rows carry sentinel scores (-inf similarity / +inf distance).
     """
     metric = Metric.parse(metric)
     q = np.asarray(queries)
@@ -108,11 +113,12 @@ def topk(
             np.empty((q.shape[0], 0), np.float64),
         )
     dt = compute_dtype(q.dtype, c.dtype)
+    mk = _validate_mask(mask, c.shape[0])
     import time as _time
 
     t0 = _time.perf_counter()
     vals, idx = _device_topk(
-        _to_jax(q, dt), _to_jax(c, dt), kk, metric, resolve(config)
+        _to_jax(q, dt), _to_jax(c, dt), kk, metric, resolve(config), mask=mk
     )
     v, i = _fetch_topk(vals, idx, kk)
     call_stats("topk", m=q.shape[0], n=c.shape[0], dim=q.shape[1], k=kk,
@@ -120,12 +126,25 @@ def topk(
     return i.astype(np.uint32), v.astype(np.float64)
 
 
-def _device_topk(qj, cj, k: int, metric: Metric, cfg: SearchConfig):
+def _validate_mask(mask, n: int):
+    if mask is None:
+        return None
+    m = np.asarray(mask)
+    if m.shape != (n,):
+        raise ValueError(
+            f"mask must have shape ({n},) matching the corpus rows, "
+            f"got {m.shape}"
+        )
+    return m.astype(bool)
+
+
+def _device_topk(qj, cj, k: int, metric: Metric, cfg: SearchConfig,
+                 mask=None):
     """Dispatch to the Pallas fused kernel / XLA path on device arrays."""
     from ..kernels.fused_topk import fused_topk
 
     with annotate(f"pmm.topk.{metric.value}"):
-        return fused_topk(qj, cj, k, metric, config=cfg)
+        return fused_topk(qj, cj, k, metric, mask=mask, config=cfg)
 
 
 def _pack_pair(vals, idx):
@@ -275,7 +294,9 @@ class Corpus:
         return self._prepared[key]
 
     def topk(
-        self, queries: ArrayLike, k: int, metric: Union[str, Metric] = "cosine"
+        self, queries: ArrayLike, k: int,
+        metric: Union[str, Metric] = "cosine",
+        *, mask: Optional[ArrayLike] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         metric = Metric.parse(metric)
         q = np.asarray(queries)
@@ -295,12 +316,14 @@ class Corpus:
                 np.empty((q.shape[0], 0), np.float64),
             )
         dt = compute_dtype(q.dtype, self.dtype)
+        mk = _validate_mask(mask, self.n)
         qj = _to_jax(q, dt)
         if self.mesh is not None:
             from ..parallel.sharded import distributed_topk
 
             vals, idx = distributed_topk(
-                qj, self._device, kk, metric, self.mesh, self.config
+                qj, self._device, kk, metric, self.mesh, self.config,
+                mask=mk,
             )
         else:
             from ..kernels.fused_topk import fused_topk_prepared, supports
@@ -315,12 +338,13 @@ class Corpus:
                 cp, cbp = self._prepared_for(metric)
                 with annotate(f"pmm.topk.{metric.value}"):
                     vals, idx = fused_topk_prepared(
-                        qj, cp, cbp, kk, metric, config=self.config
+                        qj, cp, cbp, kk, metric, mask=mk, config=self.config
                     )
             else:
                 cj = self._device if dt == self._device.dtype else \
                     self._device.astype(dt)
-                vals, idx = _device_topk(qj, cj, kk, metric, self.config)
+                vals, idx = _device_topk(qj, cj, kk, metric, self.config,
+                                         mask=mk)
         v, i = _fetch_topk(vals, idx, kk)
         return i.astype(np.uint32), v.astype(np.float64)
 

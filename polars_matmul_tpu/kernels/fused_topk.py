@@ -454,9 +454,16 @@ def _run_prepared(
     selection: str,
     use_bias: bool,
     interpret: bool,
+    mask_p: "Optional[jax.Array]" = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Query-side prep + the pallas call, against a prepared corpus."""
+    """Query-side prep + the pallas call, against a prepared corpus.
+
+    ``mask_p`` (1, n_padded) bool folds a per-row corpus filter into the
+    epilogue bias: excluded rows score -inf in maximize orientation.
+    """
     m, dim = q.shape
+    if mask_p is not None:
+        cbp = jnp.where(mask_p, cbp, -jnp.inf)
 
     if metric is Metric.COSINE:
         eps = cosine_eps(jnp.float32)
@@ -531,6 +538,7 @@ def _run_prepared(
 def _fused_topk_f32(
     q: jax.Array,
     c: jax.Array,
+    mask: "Optional[jax.Array]" = None,
     *,
     k: int,
     metric: Metric,
@@ -548,12 +556,19 @@ def _fused_topk_f32(
         block_n, k_pad,
     )
     cp, cbp = prepare_corpus(c, metric, tn=tn, precision=precision)
-    use_bias = metric is Metric.EUCLIDEAN or cbp.shape[1] != n
+    use_bias = (metric is Metric.EUCLIDEAN or cbp.shape[1] != n
+                or mask is not None)
+    mask_p = None
+    if mask is not None:
+        mask_p = jnp.pad(
+            mask.astype(bool).reshape(1, n),
+            ((0, 0), (0, cbp.shape[1] - n)), constant_values=False,
+        )
     return _run_prepared(
         q, cp, cbp,
         k=k, metric=metric, block_q=block_q, tn=tn, k_pad=k_pad,
         precision=precision, selection=selection, use_bias=use_bias,
-        interpret=interpret,
+        interpret=interpret, mask_p=mask_p,
     )
 
 
@@ -573,13 +588,14 @@ def fused_topk_prepared(
     k: int,
     metric,
     *,
+    mask: Optional[jax.Array] = None,
     config: Optional[SearchConfig] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the fused kernel against a corpus prepared by prepare_corpus.
 
     The euclidean final sqrt/shift needs the raw queries, so it is applied
-    here exactly as in fused_topk.
+    here exactly as in fused_topk.  ``mask`` (n,) bool filters corpus rows.
     """
     cfg = resolve(config)
     metric = Metric.parse(metric)
@@ -588,13 +604,23 @@ def fused_topk_prepared(
     tn = corpus_tile_rows(q.shape[1], cfg)
     # The prepared cbp always carries the pad mask, so keep the bias pass.
     use_bias = True
+    mask_p = None
+    if mask is not None:
+        import jax.numpy as _jnp
+
+        mask = _jnp.asarray(mask).astype(bool)
+        mask_p = _jnp.pad(
+            mask.reshape(1, -1),
+            ((0, 0), (0, cbp.shape[1] - mask.shape[0])),
+            constant_values=False,
+        )
     with jax.enable_x64(False):
         vals, idx = _run_prepared_jit(
             q, cp, cbp,
             k=k, metric=metric, block_q=cfg.block_q, tn=tn,
             k_pad=cfg.k_pad, precision=cfg.precision,
             selection=cfg.selection, use_bias=use_bias,
-            interpret=interpret,
+            interpret=interpret, mask_p=mask_p,
         )
     if metric is Metric.EUCLIDEAN:
         qsq = jnp.sum(q * q, axis=1, keepdims=True).astype(jnp.float32)
@@ -608,6 +634,7 @@ def fused_topk(
     k: int,
     metric=Metric.COSINE,
     *,
+    mask: Optional[jax.Array] = None,
     config: Optional[SearchConfig] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -615,6 +642,9 @@ def fused_topk(
 
     Dispatches to the Pallas kernel when supported, otherwise to the pure-XLA
     reference path.  ``k`` must already be clamped to ``c.shape[0]``.
+    ``mask`` (n_corpus,) bool excludes corpus rows (filtered search); slots
+    beyond the number of matching rows carry sentinel scores (-inf
+    similarity / +inf distance).
     """
     cfg = resolve(config)
     metric = Metric.parse(metric)
@@ -623,14 +653,16 @@ def fused_topk(
 
     if not cfg.use_pallas or not supports(q.shape, c.shape, q.dtype, k, cfg):
         fb = "highest" if cfg.precision == "bf16x3" else cfg.precision
-        return reference.topk_search(q, c, k, metric, precision=fb)
+        mk = None if mask is None else jnp.asarray(mask).astype(bool)
+        return reference.topk_search(q, c, k, metric, mask=mk, precision=fb)
 
     # Trace the Pallas kernel with x64 disabled: the kernel is pure
     # f32/int32, and under jax_enable_x64 bare Python int literals (e.g. in
     # BlockSpec index maps) become i64 scalars that Mosaic cannot lower.
     with jax.enable_x64(False):
+        mk = None if mask is None else jnp.asarray(mask).astype(bool)
         vals, idx = _fused_topk_f32(
-            q, c,
+            q, c, mk,
             k=k,
             metric=metric,
             block_q=cfg.block_q,

@@ -106,6 +106,7 @@ def topk_search(
     k: int,
     metric: Metric = Metric.COSINE,
     *,
+    mask: Optional[jax.Array] = None,
     precision: str = "highest",
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused search: returns ((n_queries, k) scores, (n_queries, k) indices).
@@ -113,9 +114,15 @@ def topk_search(
     ``k`` must already be clamped to ``c.shape[0]`` by the caller (the
     reference clamps at matmul.rs:443,463); this function is shape-static.
     Scores keep the compute dtype; the API layer widens to f64 for output
-    (reference matmul.rs:446-447).
+    (reference matmul.rs:446-447).  ``mask`` (n_corpus,) bool excludes
+    corpus rows from selection (filtered search — no reference analog);
+    slots beyond the number of matching rows carry sentinel scores
+    (-inf similarity / +inf distance).
     """
     metric = Metric.parse(metric)
     scores = pairwise_scores(q, c, metric, precision=precision)
+    if mask is not None:
+        worst = -jnp.inf if metric.higher_is_better else jnp.inf
+        scores = jnp.where(mask[None, :], scores, worst)
     vals, idx = topk_from_scores(scores, k, metric.higher_is_better)
     return vals, idx.astype(jnp.int32)

@@ -139,7 +139,8 @@ def _merge_sorted_2key(vals, idx, k: int, hib: bool):
 # zero-corpus-work path fed by ShardedCorpus.prepared_for.
 @lru_cache(maxsize=64)
 def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
-                   cfg: SearchConfig, prepared: bool = False):
+                   cfg: SearchConfig, prepared: bool = False,
+                   masked: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -161,17 +162,22 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
         return vals, gidx
 
     if prepared:
-        def local_topk(q_, cp_, cb_):
+        def local_topk(q_, cp_, cb_, *m_):
+            mk = m_[0] if m_ else None
             return finish(*fused_topk_prepared(
-                q_, cp_, cb_, k_local, metric, config=cfg
+                q_, cp_, cb_, k_local, metric, mask=mk, config=cfg
             ))
 
         corpus_in_specs = (P(c_axis, None), P(None, c_axis))
     else:
-        def local_topk(q_, c_):
-            return finish(*fused_topk(q_, c_, k_local, metric, config=cfg))
+        def local_topk(q_, c_, *m_):
+            mk = m_[0] if m_ else None
+            return finish(*fused_topk(q_, c_, k_local, metric, mask=mk,
+                                      config=cfg))
 
         corpus_in_specs = (P(c_axis, None),)
+    if masked:
+        corpus_in_specs = corpus_in_specs + (P(c_axis),)
 
     if cfg.merge == "ring":
         perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
@@ -238,6 +244,8 @@ def distributed_topk(
     metric,
     mesh,
     config: Optional[SearchConfig] = None,
+    *,
+    mask=None,
 ) -> Tuple["jax.Array", "jax.Array"]:  # noqa: F821
     """Top-k over a sharded corpus.
 
@@ -284,13 +292,21 @@ def distributed_topk(
         and _np.dtype(q.dtype) == _np.float32
         and supports((q.shape[0], dim), (ns, dim), _np.float32, k_local, cfg)
     )
+    m_args = ()
+    if mask is not None:
+        import jax.numpy as _jnp
+
+        mk = _jnp.asarray(mask).astype(bool)
+        m_args = (_jnp.pad(mk, (0, corpus.shape[0] - mk.shape[0]),
+                           constant_values=False),)
     if use_prepared:
         cp, cbp = corpus.prepared_for(metric, mesh, cfg)
         fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg,
-                            prepared=True)
-        return fn(q, cp, cbp)
-    fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg)
-    return fn(q, corpus.data)
+                            prepared=True, masked=mask is not None)
+        return fn(q, cp, cbp, *m_args)
+    fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg,
+                        masked=mask is not None)
+    return fn(q, corpus.data, *m_args)
 
 
 @lru_cache(maxsize=64)

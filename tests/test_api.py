@@ -317,3 +317,71 @@ def test_autotune_returns_config():
         lambda q: jnp.max(q, axis=1, keepdims=True), jnp.ones((8, 16)),
         chain_lo=2, chain_hi=6, iters=2)
     assert isinstance(t, float)
+
+
+class TestFilteredSearch:
+    """mask= excludes corpus rows from selection (new capability; folded
+    into the kernel's epilogue bias so it costs one vector op)."""
+
+    def _oracle(self, q, c, k, mask, metric="cosine"):
+        qq = q.astype(np.float64)
+        cc = c.astype(np.float64)
+        if metric == "cosine":
+            s = (qq / np.linalg.norm(qq, axis=1, keepdims=True)) @ (
+                cc / np.linalg.norm(cc, axis=1, keepdims=True)).T
+            s[:, ~mask] = -np.inf
+            idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        else:
+            s = np.sqrt(np.maximum(
+                (qq*qq).sum(1)[:, None] + (cc*cc).sum(1)[None, :]
+                - 2 * qq @ cc.T, 0))
+            s[:, ~mask] = np.inf
+            idx = np.argsort(s, axis=1, kind="stable")[:, :k]
+        return idx
+
+    @pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+    def test_masked_matches_oracle(self, metric):
+        rng = np.random.default_rng(41)
+        q = rng.standard_normal((9, 32)).astype(np.float32)
+        c = rng.standard_normal((500, 32)).astype(np.float32)
+        mask = rng.random(500) < 0.3
+        i, v = pmt.topk(q, c, 7, metric, mask=mask)
+        oidx = self._oracle(q, c, 7, mask, metric)
+        np.testing.assert_array_equal(i.astype(np.int64), oidx)
+        assert mask[i.reshape(-1)].all()  # every hit satisfies the filter
+
+    def test_masked_corpus_handle_and_f64(self):
+        rng = np.random.default_rng(42)
+        q = rng.standard_normal((5, 16)).astype(np.float32)
+        c = rng.standard_normal((200, 16)).astype(np.float32)
+        mask = np.zeros(200, bool)
+        mask[[3, 77, 150]] = True
+        h = pmt.Corpus(c)
+        i1, v1 = h.topk(q, 3, "cosine", mask=mask)
+        i0, v0 = pmt.topk(q, c, 3, "cosine", mask=mask)
+        np.testing.assert_array_equal(i1, i0)
+        assert set(np.unique(i1)) <= {3, 77, 150}
+        # f64 path (XLA fallback) honors the mask too
+        i2, _ = pmt.topk(q.astype(np.float64), c.astype(np.float64), 3,
+                         "cosine", mask=mask)
+        np.testing.assert_array_equal(i2, i0)
+
+    def test_mask_k_exceeds_matches_sentinels(self):
+        rng = np.random.default_rng(43)
+        q = rng.standard_normal((2, 8)).astype(np.float32)
+        c = rng.standard_normal((50, 8)).astype(np.float32)
+        mask = np.zeros(50, bool)
+        mask[7] = True
+        i, v = pmt.topk(q, c, 4, "cosine", mask=mask)
+        assert (i[:, 0] == 7).all()
+        assert np.isneginf(v[:, 1:]).all()  # sentinel beyond matches
+        i2, v2 = pmt.topk(q, c, 4, "euclidean", mask=mask)
+        assert (i2[:, 0] == 7).all()
+        assert np.isposinf(v2[:, 1:]).all()
+
+    def test_mask_shape_validated(self):
+        rng = np.random.default_rng(44)
+        q = rng.standard_normal((2, 8)).astype(np.float32)
+        c = rng.standard_normal((50, 8)).astype(np.float32)
+        with pytest.raises(ValueError, match="mask"):
+            pmt.topk(q, c, 3, mask=np.ones(49, bool))

@@ -185,3 +185,22 @@ def test_ring_merge_query_pipelining(mesh8, pipeline):
     assert_topk_equivalent(
         np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
     )
+
+
+def test_distributed_topk_masked(mesh8):
+    """Filtered search across shards: mask shards along the corpus axis."""
+    rng = np.random.default_rng(51)
+    import jax.numpy as jnp
+
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    c = rng.standard_normal((100, 16)).astype(np.float32)
+    mask = rng.random(100) < 0.4
+    sharded = pmt.shard_corpus(jnp.asarray(c), mesh8)
+    v1, i1 = pmt.distributed_topk(jnp.asarray(q), sharded, 5, "cosine",
+                                  mesh8, mask=mask)
+    v0, i0 = topk_search(q, c, 5, "cosine",
+                         mask=jnp.asarray(mask))
+    assert_topk_equivalent(
+        np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+    )
+    assert mask[np.asarray(i1).reshape(-1)].all()
