@@ -38,9 +38,14 @@ def topk_arrow(
     k: int,
     metric: Union[str, Metric] = "cosine",
     *,
+    mask: Union[pa.Array, pa.ChunkedArray, np.ndarray, None] = None,
     config: Optional[SearchConfig] = None,
 ) -> pa.Array:
-    """Arrow List/FixedSizeList embeddings -> List[Struct{index, score}]."""
+    """Arrow List/FixedSizeList embeddings -> List[Struct{index, score}].
+
+    ``mask`` (boolean column or ndarray, length n_corpus) enables filtered
+    search; Arrow nulls in the mask count as excluded.
+    """
     from ..utils.profiling import annotate
 
     Metric.parse(metric)  # validate metric before touching data
@@ -54,7 +59,14 @@ def topk_arrow(
     with annotate("pmm.extract"):
         q = ai.extract_matrix(left, dt)
         c = ai.extract_matrix(corpus, dt)
-    idx, scores = search.topk(q, c, k, metric, config=config)
+    mk = None
+    if mask is not None:
+        if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+            mask = _as_array(mask)
+            mk = np.asarray(mask.fill_null(False)).astype(bool)
+        else:
+            mk = np.asarray(mask).astype(bool)
+    idx, scores = search.topk(q, c, k, metric, mask=mk, config=config)
     with annotate("pmm.assemble"):
         return ai.topk_to_arrow(idx, scores)
 

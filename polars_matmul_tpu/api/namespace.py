@@ -59,12 +59,16 @@ class PmmNamespace:
         corpus: pl.Series,
         k: int,
         metric: MetricName = "cosine",
+        *,
+        mask: "pl.Series | None" = None,
     ) -> pl.Expr:
         """Find top-k similar corpus items per embedding.
 
         Returns ``List[Struct{index: u32, score: f64}]`` (reference
         __init__.py:63-119 contract: cosine default, euclidean lower-is-
-        better, k clamped to corpus size)."""
+        better, k clamped to corpus size).  ``mask`` is an optional boolean
+        Series over the corpus rows for filtered search (nulls excluded).
+        """
         if isinstance(corpus, pl.Expr):
             raise TypeError(
                 "corpus must be a Polars Series, not an Expression. "
@@ -72,9 +76,11 @@ class PmmNamespace:
                 "corpus.get_column('column_name')."
             )
         corpus_arrow = _series_to_arrow(corpus)
+        mask_arrow = None if mask is None else _series_to_arrow(mask)
 
         def _run(s: pl.Series) -> pl.Series:
-            out = topk_arrow(_series_to_arrow(s), corpus_arrow, k, metric)
+            out = topk_arrow(_series_to_arrow(s), corpus_arrow, k, metric,
+                             mask=mask_arrow)
             return _from_arrow(out, "topk")
 
         return self._expr.map_batches(

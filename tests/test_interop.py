@@ -272,3 +272,17 @@ class TestArrowAdversarial:
         out = pmt.topk_arrow(q, c, k=2, metric="dot").to_pylist()
         assert out[0][0]["index"] == 0          # q=[1,0] best matches c0
         assert out[1][0]["index"] == 1
+
+
+def test_topk_arrow_mask():
+    """Arrow-surface filtered search; null mask entries count as excluded."""
+    import pyarrow as pa
+
+    import polars_matmul_tpu as pmt
+
+    q = pa.array([[1.0, 0.0], [0.0, 1.0]])
+    c = pa.array([[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9]])
+    mask = pa.array([False, True, None, True])  # null -> excluded
+    out = pmt.topk_arrow(q, c, k=1, metric="dot", mask=mask).to_pylist()
+    assert out[0][0]["index"] == 1
+    assert out[1][0]["index"] == 3
