@@ -546,3 +546,22 @@ class TestLazyFrameEdgeCases:
             pl.col("embedding").pmm.topk(corpus_emb, k=1).alias("matches")
         ).collect()
         assert len(result) == 3
+
+
+class TestFilteredSearch:
+    def test_topk_with_mask_series(self):
+        queries = pl.DataFrame({
+            "embedding": [[1.0, 0.0], [0.0, 1.0]],
+        })
+        corpus = pl.DataFrame({
+            "embedding": [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9]],
+            "published": [False, True, None, True],  # null -> excluded
+        })
+        result = queries.with_columns(
+            pl.col("embedding").pmm.topk(
+                corpus["embedding"], k=1, metric="dot",
+                mask=corpus["published"],
+            ).alias("matches")
+        )
+        hits = [row[0]["index"] for row in result["matches"].to_list()]
+        assert hits == [1, 3]
