@@ -103,7 +103,13 @@ def _select_extract(s, carry_vals, carry_idx, lane_n, n_base, k, kp, tm):
         mc = jnp.max(cv, axis=1)                              # (TM,) cheap
         pc = jnp.argmax(cv, axis=1).astype(jnp.int32)
         ms = jnp.max(s, axis=1)                               # full-width
-        ps = jnp.argmax(s, axis=1).astype(jnp.int32)          # full-width
+        # max + min-index-over-equality, NOT jnp.argmax, on the full-width
+        # side: Mosaic lowers argmax as an extra full reduce pass (~25% of
+        # kernel time at k=10), while the equality mask reuses the max
+        # already in hand.  (Same trick on the narrow carry side measured
+        # NEUTRAL at k=10 and 40% WORSE at k=100 — keep argmax there.)
+        eq_s = s == ms[:, None]
+        ps = jnp.min(jnp.where(eq_s, lane_n, _BIG_I32), axis=1)
         use_c = mc >= ms
         m = jnp.where(use_c, mc, ms)
         hot_c = lane_k == pc[:, None]
