@@ -122,7 +122,13 @@ def autotune(
             vals, _ = fused_topk(qq, c, k, metric, config=cfg)
             return jnp.max(vals, axis=1, keepdims=True)
 
-        t = device_step_seconds(step, q)
+        try:
+            t = device_step_seconds(step, q)
+        except Exception as e:  # e.g. scoped-VMEM OOM for oversized tiles
+            log.warning("autotune: candidate bq=%d bn=%d %s failed to "
+                        "compile/run (%s); skipping", bq, bn, prec,
+                        str(e)[:120])
+            continue
         if verbose:
             print(f"autotune bq={bq} bn={bn} {prec}: {t*1e6:.1f} us")
         if t <= 0:
