@@ -225,7 +225,7 @@ class Corpus:
         # per-call corpus work on device.
         self._prepared = {}
 
-    def _prepared_for(self, metric):
+    def _prepared_for(self, metric, k: int = 1):
         """Cached (cp, cbp) from kernels.fused_topk.prepare_corpus.
 
         Large corpora are prepared in row chunks (multiples of the corpus
@@ -237,7 +237,7 @@ class Corpus:
 
         # Key on the tile height too: the prep is padded for it, and the
         # handle's config is mutable (examples do `corpus.config = cfg`).
-        tn = corpus_tile_rows(self.dim, self.config)
+        tn = corpus_tile_rows(self.dim, self.config, k)
         key = (metric.value, self.config.precision, tn)
         if key in self._prepared:
             return self._prepared[key]
@@ -335,7 +335,7 @@ class Corpus:
                 and supports(q.shape, (self.n, self.dim), dt, kk,
                              self.config)
             ):
-                cp, cbp = self._prepared_for(metric)
+                cp, cbp = self._prepared_for(metric, kk)
                 with annotate(f"pmm.topk.{metric.value}"):
                     vals, idx = fused_topk_prepared(
                         qj, cp, cbp, kk, metric, mask=mk, config=self.config

@@ -50,14 +50,15 @@ class ShardedCorpus:
     def shape(self):
         return self.data.shape
 
-    def prepared_for(self, metric: Metric, mesh, cfg: SearchConfig):
+    def prepared_for(self, metric: Metric, mesh, cfg: SearchConfig,
+                     k: int = 1):
         """Cached per-shard (cp, cbp) from kernels.fused_topk.prepare_corpus."""
         from ..kernels.fused_topk import corpus_tile_rows, prepare_corpus
 
         # The prep is padded for a specific corpus tile height, which the
         # tiling knobs determine — key on it so a different SearchConfig
         # cannot silently reuse a geometry-mismatched prep.
-        tn = corpus_tile_rows(self.data.shape[1], cfg)
+        tn = corpus_tile_rows(self.data.shape[1], cfg, k)
         key = (metric.value, cfg.precision, tn)
         if key not in self._prepared:
             import jax
@@ -300,7 +301,7 @@ def distributed_topk(
         m_args = (_jnp.pad(mk, (0, corpus.shape[0] - mk.shape[0]),
                            constant_values=False),)
     if use_prepared:
-        cp, cbp = corpus.prepared_for(metric, mesh, cfg)
+        cp, cbp = corpus.prepared_for(metric, mesh, cfg, k_local)
         fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg,
                             prepared=True, masked=mask is not None)
         return fn(q, cp, cbp, *m_args)
