@@ -105,6 +105,7 @@ def topk(
     if c.shape[0] == 0:
         raise ValueError("Empty series")
     _validate_pair(q, c)
+    mk = _validate_mask(mask, c.shape[0])
     kk = min(int(k), c.shape[0])
     if kk <= 0:
         # k=0 yields empty match lists (reference quickselect truncates to 0)
@@ -113,7 +114,6 @@ def topk(
             np.empty((q.shape[0], 0), np.float64),
         )
     dt = compute_dtype(q.dtype, c.dtype)
-    mk = _validate_mask(mask, c.shape[0])
     import time as _time
 
     t0 = _time.perf_counter()
@@ -240,7 +240,7 @@ class Corpus:
         tn = corpus_tile_rows(self.dim, self.config, k)
         key = (metric.value, self.config.precision, tn)
         if key in self._prepared:
-            return self._prepared[key]
+            return self._prepared[key] + (tn,)
 
         import functools
 
@@ -252,10 +252,18 @@ class Corpus:
         )
         c = self._device
         raw_bytes = c.shape[0] * c.shape[1] * c.dtype.itemsize
+        if raw_bytes > self.config.prep_chunk_bytes:
+            # Large corpus: never hold two full preps just because a query
+            # arrived in a different k-regime — reuse any existing prep for
+            # this (metric, precision) and run with its tile height (the
+            # retiling gain is smaller than a duplicate multi-GB prep).
+            for (mv, pv, tn_old), prep_old in self._prepared.items():
+                if (mv, pv) == (metric.value, self.config.precision):
+                    return prep_old + (tn_old,)
         with jax.enable_x64(False):
             if raw_bytes <= self.config.prep_chunk_bytes:
                 self._prepared[key] = jax.block_until_ready(jax.jit(prep)(c))
-                return self._prepared[key]
+                return self._prepared[key] + (tn,)
 
             import jax.numpy as jnp
 
@@ -291,7 +299,7 @@ class Corpus:
                                         jnp.int32(row0))
                 row0 += rows
             self._prepared[key] = jax.block_until_ready((buf_cp, buf_cb))
-        return self._prepared[key]
+        return self._prepared[key] + (tn,)
 
     def topk(
         self, queries: ArrayLike, k: int,
@@ -308,6 +316,7 @@ class Corpus:
                 f"{q.shape[1] if q.ndim == 2 else q.shape} dimensional "
                 f"vectors, right has {self.dim} dimensional vectors"
             )
+        mk = _validate_mask(mask, self.n)
         kk = min(int(k), self.n)
         if kk <= 0:
             # same contract as module-level topk: k=0 -> empty match lists
@@ -316,7 +325,6 @@ class Corpus:
                 np.empty((q.shape[0], 0), np.float64),
             )
         dt = compute_dtype(q.dtype, self.dtype)
-        mk = _validate_mask(mask, self.n)
         qj = _to_jax(q, dt)
         if self.mesh is not None:
             from ..parallel.sharded import distributed_topk
@@ -335,10 +343,11 @@ class Corpus:
                 and supports(q.shape, (self.n, self.dim), dt, kk,
                              self.config)
             ):
-                cp, cbp = self._prepared_for(metric, kk)
+                cp, cbp, tn = self._prepared_for(metric, kk)
                 with annotate(f"pmm.topk.{metric.value}"):
                     vals, idx = fused_topk_prepared(
-                        qj, cp, cbp, kk, metric, mask=mk, config=self.config
+                        qj, cp, cbp, kk, metric, mask=mk, tn=tn,
+                        config=self.config,
                     )
             else:
                 cj = self._device if dt == self._device.dtype else \

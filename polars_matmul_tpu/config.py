@@ -56,6 +56,9 @@ class SearchConfig:
     # Fused-kernel selection strategy: "extract" (k full-width argmax
     # extraction steps) or "bucket" (lane-class reduce + narrow merge).
     selection: str = "extract"
+    # Allow the dispatcher to retile for the problem (e.g. large k gets
+    # fewer, bigger corpus tiles).  Set False to pin block_q/block_n.
+    auto_tile: bool = True
     # Matmul precision inside the fused kernel.  "bf16x3" splits each f32
     # input into bf16 hi+lo halves and runs three full-rate bf16 MXU
     # passes, dropping the lo.lo term: score error is ~4e-6 relative on

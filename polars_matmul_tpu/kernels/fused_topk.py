@@ -291,18 +291,21 @@ def _kernel(
                 #            mode passes (TM, 2D): hi | lo halves
     c_ref,      # (TN, D)    corpus tile (pre-scaled per metric); idem
     cb_ref,     # (1, TN)    per-corpus epilogue bias (euclid -|c|^2, pad -BIG)
-    vals_ref,   # (TM, KP)   output: top-k scores (maximize orientation)
-    idx_ref,    # (TM, KP)   output: top-k corpus indices
-    carry_vals, # (TM, KP)   scratch
-    carry_idx,  # (TM, KP)   scratch
-    *,
+    *rest,      # [mb_ref (1, TN) f32 0/1 if use_mask] + outputs + scratch:
+                # vals_ref (TM, KP), idx_ref (TM, KP), carry_vals, carry_idx
     k: int,
     kp: int,
     block_n: int,
     use_bias: bool,
+    use_mask: bool,
     selection: str,
     precision,
 ):
+    if use_mask:
+        mb_ref, vals_ref, idx_ref, carry_vals, carry_idx = rest
+    else:
+        vals_ref, idx_ref, carry_vals, carry_idx = rest
+        mb_ref = None
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
     tm = q_ref.shape[0]
@@ -333,6 +336,10 @@ def _kernel(
     # --- VPU epilogue: a single additive bias pass covers both the
     # euclidean -|c|^2 term and the padding-tail mask -------------------------
     s = d + cb_ref[:] if use_bias else d
+    if use_mask:
+        # Filter by SELECT, not arithmetic: a -inf bias on a masked row
+        # whose dot product is NaN/inf would poison the whole selection.
+        s = jnp.where(mb_ref[:] > 0, s, _NEG_INF)
 
     n_base = j * block_n
     if selection == "bucket":
@@ -416,7 +423,7 @@ def effective_tiles(cfg: SearchConfig, k: int):
     """
     defaults = (SearchConfig.__dataclass_fields__["block_q"].default,
                 SearchConfig.__dataclass_fields__["block_n"].default)
-    if k > 16 and (cfg.block_q, cfg.block_n) == defaults:
+    if cfg.auto_tile and k > 16 and (cfg.block_q, cfg.block_n) == defaults:
         return 128, 4096
     return cfg.block_q, cfg.block_n
 
@@ -425,6 +432,15 @@ def corpus_tile_rows(dim: int, cfg: SearchConfig, k: int = 1) -> int:
     """The corpus tile height the kernel will use (prep must pad to it)."""
     bq, bn = effective_tiles(cfg, k)
     return _pick_block_n(_round_up(dim, 128), bq, bn, cfg.k_pad)
+
+
+def pad_mask_row(mask, width: int):
+    """(n,) bool mask -> (1, width) with the padded tail excluded."""
+    mask = jnp.asarray(mask).astype(bool)
+    return jnp.pad(
+        mask.reshape(1, -1), ((0, 0), (0, width - mask.shape[0])),
+        constant_values=False,
+    )
 
 
 def prepare_corpus(c: jax.Array, metric, *, tn: int, precision: str):
@@ -482,8 +498,6 @@ def _run_prepared(
     epilogue bias: excluded rows score -inf in maximize orientation.
     """
     m, dim = q.shape
-    if mask_p is not None:
-        cbp = jnp.where(mask_p, cbp, -jnp.inf)
 
     if metric is Metric.COSINE:
         eps = cosine_eps(jnp.float32)
@@ -508,25 +522,33 @@ def _run_prepared(
 
     grid = (mp // tm, np_ // tn)
 
+    use_mask = mask_p is not None
     kernel = functools.partial(
         _kernel,
         k=k,
         kp=k_pad,
         block_n=tn,
         use_bias=use_bias,
+        use_mask=use_mask,
         selection=selection,
         precision=kern_precision,
     )
+
+    in_specs = [
+        pl.BlockSpec((tm, dk), lambda i, j: (i, 0)),
+        pl.BlockSpec((tn, dk), lambda i, j: (j, 0)),
+        pl.BlockSpec((1, tn), lambda i, j: (0, j)),
+    ]
+    operands = [qp, cp, cbp]
+    if use_mask:
+        in_specs.append(pl.BlockSpec((1, tn), lambda i, j: (0, j)))
+        operands.append(mask_p.astype(jnp.float32))
 
     flops = 2 * mp * np_ * dp
     vals, idx = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tm, dk), lambda i, j: (i, 0)),
-            pl.BlockSpec((tn, dk), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, tn), lambda i, j: (0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tm, k_pad), lambda i, j: (i, 0)),
             pl.BlockSpec((tm, k_pad), lambda i, j: (i, 0)),
@@ -545,7 +567,7 @@ def _run_prepared(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qp, cp, cbp)
+    )(*operands)
 
     return vals[:m, :k], idx[:m, :k]
 
@@ -578,12 +600,7 @@ def _fused_topk_f32(
     cp, cbp = prepare_corpus(c, metric, tn=tn, precision=precision)
     use_bias = (metric is Metric.EUCLIDEAN or cbp.shape[1] != n
                 or mask is not None)
-    mask_p = None
-    if mask is not None:
-        mask_p = jnp.pad(
-            mask.astype(bool).reshape(1, n),
-            ((0, 0), (0, cbp.shape[1] - n)), constant_values=False,
-        )
+    mask_p = None if mask is None else pad_mask_row(mask, cbp.shape[1])
     return _run_prepared(
         q, cp, cbp,
         k=k, metric=metric, block_q=block_q, tn=tn, k_pad=k_pad,
@@ -609,6 +626,7 @@ def fused_topk_prepared(
     metric,
     *,
     mask: Optional[jax.Array] = None,
+    tn: Optional[int] = None,
     config: Optional[SearchConfig] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -616,25 +634,19 @@ def fused_topk_prepared(
 
     The euclidean final sqrt/shift needs the raw queries, so it is applied
     here exactly as in fused_topk.  ``mask`` (n,) bool filters corpus rows.
+    ``tn`` must be the tile height the prep was padded for; defaults to
+    this config's choice for (dim, k).
     """
     cfg = resolve(config)
     metric = Metric.parse(metric)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    tn = corpus_tile_rows(q.shape[1], cfg, k)
+    if tn is None:
+        tn = corpus_tile_rows(q.shape[1], cfg, k)
     bq_eff, _ = effective_tiles(cfg, k)
     # The prepared cbp always carries the pad mask, so keep the bias pass.
     use_bias = True
-    mask_p = None
-    if mask is not None:
-        import jax.numpy as _jnp
-
-        mask = _jnp.asarray(mask).astype(bool)
-        mask_p = _jnp.pad(
-            mask.reshape(1, -1),
-            ((0, 0), (0, cbp.shape[1] - mask.shape[0])),
-            constant_values=False,
-        )
+    mask_p = None if mask is None else pad_mask_row(mask, cbp.shape[1])
     with jax.enable_x64(False):
         vals, idx = _run_prepared_jit(
             q, cp, cbp,

@@ -157,9 +157,14 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
     row_spec = d_axis if shards_data else None
 
     def finish(vals, idx):
+        # Sentinel slots (idx == INT32_MAX when a masked shard had fewer
+        # matches than k_local) must not take the offset: the add would
+        # overflow int32 and the negative result would win tie sorts and
+        # slip past the pad-row check.
+        sent = idx == jnp.iinfo(jnp.int32).max
         off = jax.lax.axis_index(c_axis) * ns
-        gidx = idx + off
-        vals = jnp.where(gidx < n_true, vals, worst)
+        gidx = jnp.where(sent, idx, idx + off)
+        vals = jnp.where(sent | (gidx >= n_true), worst, vals)
         return vals, gidx
 
     if prepared:
@@ -295,11 +300,9 @@ def distributed_topk(
     )
     m_args = ()
     if mask is not None:
-        import jax.numpy as _jnp
+        from ..kernels.fused_topk import pad_mask_row
 
-        mk = _jnp.asarray(mask).astype(bool)
-        m_args = (_jnp.pad(mk, (0, corpus.shape[0] - mk.shape[0]),
-                           constant_values=False),)
+        m_args = (pad_mask_row(mask, corpus.shape[0]).reshape(-1),)
     if use_prepared:
         cp, cbp = corpus.prepared_for(metric, mesh, cfg, k_local)
         fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg,

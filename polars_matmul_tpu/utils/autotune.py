@@ -116,7 +116,10 @@ def autotune(
 
     best, best_t = cfg0, float("inf")
     for bq, bn, prec in candidates:
-        cfg = cfg0.with_updates(block_q=bq, block_n=bn, precision=prec)
+        # candidates are explicit choices: disable k-based retiling so the
+        # labels match what actually runs
+        cfg = cfg0.with_updates(block_q=bq, block_n=bn, precision=prec,
+                                auto_tile=False)
 
         def step(qq, cfg=cfg):
             vals, _ = fused_topk(qq, c, k, metric, config=cfg)

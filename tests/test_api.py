@@ -385,3 +385,35 @@ class TestFilteredSearch:
         c = rng.standard_normal((50, 8)).astype(np.float32)
         with pytest.raises(ValueError, match="mask"):
             pmt.topk(q, c, 3, mask=np.ones(49, bool))
+
+
+def test_masked_nan_rows_are_excluded():
+    """Masked-out corpus rows containing NaN/inf must not poison results:
+    the kernel filters by select, not arithmetic (regression: s = d + -inf
+    gave NaN when d was NaN and every query returned all-NaN)."""
+    rng = np.random.default_rng(61)
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    c = rng.standard_normal((40, 8)).astype(np.float32)
+    c[5] = np.nan
+    c[11] = np.inf
+    mask = np.ones(40, bool)
+    mask[[5, 11]] = False
+    for metric in ("dot", "cosine", "euclidean"):
+        i, v = pmt.topk(q, c, 3, metric, mask=mask)
+        assert np.isfinite(v).all(), metric
+        assert not np.isin(i, [5, 11]).any(), metric
+
+
+def test_prepared_reuse_for_large_corpus_k_regimes():
+    """A big corpus queried at small and large k must not build two full
+    preps (reuses the existing geometry instead)."""
+    rng = np.random.default_rng(62)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    c = rng.standard_normal((600, 32)).astype(np.float32)
+    # tiny threshold -> everything counts as "large"
+    h = pmt.Corpus(c, config=pmt.SearchConfig(prep_chunk_bytes=1 << 14))
+    i1, v1 = h.topk(q, 5, "cosine")
+    i2, v2 = h.topk(q, 40, "cosine")   # large-k regime
+    assert len(h._prepared) == 1       # reused, not duplicated
+    i0, v0 = pmt.topk(q, c, 40, "cosine")
+    np.testing.assert_array_equal(i2, i0)

@@ -157,7 +157,8 @@ def test_fused_topk_fuzz_shapes_and_tilings():
         mask = None
         if trial % 4 == 3 and n > k:  # filtered-search trials
             mask = rng.random(n) < 0.7
-            mask[rng.integers(0, n, size=k)] = True  # keep >= k rows valid
+            # keep >= k DISTINCT rows valid
+            mask[rng.choice(n, size=k, replace=False)] = True
         cfg = SearchConfig(selection=sel, block_q=bq, block_n=bn,
                            precision=prec)
         v1, i1 = fused_topk(q, c, k, metric, mask=mask, config=cfg,

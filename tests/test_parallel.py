@@ -204,3 +204,26 @@ def test_distributed_topk_masked(mesh8):
         np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
     )
     assert mask[np.asarray(i1).reshape(-1)].all()
+
+
+def test_distributed_masked_fewer_matches_than_k(mesh8):
+    """A masked shard with fewer matches than k_local emits sentinel
+    indices; the shard offset must not be added to them (int32 overflow
+    made negative sentinels win tie sorts)."""
+    rng = np.random.default_rng(71)
+    import jax.numpy as jnp
+
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    c = rng.standard_normal((24, 8)).astype(np.float32)
+    mask = np.zeros(24, bool)
+    mask[7] = True  # a single matching row
+    sharded = pmt.shard_corpus(jnp.asarray(c), mesh8)
+    for merge in ("allgather", "ring"):
+        cfg = pmt.SearchConfig(merge=merge)
+        v, i = pmt.distributed_topk(jnp.asarray(q), sharded, 4, "dot",
+                                    mesh8, cfg, mask=mask)
+        i = np.asarray(i)
+        v = np.asarray(v)
+        assert (i[:, 0] == 7).all(), merge
+        assert (i[:, 1:] >= 24).all(), merge   # sentinels, not negatives
+        assert np.isneginf(v[:, 1:]).all(), merge
