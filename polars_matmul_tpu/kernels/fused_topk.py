@@ -36,8 +36,9 @@ cheap additive-bias pass; SURVEY.md §2.2 C7):
              applied to the final (m, k) values outside the kernel, and the
              monotonic sqrt once at the end — matching reference
              metrics.rs:302-307 up to rounding).
-  The same bias vector masks the padded corpus tail with -BIG, so no
-  per-tile iota masking is needed.
+  The same bias vector masks the padded corpus tail with -inf (pad rows
+  are zero vectors, so the sum is a clean -inf), and an optional mask
+  operand filters corpus rows by SELECT for NaN-safe filtered search.
 
 Tie-breaking is lowest-corpus-index-wins, identical to jax.lax.top_k
 (SURVEY.md §7 hard part #1: the contract the reference's unstable quickselect
@@ -290,7 +291,7 @@ def _kernel(
     q_ref,      # (TM, D)    queries tile (pre-scaled per metric); bf16x3
                 #            mode passes (TM, 2D): hi | lo halves
     c_ref,      # (TN, D)    corpus tile (pre-scaled per metric); idem
-    cb_ref,     # (1, TN)    per-corpus epilogue bias (euclid -|c|^2, pad -BIG)
+    cb_ref,     # (1, TN)    per-corpus epilogue bias (euclid -|c|^2, pad -inf)
     *rest,      # [mb_ref (1, TN) f32 0/1 if use_mask] + outputs + scratch:
                 # vals_ref (TM, KP), idx_ref (TM, KP), carry_vals, carry_idx
     k: int,
