@@ -35,6 +35,9 @@ import time
 
 import numpy as np
 
+# `python bench.py --gate MS` exits non-zero if device_kernel_ms exceeds MS
+# (regression guard for future rounds; the driver's normal run passes no args).
+
 N_QUERIES, N_CORPUS, DIM, K = 1000, 10_000, 256, 10
 BATCH = 16  # stacked 1000-query requests per call for tunnel e2e throughput
 BASELINE_S = 0.045  # reference fused topk, README.md:166
@@ -189,6 +192,13 @@ def main():
             roof["fraction_of_peak"], 4
         )
     print(json.dumps(out))
+
+    if "--gate" in sys.argv:
+        limit = float(sys.argv[sys.argv.index("--gate") + 1])
+        if backend == "tpu" and kernel_ms > limit:
+            print(f"PERF GATE FAILED: device_kernel_ms {kernel_ms:.3f} > "
+                  f"{limit}", file=sys.stderr)
+            sys.exit(2)
 
 
 if __name__ == "__main__":
