@@ -198,8 +198,12 @@ class Corpus:
         embeddings: ArrayLike,
         *,
         mesh=None,
+        storage: str = "f32",
         config: Optional[SearchConfig] = None,
     ):
+        """``storage="bf16"`` keeps the device corpus in bfloat16 (half the
+        HBM; scores then carry the ~2^-9 storage quantization — opt-in,
+        single-device handles only)."""
         cfg = resolve(config)
         c = np.asarray(embeddings)
         if c.ndim != 2:
@@ -208,8 +212,13 @@ class Corpus:
             raise ValueError("Empty series")
         if c.shape[1] == 0:
             raise ValueError("Zero-dimensional vectors")
+        if storage not in ("f32", "bf16"):
+            raise ValueError(f"Unknown storage mode: {storage!r}")
+        if storage == "bf16" and mesh is not None:
+            raise ValueError("storage='bf16' is single-device only")
         self.config = cfg
         self.mesh = mesh
+        self.storage = storage
         self.n, self.dim = c.shape
         self.dtype = np.dtype(c.dtype)
         dt = self.dtype if self.dtype == np.float32 else np.dtype(np.float64)
@@ -218,6 +227,11 @@ class Corpus:
             from ..parallel.sharded import shard_corpus
 
             self._device = shard_corpus(_to_jax(c, dt), mesh, cfg)
+        elif storage == "bf16":
+            import jax.numpy as jnp
+
+            self._device = _to_jax(c, np.dtype(np.float32)).astype(
+                jnp.bfloat16)
         else:
             self._device = _to_jax(c, dt)
         # Per-metric prepared forms (pre-scaled + padded + precision-split),
@@ -235,10 +249,13 @@ class Corpus:
         """
         from ..kernels.fused_topk import corpus_tile_rows, prepare_corpus
 
+        precision = self.config.precision
+        if self.storage == "bf16" and precision == "bf16x3":
+            precision = "bf16c"  # corpus carries the hi half only
         # Key on the tile height too: the prep is padded for it, and the
         # handle's config is mutable (examples do `corpus.config = cfg`).
         tn = corpus_tile_rows(self.dim, self.config, k)
-        key = (metric.value, self.config.precision, tn)
+        key = (metric.value, precision, tn)
         if key in self._prepared:
             return self._prepared[key] + (tn,)
 
@@ -247,10 +264,13 @@ class Corpus:
         import jax
 
         prep = functools.partial(
-            prepare_corpus, metric=metric, tn=tn,
-            precision=self.config.precision,
+            prepare_corpus, metric=metric, tn=tn, precision=precision,
         )
         c = self._device
+        if self.storage == "bf16":
+            import jax.numpy as jnp
+
+            c = c.astype(jnp.float32)  # prep math (norms) in f32
         raw_bytes = c.shape[0] * c.shape[1] * c.dtype.itemsize
         if raw_bytes > self.config.prep_chunk_bytes:
             # Large corpus: never hold two full preps just because a query
@@ -258,7 +278,7 @@ class Corpus:
             # this (metric, precision) and run with its tile height (the
             # retiling gain is smaller than a duplicate multi-GB prep).
             for (mv, pv, tn_old), prep_old in self._prepared.items():
-                if (mv, pv) == (metric.value, self.config.precision):
+                if (mv, pv) == (metric.value, precision):
                     return prep_old + (tn_old,)
         with jax.enable_x64(False):
             if raw_bytes <= self.config.prep_chunk_bytes:
@@ -336,18 +356,26 @@ class Corpus:
         else:
             from ..kernels.fused_topk import fused_topk_prepared, supports
 
+            dev_ok = (
+                np.dtype(self._device.dtype) == np.float32
+                or (self.storage == "bf16"
+                    and str(self._device.dtype) == "bfloat16")
+            )
             if (
                 self.config.use_pallas
                 and dt == np.float32
-                and np.dtype(self._device.dtype) == np.float32
+                and dev_ok
                 and supports(q.shape, (self.n, self.dim), dt, kk,
                              self.config)
             ):
                 cp, cbp, tn = self._prepared_for(metric, kk)
+                run_cfg = self.config
+                if self.storage == "bf16" and run_cfg.precision == "bf16x3":
+                    run_cfg = run_cfg.with_updates(precision="bf16c")
                 with annotate(f"pmm.topk.{metric.value}"):
                     vals, idx = fused_topk_prepared(
                         qj, cp, cbp, kk, metric, mask=mk, tn=tn,
-                        config=self.config,
+                        config=run_cfg,
                     )
             else:
                 cj = self._device if dt == self._device.dtype else \

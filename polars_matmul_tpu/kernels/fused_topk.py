@@ -331,6 +331,17 @@ def _kernel(
         cl = c_ref[:, dsplit:]
         p = jax.lax.Precision.DEFAULT
         d = _dot_nt(qh, ch, p) + (_dot_nt(qh, cl, p) + _dot_nt(ql, ch, p))
+    elif precision == "bf16c":
+        # bf16-STORAGE corpus (half the HBM; Corpus(storage="bf16")):
+        # the corpus carries only the hi half, queries stay split, so the
+        # matmul is two bf16 passes and accuracy is bounded by the
+        # corpus quantization itself (~2^-9).
+        dsplit = q_ref.shape[1] // 2
+        qh = q_ref[:, :dsplit]
+        ql = q_ref[:, dsplit:]
+        ch = c_ref[:]
+        p = jax.lax.Precision.DEFAULT
+        d = _dot_nt(qh, ch, p) + _dot_nt(ql, ch, p)
     else:
         d = _dot_nt(q_ref[:], c_ref[:], precision)
 
@@ -468,6 +479,8 @@ def prepare_corpus(c: jax.Array, metric, *, tn: int, precision: str):
     cp = jnp.pad(c, ((0, np_ - n), (0, dp - dim)))
     if precision == "bf16x3":
         cp = _split_hi_lo(cp)
+    elif precision == "bf16c":
+        cp = cp.astype(jnp.bfloat16)  # storage-quantized corpus, hi only
     # Padding corpus rows get a -inf bias so they can never be selected
     # (k <= n_corpus is guaranteed by the caller).  -inf, not a large
     # finite value: legitimate scores can be arbitrarily negative, and
@@ -513,12 +526,13 @@ def _run_prepared(
     np_ = cbp.shape[1]
 
     qp = jnp.pad(q, ((0, mp - m), (0, dp - dim)))
-    if precision == "bf16x3":
+    if precision in ("bf16x3", "bf16c"):
         qp = _split_hi_lo(qp)
-        dk = 2 * dp  # feature axis carries hi|lo halves
-        kern_precision = "bf16x3"
+        dk_q = 2 * dp  # query feature axis carries hi|lo halves
+        dk_c = 2 * dp if precision == "bf16x3" else dp
+        kern_precision = precision
     else:
-        dk = dp
+        dk_q = dk_c = dp
         kern_precision = _PRECISION[precision]
 
     grid = (mp // tm, np_ // tn)
@@ -536,8 +550,8 @@ def _run_prepared(
     )
 
     in_specs = [
-        pl.BlockSpec((tm, dk), lambda i, j: (i, 0)),
-        pl.BlockSpec((tn, dk), lambda i, j: (j, 0)),
+        pl.BlockSpec((tm, dk_q), lambda i, j: (i, 0)),
+        pl.BlockSpec((tn, dk_c), lambda i, j: (j, 0)),
         pl.BlockSpec((1, tn), lambda i, j: (0, j)),
     ]
     operands = [qp, cp, cbp]
@@ -686,7 +700,8 @@ def fused_topk(
         interpret = jax.default_backend() != "tpu"
 
     if not cfg.use_pallas or not supports(q.shape, c.shape, q.dtype, k, cfg):
-        fb = "highest" if cfg.precision == "bf16x3" else cfg.precision
+        fb = ("highest" if cfg.precision in ("bf16x3", "bf16c")
+              else cfg.precision)
         mk = None if mask is None else jnp.asarray(mask).astype(bool)
         return reference.topk_search(q, c, k, metric, mask=mk, precision=fb)
 

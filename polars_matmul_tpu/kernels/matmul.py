@@ -23,7 +23,8 @@ _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-    "bf16x3": jax.lax.Precision.HIGHEST,  # fused-kernel mode; exact here
+    "bf16x3": jax.lax.Precision.HIGHEST,
+    "bf16c": jax.lax.Precision.HIGHEST,  # fused-kernel mode; exact here
 }
 
 

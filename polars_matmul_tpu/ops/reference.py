@@ -35,6 +35,7 @@ _PRECISION = {
     # "bf16x3" is a fused-kernel mode; the dense/oracle path computes
     # exact f32 for it.
     "bf16x3": jax.lax.Precision.HIGHEST,
+    "bf16c": jax.lax.Precision.HIGHEST,
 }
 
 

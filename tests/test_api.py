@@ -417,3 +417,47 @@ def test_prepared_reuse_for_large_corpus_k_regimes():
     assert len(h._prepared) == 1       # reused, not duplicated
     i0, v0 = pmt.topk(q, c, 40, "cosine")
     np.testing.assert_array_equal(i2, i0)
+
+
+class TestBf16Storage:
+    """Corpus(storage="bf16") halves device HBM; scores carry the ~2^-9
+    corpus quantization (opt-in approximate storage)."""
+
+    def test_matches_quantized_oracle(self):
+        import ml_dtypes
+
+        rng = np.random.default_rng(81)
+        q = rng.standard_normal((12, 48)).astype(np.float32)
+        c = rng.standard_normal((400, 48)).astype(np.float32)
+        h = pmt.Corpus(c, storage="bf16")
+        i1, v1 = h.topk(q, 6, "cosine")
+        # oracle on the storage-quantized corpus
+        cq = c.astype(ml_dtypes.bfloat16).astype(np.float32)
+        i0, v0 = pmt.topk(q, cq, 6, "cosine")
+        # selection agrees with the quantized-corpus reference up to the
+        # second (hi-split of the scaled rows) quantization
+        agree = (i1 == i0).mean()
+        assert agree > 0.9, agree
+        np.testing.assert_allclose(v1, v0, rtol=5e-2, atol=1e-2)
+        # prepared corpus is genuinely bf16 (half the bytes)
+        (cp, cb), = [v for v in h._prepared.values()]
+        assert str(cp.dtype) == "bfloat16"
+        assert cp.shape[1] < 2 * 128  # hi half only, not hi|lo
+
+    def test_masked_and_k_regimes(self):
+        rng = np.random.default_rng(82)
+        q = rng.standard_normal((5, 32)).astype(np.float32)
+        c = rng.standard_normal((300, 32)).astype(np.float32)
+        h = pmt.Corpus(c, storage="bf16")
+        mask = rng.random(300) < 0.4
+        mask[:8] = True
+        i, v = h.topk(q, 4, "dot", mask=mask)
+        assert mask[i.reshape(-1)].all()
+        i2, v2 = h.topk(q, 40, "cosine")  # large-k regime works too
+        assert i2.shape == (5, 40)
+
+    def test_mesh_rejected(self):
+        rng = np.random.default_rng(83)
+        c = rng.standard_normal((32, 8)).astype(np.float32)
+        with pytest.raises(ValueError, match="single-device"):
+            pmt.Corpus(c, storage="bf16", mesh=object())
