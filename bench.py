@@ -157,9 +157,9 @@ def main():
 
     qj = jnp.asarray(q)
     jax.block_until_ready(qj)
-    c_lo, c_hi = (8, 104) if is_tpu else (1, 4)
+    c_lo, c_hi = (8, 200) if is_tpu else (1, 4)
     kernel_ms = device_step_seconds(
-        kernel_step, qj, chain_lo=c_lo, chain_hi=c_hi, iters=5
+        kernel_step, qj, chain_lo=c_lo, chain_hi=c_hi, iters=7
     ) * 1e3
 
     flops = 2.0 * N_QUERIES * N_CORPUS * DIM
