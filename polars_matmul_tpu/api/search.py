@@ -220,7 +220,12 @@ class Corpus:
         self.mesh = mesh
         self.storage = storage
         self.n, self.dim = c.shape
-        self.dtype = np.dtype(c.dtype)
+        # bf16 storage quantizes the values, so the handle presents f32
+        # semantics regardless of the input float width (f64 "precision"
+        # on a quantized corpus would be theater and would also divert
+        # every query onto the f64 fallback path).
+        self.dtype = (np.dtype(np.float32) if storage == "bf16"
+                      else np.dtype(c.dtype))
         dt = self.dtype if self.dtype == np.float32 else np.dtype(np.float64)
 
         if mesh is not None:
@@ -234,10 +239,37 @@ class Corpus:
                 jnp.bfloat16)
         else:
             self._device = _to_jax(c, dt)
+        # Lazy f32 upcast of a bf16-stored corpus, built only if a
+        # non-Pallas path (k > k_pad, dim > 8192, use_pallas=False) or
+        # Corpus.matmul needs dense values; costs the f32 bytes once.
+        self._f32_view = None
         # Per-metric prepared forms (pre-scaled + padded + precision-split),
         # built lazily on first use: steady-state queries then do zero
         # per-call corpus work on device.
         self._prepared = {}
+
+    def _effective_precision(self) -> str:
+        """The kernel precision this handle runs with.
+
+        bf16 storage always uses the "bf16c" kernel mode (corpus = hi
+        half only): the values are quantized at rest, so requesting
+        "highest"/"bf16x3" could only spend memory, not recover accuracy.
+        """
+        if self.storage == "bf16":
+            return "bf16c"
+        return self.config.precision
+
+    def _dense_device(self):
+        """Dense compute-dtype corpus for fallback/matmul paths (cached)."""
+        if self.storage != "bf16":
+            return self._device
+        if self._f32_view is None:
+            import jax
+            import jax.numpy as jnp
+
+            self._f32_view = jax.block_until_ready(
+                self._device.astype(jnp.float32))
+        return self._f32_view
 
     def _prepared_for(self, metric, k: int = 1):
         """Cached (cp, cbp) from kernels.fused_topk.prepare_corpus.
@@ -249,9 +281,7 @@ class Corpus:
         """
         from ..kernels.fused_topk import corpus_tile_rows, prepare_corpus
 
-        precision = self.config.precision
-        if self.storage == "bf16" and precision == "bf16x3":
-            precision = "bf16c"  # corpus carries the hi half only
+        precision = self._effective_precision()
         # Key on the tile height too: the prep is padded for it, and the
         # handle's config is mutable (examples do `corpus.config = cfg`).
         tn = corpus_tile_rows(self.dim, self.config, k)
@@ -266,11 +296,7 @@ class Corpus:
         prep = functools.partial(
             prepare_corpus, metric=metric, tn=tn, precision=precision,
         )
-        c = self._device
-        if self.storage == "bf16":
-            import jax.numpy as jnp
-
-            c = c.astype(jnp.float32)  # prep math (norms) in f32
+        c = self._device  # prepare_corpus upcasts bf16 chunks internally
         raw_bytes = c.shape[0] * c.shape[1] * c.dtype.itemsize
         if raw_bytes > self.config.prep_chunk_bytes:
             # Large corpus: never hold two full preps just because a query
@@ -370,16 +396,17 @@ class Corpus:
             ):
                 cp, cbp, tn = self._prepared_for(metric, kk)
                 run_cfg = self.config
-                if self.storage == "bf16" and run_cfg.precision == "bf16x3":
-                    run_cfg = run_cfg.with_updates(precision="bf16c")
+                eff = self._effective_precision()
+                if eff != run_cfg.precision:
+                    run_cfg = run_cfg.with_updates(precision=eff)
                 with annotate(f"pmm.topk.{metric.value}"):
                     vals, idx = fused_topk_prepared(
                         qj, cp, cbp, kk, metric, mask=mk, tn=tn,
                         config=run_cfg,
                     )
             else:
-                cj = self._device if dt == self._device.dtype else \
-                    self._device.astype(dt)
+                dense = self._dense_device()
+                cj = dense if dt == dense.dtype else dense.astype(dt)
                 vals, idx = _device_topk(qj, cj, kk, metric, self.config,
                                          mask=mk)
         v, i = _fetch_topk(vals, idx, kk)
@@ -396,12 +423,19 @@ class Corpus:
                 f"{q.shape[1] if q.ndim == 2 else q.shape} dimensional "
                 f"vectors, right has {self.dim} dimensional vectors"
             )
+        dt = compute_dtype(q.dtype, self.dtype)
         if self.mesh is not None:
             from ..parallel.sharded import distributed_matmul
 
-            dt = compute_dtype(q.dtype, self.dtype)
             out = distributed_matmul(
                 _to_jax(q, dt), self._device, self.mesh, self.config
             )
             return np.asarray(out)
-        return matmul(queries, np.asarray(self._device), config=self.config)
+        from ..kernels.matmul import pairwise_matmul
+
+        dense = self._dense_device()
+        cj = dense if np.dtype(dense.dtype) == dt else dense.astype(dt)
+        with annotate("pmm.matmul"):
+            out = pairwise_matmul(_to_jax(q, dt), cj,
+                                  precision=self.config.precision)
+        return np.asarray(out)

@@ -464,6 +464,11 @@ def prepare_corpus(c: jax.Array, metric, *, tn: int, precision: str):
     """
     metric = Metric.parse(metric)
     n, dim = c.shape
+    if c.dtype != jnp.float32:
+        # bf16-stored corpora arrive quantized; prep math (norms, bias)
+        # runs in f32.  Chunked callers pass bf16 chunks so the f32 copy
+        # only ever exists at chunk granularity.
+        c = c.astype(jnp.float32)
     if metric is Metric.COSINE:
         eps = cosine_eps(jnp.float32)
         cn = jnp.sqrt(jnp.sum(c * c, axis=1, keepdims=True))

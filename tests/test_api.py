@@ -461,3 +461,35 @@ class TestBf16Storage:
         c = rng.standard_normal((32, 8)).astype(np.float32)
         with pytest.raises(ValueError, match="single-device"):
             pmt.Corpus(c, storage="bf16", mesh=object())
+
+
+def test_bf16_storage_dtype_contracts():
+    """bf16 storage presents f32 semantics: f64 input is quantized and
+    served on the f32 path; matmul returns f32 (regression: bfloat16
+    device dtype promoted everything to f64)."""
+    rng = np.random.default_rng(91)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    c64 = rng.standard_normal((60, 16))          # f64 input
+    h = pmt.Corpus(c64, storage="bf16")
+    assert h.dtype == np.float32
+    out = h.matmul(q)
+    assert out.dtype == np.float32
+    i, v = h.topk(q, 3)
+    assert len(h._prepared) == 1                 # pallas path reachable
+    # fallback path (k > k_pad) caches one dense f32 view
+    i2, _ = h.topk(q, 200)
+    assert i2.shape == (4, 60)
+    assert h._f32_view is not None
+
+
+def test_bf16_storage_respects_precision_override():
+    """Any precision setting on a bf16 handle runs the bf16c kernel (the
+    values are quantized at rest; 'highest' could only waste memory)."""
+    rng = np.random.default_rng(92)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    c = rng.standard_normal((60, 16)).astype(np.float32)
+    h = pmt.Corpus(c, storage="bf16",
+                   config=pmt.SearchConfig(precision="highest"))
+    i, v = h.topk(q, 3)
+    (cp, _), = [val for val in h._prepared.values()]
+    assert str(cp.dtype) == "bfloat16"           # not a full f32 prep
