@@ -52,7 +52,14 @@ class ShardedCorpus:
 
     def prepared_for(self, metric: Metric, mesh, cfg: SearchConfig,
                      k: int = 1):
-        """Cached per-shard (cp, cbp) from kernels.fused_topk.prepare_corpus."""
+        """Cached per-shard (cp, cbp) from kernels.fused_topk.prepare_corpus.
+
+        Large shards are prepared in row chunks with donated output
+        buffers (one-shot prep transiently holds ~3x the shard bytes,
+        chunked ~2x + one chunk), mirroring Corpus._prepared_for.
+        """
+        import functools
+
         from ..kernels.fused_topk import corpus_tile_rows, prepare_corpus
 
         # The prep is padded for a specific corpus tile height, which the
@@ -60,27 +67,82 @@ class ShardedCorpus:
         # cannot silently reuse a geometry-mismatched prep.
         tn = corpus_tile_rows(self.data.shape[1], cfg, k)
         key = (metric.value, cfg.precision, tn)
-        if key not in self._prepared:
-            import jax
-            from jax.sharding import PartitionSpec as P
+        if key in self._prepared:
+            return self._prepared[key]
 
-            c_axis = cfg.mesh_axes[1]
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
 
-            def prep_local(c_):
-                return prepare_corpus(
-                    c_, metric, tn=tn, precision=cfg.precision
+        c_axis = cfg.mesh_axes[1]
+        n_shards = mesh.shape[c_axis]
+        ns = self.data.shape[0] // n_shards
+        dim = self.data.shape[1]
+        itemsize = self.data.dtype.itemsize
+        prep = functools.partial(
+            prepare_corpus, metric=metric, tn=tn, precision=cfg.precision
+        )
+
+        with jax.enable_x64(False):
+            if ns * dim * itemsize <= cfg.prep_chunk_bytes:
+                mapped = _shard_map(
+                    prep, mesh,
+                    in_specs=(P(c_axis, None),),
+                    out_specs=(P(c_axis, None), P(None, c_axis)),
                 )
-
-            mapped = _shard_map(
-                prep_local,
-                mesh,
-                in_specs=(P(c_axis, None),),
-                out_specs=(P(c_axis, None), P(None, c_axis)),
-            )
-            with jax.enable_x64(False):
                 self._prepared[key] = jax.block_until_ready(
                     jax.jit(mapped)(self.data)
                 )
+                return self._prepared[key]
+
+            # Chunked path: every shard processes its local rows
+            # [r0, r0 + rows) in lockstep; chunk heights are multiples of
+            # tn so only each shard's final chunk carries padding.
+            rows_per_chunk = max(
+                tn, cfg.prep_chunk_bytes // (dim * itemsize) // tn * tn
+            )
+            ns_pad = ((ns + tn - 1) // tn) * tn
+            probe_cp, probe_cb = jax.eval_shape(
+                prep,
+                jax.ShapeDtypeStruct((rows_per_chunk, dim), self.data.dtype),
+            )
+            buf_cp = jax.device_put(
+                jnp.zeros((n_shards * ns_pad, probe_cp.shape[1]),
+                          probe_cp.dtype),
+                jax.sharding.NamedSharding(mesh, P(c_axis, None)),
+            )
+            buf_cb = jax.device_put(
+                jnp.zeros((1, n_shards * ns_pad), probe_cb.dtype),
+                jax.sharding.NamedSharding(mesh, P(None, c_axis)),
+            )
+
+            def make_update(rows, r0):
+                # Each shard slices ITS local rows [r0, r0 + rows) — a
+                # per-shard operation, so it lives inside the shard_map.
+                def update_local(buf_cp_, buf_cb_, data_):
+                    c_ = jax.lax.dynamic_slice_in_dim(data_, r0, rows, 0)
+                    cpc, cbc = prep(c_)
+                    bp = jax.lax.dynamic_update_slice(
+                        buf_cp_, cpc, (jnp.int32(r0), jnp.int32(0)))
+                    bb = jax.lax.dynamic_update_slice(
+                        buf_cb_, cbc, (jnp.int32(0), jnp.int32(r0)))
+                    return bp, bb
+
+                mapped = _shard_map(
+                    update_local, mesh,
+                    in_specs=(P(c_axis, None), P(None, c_axis),
+                              P(c_axis, None)),
+                    out_specs=(P(c_axis, None), P(None, c_axis)),
+                )
+                return jax.jit(mapped, donate_argnums=(0, 1))
+
+            r0 = 0
+            while r0 < ns:
+                rows = min(rows_per_chunk, ns - r0)
+                buf_cp, buf_cb = make_update(rows, r0)(
+                    buf_cp, buf_cb, self.data)
+                r0 += rows
+            self._prepared[key] = jax.block_until_ready((buf_cp, buf_cb))
         return self._prepared[key]
 
 

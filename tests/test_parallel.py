@@ -227,3 +227,26 @@ def test_distributed_masked_fewer_matches_than_k(mesh8):
         assert (i[:, 0] == 7).all(), merge
         assert (i[:, 1:] >= 24).all(), merge   # sentinels, not negatives
         assert np.isneginf(v[:, 1:]).all(), merge
+
+
+def test_sharded_chunked_prep_matches_oneshot(mesh8):
+    """Sharded chunked prep (big-shard path) must match one-shot prep."""
+    rng = np.random.default_rng(81)
+    import jax.numpy as jnp
+
+    q = rng.standard_normal((5, 24)).astype(np.float32)
+    c = rng.standard_normal((333, 24)).astype(np.float32)
+    big = pmt.shard_corpus(jnp.asarray(c), mesh8)
+    small_cfg = pmt.SearchConfig(prep_chunk_bytes=1 << 12)  # force chunking
+    small = pmt.shard_corpus(jnp.asarray(c), mesh8, small_cfg)
+    v1, i1 = pmt.distributed_topk(jnp.asarray(q), big, 7, "cosine", mesh8)
+    v2, i2 = pmt.distributed_topk(jnp.asarray(q), small, 7, "cosine",
+                                  mesh8, small_cfg)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    # euclid path through chunked prep too
+    v3, i3 = pmt.distributed_topk(jnp.asarray(q), small, 4, "euclidean",
+                                  mesh8, small_cfg)
+    v0, i0 = topk_search(q, c, 4, "euclidean")
+    assert_topk_equivalent(np.asarray(i3), np.asarray(v3),
+                           np.asarray(i0), np.asarray(v0))
