@@ -59,7 +59,6 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
     import polars_matmul_tpu as pmt
     from polars_matmul_tpu.config import SearchConfig

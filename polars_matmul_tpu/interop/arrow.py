@@ -20,7 +20,7 @@ TPU-native replacement for the reference's Rust marshaling layer
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import pyarrow as pa

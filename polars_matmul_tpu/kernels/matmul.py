@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import SearchConfig, resolve
 
 _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,

@@ -9,7 +9,7 @@ import pytest
 
 from polars_matmul_tpu.config import SearchConfig
 from polars_matmul_tpu.kernels import fused_topk, pallas_matmul
-from polars_matmul_tpu.ops import Metric, topk_search
+from polars_matmul_tpu.ops import topk_search
 
 from conftest import assert_topk_equivalent
 

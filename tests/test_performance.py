@@ -10,7 +10,6 @@ bench.py measures the TPU numbers.
 import time
 
 import numpy as np
-import pytest
 
 import polars_matmul_tpu as pmt
 
