@@ -117,10 +117,11 @@ def topk(
     import time as _time
 
     t0 = _time.perf_counter()
-    vals, idx = _device_topk(
-        _to_jax(q, dt), _to_jax(c, dt), kk, metric, resolve(config), mask=mk
+    mkj = None if mk is None else _to_jax(mk, np.dtype(bool))
+    packed = _packed_topk(
+        _to_jax(q, dt), _to_jax(c, dt), kk, metric, resolve(config), mkj
     )
-    v, i = _fetch_topk(vals, idx, kk)
+    v, i = _unpack_pair(packed, kk)
     call_stats("topk", m=q.shape[0], n=c.shape[0], dim=q.shape[1], k=kk,
                dtype=dt, wall_s=_time.perf_counter() - t0)
     return i.astype(np.uint32), v.astype(np.float64)
@@ -145,6 +146,63 @@ def _device_topk(qj, cj, k: int, metric: Metric, cfg: SearchConfig,
 
     with annotate(f"pmm.topk.{metric.value}"):
         return fused_topk(qj, cj, k, metric, mask=mask, config=cfg)
+
+
+def _packed_oneshot_fn(k: int, metric: Metric, cfg: SearchConfig,
+                       masked: bool):
+    """One jitted program: corpus prep + kernel + finalize + pack.
+
+    The naive route pays one dispatch for the kernel, eager dispatches for
+    the euclidean finalize, and another for the pack — each a full RPC on
+    remote/tunneled deployments.  Cached per (k, metric, cfg, masked);
+    jit handles shape polymorphism beneath each entry.
+    """
+    import jax
+
+    from ..kernels.fused_topk import fused_topk
+
+    @jax.jit
+    def run(qj, cj, *m):
+        vals, idx = fused_topk(qj, cj, k, metric,
+                               mask=m[0] if m else None, config=cfg)
+        return _pack_pair(vals, idx)
+
+    return run
+
+
+def _packed_prepared_fn(k: int, metric: Metric, cfg: SearchConfig,
+                        tn: int, masked: bool):
+    """One jitted program for the prepared path: query prep + kernel +
+    euclidean finalize + pack (single dispatch per call)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.fused_topk import fused_topk_prepared
+
+    @jax.jit
+    def run(qj, cp, cbp, *m):
+        vals, idx = fused_topk_prepared(
+            qj, cp, cbp, k, metric, mask=m[0] if m else None, tn=tn,
+            config=cfg,
+        )
+        return _pack_pair(vals, idx)
+
+    return run
+
+
+_ONESHOT_CACHE: dict = {}
+
+
+def _packed_topk(qj, cj, k: int, metric: Metric, cfg: SearchConfig, mask):
+    """Single-dispatch topk returning the packed host array."""
+    key = (k, metric, cfg, mask is not None)
+    fn = _ONESHOT_CACHE.get(key)
+    if fn is None:
+        fn = _packed_oneshot_fn(*key)
+        _ONESHOT_CACHE[key] = fn
+    args = (qj, cj) if mask is None else (qj, cj, mask)
+    with annotate(f"pmm.topk.{metric.value}"):
+        return np.asarray(fn(*args))
 
 
 def _pack_pair(vals, idx):
@@ -243,6 +301,9 @@ class Corpus:
         # non-Pallas path (k > k_pad, dim > 8192, use_pallas=False) or
         # Corpus.matmul needs dense values; costs the f32 bytes once.
         self._f32_view = None
+        # Per-(k, metric, cfg, tn, masked) single-dispatch jitted programs
+        # (kernel + finalize + result packing in one call).
+        self._packed_fns = {}
         # Per-metric prepared forms (pre-scaled + padded + precision-split),
         # built lazily on first use: steady-state queries then do zero
         # per-call corpus work on device.
@@ -399,16 +460,22 @@ class Corpus:
                 eff = self._effective_precision()
                 if eff != run_cfg.precision:
                     run_cfg = run_cfg.with_updates(precision=eff)
+                key = (kk, metric, run_cfg, tn, mk is not None)
+                fn = self._packed_fns.get(key)
+                if fn is None:
+                    fn = _packed_prepared_fn(*key)
+                    self._packed_fns[key] = fn
+                mkj = (None if mk is None
+                       else _to_jax(mk, np.dtype(bool)))
+                args = (qj, cp, cbp) + (() if mkj is None else (mkj,))
                 with annotate(f"pmm.topk.{metric.value}"):
-                    vals, idx = fused_topk_prepared(
-                        qj, cp, cbp, kk, metric, mask=mk, tn=tn,
-                        config=run_cfg,
-                    )
-            else:
-                dense = self._dense_device()
-                cj = dense if dt == dense.dtype else dense.astype(dt)
-                vals, idx = _device_topk(qj, cj, kk, metric, self.config,
-                                         mask=mk)
+                    packed = np.asarray(fn(*args))
+                v, i = _unpack_pair(packed, kk)
+                return i.astype(np.uint32), v.astype(np.float64)
+            dense = self._dense_device()
+            cj = dense if dt == dense.dtype else dense.astype(dt)
+            vals, idx = _device_topk(qj, cj, kk, metric, self.config,
+                                     mask=mk)
         v, i = _fetch_topk(vals, idx, kk)
         return i.astype(np.uint32), v.astype(np.float64)
 
