@@ -304,10 +304,42 @@ class Corpus:
         # Per-(k, metric, cfg, tn, masked) single-dispatch jitted programs
         # (kernel + finalize + result packing in one call).
         self._packed_fns = {}
+        # Tombstoned rows (Corpus.delete): excluded from every topk via
+        # the mask path — no re-upload or re-prep needed.
+        self._tombstones: Optional[np.ndarray] = None
         # Per-metric prepared forms (pre-scaled + padded + precision-split),
         # built lazily on first use: steady-state queries then do zero
         # per-call corpus work on device.
         self._prepared = {}
+
+    def delete(self, indices: ArrayLike) -> int:
+        """Tombstone corpus rows: they never match again (topk only).
+
+        Deletion rides the filtered-search mask, so it is O(1) in corpus
+        work — the device corpus and its prepared forms are untouched.
+        Returns the total number of tombstoned rows.  ``matmul`` still
+        scores deleted rows (it returns the raw panel by contract).
+        """
+        idx = np.asarray(indices).reshape(-1)
+        if idx.size and (idx.min() < 0 or idx.max() >= self.n):
+            raise ValueError(
+                f"delete indices must be in [0, {self.n}); got "
+                f"[{idx.min()}, {idx.max()}]"
+            )
+        if self._tombstones is None:
+            self._tombstones = np.zeros(self.n, dtype=bool)
+        self._tombstones[idx] = True
+        return int(self._tombstones.sum())
+
+    @property
+    def deleted_count(self) -> int:
+        return 0 if self._tombstones is None else int(self._tombstones.sum())
+
+    def _combined_mask(self, mk):
+        if self._tombstones is None:
+            return mk
+        alive = ~self._tombstones
+        return alive if mk is None else (mk & alive)
 
     def _effective_precision(self) -> str:
         """The kernel precision this handle runs with.
@@ -423,7 +455,7 @@ class Corpus:
                 f"{q.shape[1] if q.ndim == 2 else q.shape} dimensional "
                 f"vectors, right has {self.dim} dimensional vectors"
             )
-        mk = _validate_mask(mask, self.n)
+        mk = self._combined_mask(_validate_mask(mask, self.n))
         kk = min(int(k), self.n)
         if kk <= 0:
             # same contract as module-level topk: k=0 -> empty match lists

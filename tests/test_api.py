@@ -493,3 +493,47 @@ def test_bf16_storage_respects_precision_override():
     i, v = h.topk(q, 3)
     (cp, _), = [val for val in h._prepared.values()]
     assert str(cp.dtype) == "bfloat16"           # not a full f32 prep
+
+
+class TestCorpusDelete:
+    """Tombstone deletion rides the mask path: O(1) corpus work."""
+
+    def test_deleted_rows_never_match(self):
+        rng = np.random.default_rng(95)
+        q = rng.standard_normal((6, 16)).astype(np.float32)
+        c = rng.standard_normal((80, 16)).astype(np.float32)
+        h = pmt.Corpus(c)
+        i0, _ = h.topk(q, 3)
+        top_hits = set(np.unique(i0[:, 0]).tolist())
+        assert h.delete(list(top_hits)) == len(top_hits)
+        assert h.deleted_count == len(top_hits)
+        i1, _ = h.topk(q, 3)
+        assert not (np.isin(i1, list(top_hits))).any()
+        # combines with a user mask
+        user = np.ones(80, bool)
+        user[: 40] = False
+        i2, _ = h.topk(q, 3, mask=user)
+        assert (i2 >= 40).all()
+        assert not (np.isin(i2, list(top_hits))).any()
+
+    def test_delete_bounds_checked(self):
+        c = np.eye(4, dtype=np.float32)
+        h = pmt.Corpus(c)
+        with pytest.raises(ValueError, match="delete indices"):
+            h.delete([4])
+
+    def test_mesh_distributed_delete(self):
+        # tombstones work on the sharded path too (mask shards with data)
+        import jax
+
+        devs = jax.devices()[:4]
+        mesh = pmt.make_mesh(1, 4, devices=devs)
+        rng = np.random.default_rng(96)
+        q = rng.standard_normal((3, 8)).astype(np.float32)
+        c = rng.standard_normal((40, 8)).astype(np.float32)
+        h = pmt.Corpus(c, mesh=mesh)
+        i0, _ = h.topk(q, 2)
+        kill = int(i0[0, 0])
+        h.delete([kill])
+        i1, _ = h.topk(q, 2)
+        assert not (i1 == kill).any()
