@@ -149,7 +149,7 @@ def _device_topk(qj, cj, k: int, metric: Metric, cfg: SearchConfig,
 
 
 def _packed_oneshot_fn(k: int, metric: Metric, cfg: SearchConfig,
-                       masked: bool):
+                       masked: bool):  # masked: cache-key arity marker
     """One jitted program: corpus prep + kernel + finalize + pack.
 
     The naive route pays one dispatch for the kernel, eager dispatches for
@@ -171,11 +171,10 @@ def _packed_oneshot_fn(k: int, metric: Metric, cfg: SearchConfig,
 
 
 def _packed_prepared_fn(k: int, metric: Metric, cfg: SearchConfig,
-                        tn: int, masked: bool):
+                        tn: int, masked: bool):  # masked: cache-key marker
     """One jitted program for the prepared path: query prep + kernel +
     euclidean finalize + pack (single dispatch per call)."""
     import jax
-    import jax.numpy as jnp
 
     from ..kernels.fused_topk import fused_topk_prepared
 
@@ -190,16 +189,25 @@ def _packed_prepared_fn(k: int, metric: Metric, cfg: SearchConfig,
     return run
 
 
+def _cached_fn(cache: dict, key, factory, max_entries: int = 64):
+    """Get-or-create with simple FIFO eviction (compiled executables are
+    heavy; bound matches the shard_map program cache in parallel/)."""
+    fn = cache.get(key)
+    if fn is None:
+        if len(cache) >= max_entries:
+            cache.pop(next(iter(cache)))
+        fn = factory(*key)
+        cache[key] = fn
+    return fn
+
+
 _ONESHOT_CACHE: dict = {}
 
 
 def _packed_topk(qj, cj, k: int, metric: Metric, cfg: SearchConfig, mask):
     """Single-dispatch topk returning the packed host array."""
     key = (k, metric, cfg, mask is not None)
-    fn = _ONESHOT_CACHE.get(key)
-    if fn is None:
-        fn = _packed_oneshot_fn(*key)
-        _ONESHOT_CACHE[key] = fn
+    fn = _cached_fn(_ONESHOT_CACHE, key, _packed_oneshot_fn)
     args = (qj, cj) if mask is None else (qj, cj, mask)
     with annotate(f"pmm.topk.{metric.value}"):
         return np.asarray(fn(*args))
@@ -307,6 +315,7 @@ class Corpus:
         # Tombstoned rows (Corpus.delete): excluded from every topk via
         # the mask path — no re-upload or re-prep needed.
         self._tombstones: Optional[np.ndarray] = None
+        self._alive_dev = None  # cached device mask for the no-user-mask case
         # Per-metric prepared forms (pre-scaled + padded + precision-split),
         # built lazily on first use: steady-state queries then do zero
         # per-call corpus work on device.
@@ -321,6 +330,10 @@ class Corpus:
         scores deleted rows (it returns the raw panel by contract).
         """
         idx = np.asarray(indices).reshape(-1)
+        if idx.size and not np.issubdtype(idx.dtype, np.integer):
+            raise ValueError(
+                f"delete indices must be integers, got dtype {idx.dtype}"
+            )
         if idx.size and (idx.min() < 0 or idx.max() >= self.n):
             raise ValueError(
                 f"delete indices must be in [0, {self.n}); got "
@@ -329,6 +342,7 @@ class Corpus:
         if self._tombstones is None:
             self._tombstones = np.zeros(self.n, dtype=bool)
         self._tombstones[idx] = True
+        self._alive_dev = None  # invalidate the cached device mask
         return int(self._tombstones.sum())
 
     @property
@@ -340,6 +354,23 @@ class Corpus:
             return mk
         alive = ~self._tombstones
         return alive if mk is None else (mk & alive)
+
+    def _device_mask(self, user_mk):
+        """Device bool mask combining tombstones with the per-call user
+        mask, or None.  The tombstone-only case (the common serving loop
+        after deletes) reuses one cached device array instead of doing an
+        O(n) host combine + (n,)-mask upload per query."""
+        if self._tombstones is None:
+            return None if user_mk is None else _to_jax(
+                user_mk, np.dtype(bool))
+        if user_mk is None:
+            if self._alive_dev is None:
+                import jax
+
+                self._alive_dev = jax.block_until_ready(
+                    _to_jax(~self._tombstones, np.dtype(bool)))
+            return self._alive_dev
+        return _to_jax(user_mk & ~self._tombstones, np.dtype(bool))
 
     def _effective_precision(self) -> str:
         """The kernel precision this handle runs with.
@@ -455,7 +486,8 @@ class Corpus:
                 f"{q.shape[1] if q.ndim == 2 else q.shape} dimensional "
                 f"vectors, right has {self.dim} dimensional vectors"
             )
-        mk = self._combined_mask(_validate_mask(mask, self.n))
+        user_mk = _validate_mask(mask, self.n)
+        masked = user_mk is not None or self._tombstones is not None
         kk = min(int(k), self.n)
         if kk <= 0:
             # same contract as module-level topk: k=0 -> empty match lists
@@ -470,7 +502,7 @@ class Corpus:
 
             vals, idx = distributed_topk(
                 qj, self._device, kk, metric, self.mesh, self.config,
-                mask=mk,
+                mask=self._combined_mask(user_mk),
             )
         else:
             from ..kernels.fused_topk import fused_topk_prepared, supports
@@ -492,13 +524,9 @@ class Corpus:
                 eff = self._effective_precision()
                 if eff != run_cfg.precision:
                     run_cfg = run_cfg.with_updates(precision=eff)
-                key = (kk, metric, run_cfg, tn, mk is not None)
-                fn = self._packed_fns.get(key)
-                if fn is None:
-                    fn = _packed_prepared_fn(*key)
-                    self._packed_fns[key] = fn
-                mkj = (None if mk is None
-                       else _to_jax(mk, np.dtype(bool)))
+                key = (kk, metric, run_cfg, tn, masked)
+                fn = _cached_fn(self._packed_fns, key, _packed_prepared_fn)
+                mkj = self._device_mask(user_mk)
                 args = (qj, cp, cbp) + (() if mkj is None else (mkj,))
                 with annotate(f"pmm.topk.{metric.value}"):
                     packed = np.asarray(fn(*args))
@@ -507,7 +535,7 @@ class Corpus:
             dense = self._dense_device()
             cj = dense if dt == dense.dtype else dense.astype(dt)
             vals, idx = _device_topk(qj, cj, kk, metric, self.config,
-                                     mask=mk)
+                                     mask=self._combined_mask(user_mk))
         v, i = _fetch_topk(vals, idx, kk)
         return i.astype(np.uint32), v.astype(np.float64)
 
