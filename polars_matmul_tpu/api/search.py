@@ -268,8 +268,9 @@ class Corpus:
         config: Optional[SearchConfig] = None,
     ):
         """``storage="bf16"`` keeps the device corpus in bfloat16 (half the
-        HBM; scores then carry the ~2^-9 storage quantization — opt-in,
-        single-device handles only)."""
+        HBM; scores then carry the ~2^-9 storage quantization — opt-in).
+        Composes with ``mesh``: shards are stored bf16 and searched with
+        the same "bf16c" kernel mode as single-device bf16 handles."""
         cfg = resolve(config)
         c = np.asarray(embeddings)
         if c.ndim != 2:
@@ -280,8 +281,6 @@ class Corpus:
             raise ValueError("Zero-dimensional vectors")
         if storage not in ("f32", "bf16"):
             raise ValueError(f"Unknown storage mode: {storage!r}")
-        if storage == "bf16" and mesh is not None:
-            raise ValueError("storage='bf16' is single-device only")
         self.config = cfg
         self.mesh = mesh
         self.storage = storage
@@ -297,7 +296,12 @@ class Corpus:
         if mesh is not None:
             from ..parallel.sharded import shard_corpus
 
-            self._device = shard_corpus(_to_jax(c, dt), mesh, cfg)
+            dev = _to_jax(c, dt)
+            if storage == "bf16":
+                import jax.numpy as jnp
+
+                dev = dev.astype(jnp.bfloat16)
+            self._device = shard_corpus(dev, mesh, cfg)
         elif storage == "bf16":
             import jax.numpy as jnp
 

@@ -240,6 +240,11 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
     else:
         def local_topk(q_, c_, *m_):
             mk = m_[0] if m_ else None
+            if c_.dtype == jnp.bfloat16:
+                # bf16-stored shard on a path that needs dense f32 values
+                # (one-shot prep inside fused_topk, or the XLA fallback):
+                # upcast locally, at shard granularity.
+                c_ = c_.astype(jnp.float32)
             return finish(*fused_topk(q_, c_, k_local, metric, mask=mk,
                                       config=cfg))
 
@@ -338,6 +343,11 @@ def distributed_topk(
 
     cfg = resolve(config)
     metric = Metric.parse(metric)
+    if str(corpus.data.dtype) == "bfloat16" and cfg.precision != "bf16c":
+        # bf16-STORAGE policy (same as Corpus._effective_precision): the
+        # shards are quantized at rest, so the only coherent kernel mode is
+        # "bf16c" — a higher-precision request could only spend memory.
+        cfg = cfg.with_updates(precision="bf16c")
     c_axis = cfg.mesh_axes[1]
     n_shards = mesh.shape[c_axis]
     ns = corpus.shape[0] // n_shards
@@ -354,9 +364,14 @@ def distributed_topk(
     from ..kernels.fused_topk import supports
 
     dim = corpus.data.shape[1]
+    dev_ok = (
+        _np.dtype(corpus.data.dtype) == _np.float32
+        if str(corpus.data.dtype) != "bfloat16"
+        else cfg.precision == "bf16c"
+    )
     use_prepared = (
         cfg.use_pallas
-        and _np.dtype(corpus.data.dtype) == _np.float32
+        and dev_ok
         and _np.dtype(q.dtype) == _np.float32
         and supports((q.shape[0], dim), (ns, dim), _np.float32, k_local, cfg)
     )
@@ -378,6 +393,7 @@ def distributed_topk(
 @lru_cache(maxsize=64)
 def _matmul_callable(mesh, n_true, cfg: SearchConfig):
     import jax
+    import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
     from ..kernels.matmul import pairwise_matmul
@@ -386,6 +402,10 @@ def _matmul_callable(mesh, n_true, cfg: SearchConfig):
     shards_data = mesh.shape[d_axis] > 1
 
     def local_fn(q_, c_):
+        if c_.dtype != q_.dtype:
+            # bf16-stored shards: matmul contracts to return dense values
+            # in the compute dtype, so upcast at shard granularity.
+            c_ = c_.astype(q_.dtype)
         return pairwise_matmul(q_, c_, precision=cfg.precision)
 
     mapped = _shard_map(

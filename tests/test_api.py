@@ -456,11 +456,8 @@ class TestBf16Storage:
         i2, v2 = h.topk(q, 40, "cosine")  # large-k regime works too
         assert i2.shape == (5, 40)
 
-    def test_mesh_rejected(self):
-        rng = np.random.default_rng(83)
-        c = rng.standard_normal((32, 8)).astype(np.float32)
-        with pytest.raises(ValueError, match="single-device"):
-            pmt.Corpus(c, storage="bf16", mesh=object())
+    # (mesh + bf16 storage is covered in test_parallel.py: shards are
+    # stored bfloat16 and searched with the same bf16c kernel mode)
 
 
 def test_bf16_storage_dtype_contracts():

@@ -250,3 +250,63 @@ def test_sharded_chunked_prep_matches_oneshot(mesh8):
     v0, i0 = topk_search(q, c, 4, "euclidean")
     assert_topk_equivalent(np.asarray(i3), np.asarray(v3),
                            np.asarray(i0), np.asarray(v0))
+
+
+class TestShardedBf16Storage:
+    """Corpus(storage="bf16", mesh=...): bf16 shards, bf16c kernel mode."""
+
+    def test_matches_quantized_oracle(self, mesh8):
+        import ml_dtypes
+
+        rng = np.random.default_rng(91)
+        q = rng.standard_normal((10, 48)).astype(np.float32)
+        c = rng.standard_normal((333, 48)).astype(np.float32)
+        h = pmt.Corpus(c, storage="bf16", mesh=mesh8)
+        i1, v1 = h.topk(q, 6, "cosine")
+        cq = c.astype(ml_dtypes.bfloat16).astype(np.float32)
+        i0, v0 = pmt.topk(q, cq, 6, "cosine")
+        agree = (i1 == i0).mean()
+        assert agree > 0.9, agree
+        np.testing.assert_allclose(v1, v0, rtol=5e-2, atol=1e-2)
+        # shards are genuinely bfloat16, and so is the per-shard prep
+        assert str(h._device.data.dtype) == "bfloat16"
+        (cp, _), = [v for v in h._device._prepared.values()]
+        assert str(cp.dtype) == "bfloat16"
+
+    def test_ring_merge_and_mask(self, mesh8):
+        rng = np.random.default_rng(92)
+        q = rng.standard_normal((6, 32)).astype(np.float32)
+        c = rng.standard_normal((200, 32)).astype(np.float32)
+        mask = rng.random(200) < 0.4
+        mask[:8] = True
+        h = pmt.Corpus(c, storage="bf16", mesh=mesh8,
+                       config=pmt.SearchConfig(merge="ring"))
+        i, v = h.topk(q, 5, "dot", mask=mask)
+        assert mask[i.reshape(-1)].all()
+
+    def test_fallback_path_upcasts_per_shard(self, mesh8):
+        """k > k_pad diverts to the non-prepared path, which must upcast
+        the bf16 shards locally before the XLA fallback."""
+        import ml_dtypes
+
+        rng = np.random.default_rng(93)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c = rng.standard_normal((2000, 16)).astype(np.float32)
+        h = pmt.Corpus(c, storage="bf16", mesh=mesh8)
+        i, v = h.topk(q, 200, "cosine")  # k > k_pad=128
+        assert i.shape == (4, 200)
+        cq = c.astype(ml_dtypes.bfloat16).astype(np.float32)
+        i0, v0 = pmt.topk(q, cq, 200, "cosine")
+        assert (i == i0).mean() > 0.9
+
+    def test_matmul_upcasts_per_shard(self, mesh8):
+        import ml_dtypes
+
+        rng = np.random.default_rng(94)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c = rng.standard_normal((64, 16)).astype(np.float32)
+        h = pmt.Corpus(c, storage="bf16", mesh=mesh8)
+        out = h.matmul(q)
+        assert out.dtype == np.float32
+        cq = c.astype(ml_dtypes.bfloat16).astype(np.float32)
+        np.testing.assert_allclose(out, q @ cq.T, rtol=1e-5, atol=1e-5)
