@@ -499,14 +499,22 @@ class Corpus:
                 np.empty((q.shape[0], 0), np.uint32),
                 np.empty((q.shape[0], 0), np.float64),
             )
-        dt = compute_dtype(q.dtype, self.dtype)
-        qj = _to_jax(q, dt)
+        # Half-precision queries (f16 / ml_dtypes bf16) serve on the f32
+        # path — like bf16 storage, f64 compute on quantized inputs would
+        # be theater.  On the Pallas path they also upload at half the
+        # host->device bytes (the only per-call transfer once the corpus
+        # is resident) and upcast on device.
+        half_q = (q.dtype.itemsize == 2
+                  and np.issubdtype(q.dtype, np.floating)
+                  or str(q.dtype) == "bfloat16")
+        dt = (np.dtype(np.float32) if half_q
+              else compute_dtype(q.dtype, self.dtype))
         if self.mesh is not None:
             from ..parallel.sharded import distributed_topk
 
             vals, idx = distributed_topk(
-                qj, self._device, kk, metric, self.mesh, self.config,
-                mask=self._combined_mask(user_mk),
+                _to_jax(q, dt), self._device, kk, metric, self.mesh,
+                self.config, mask=self._combined_mask(user_mk),
             )
         else:
             from ..kernels.fused_topk import fused_topk_prepared, supports
@@ -523,6 +531,7 @@ class Corpus:
                 and supports(q.shape, (self.n, self.dim), dt, kk,
                              self.config)
             ):
+                qj = _to_jax(q, q.dtype) if half_q else _to_jax(q, dt)
                 cp, cbp, tn = self._prepared_for(metric, kk)
                 run_cfg = self.config
                 eff = self._effective_precision()
@@ -536,6 +545,7 @@ class Corpus:
                     packed = np.asarray(fn(*args))
                 v, i = _unpack_pair(packed, kk)
                 return i.astype(np.uint32), v.astype(np.float64)
+            qj = _to_jax(q, dt)
             dense = self._dense_device()
             cj = dense if dt == dense.dtype else dense.astype(dt)
             vals, idx = _device_topk(qj, cj, kk, metric, self.config,

@@ -659,6 +659,11 @@ def fused_topk_prepared(
     """
     cfg = resolve(config)
     metric = Metric.parse(metric)
+    if q.dtype != jnp.float32:
+        # Half-precision query ingestion (Corpus.topk uploads f16/bf16
+        # queries at half the host->device bytes): upcast on device, so
+        # the kernel and the euclidean finalize below both run f32.
+        q = q.astype(jnp.float32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if tn is None:

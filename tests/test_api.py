@@ -534,3 +534,44 @@ class TestCorpusDelete:
         h.delete([kill])
         i1, _ = h.topk(q, 2)
         assert not (i1 == kill).any()
+
+
+class TestHalfPrecisionQueries:
+    """Corpus.topk accepts f16 / bf16 queries: served on the f32 path,
+    uploaded at half the bytes, upcast on device (new-API policy, like
+    bf16 storage; module-level topk keeps reference cast-up semantics)."""
+
+    def test_f16_queries_match_f32(self):
+        rng = np.random.default_rng(101)
+        q = rng.standard_normal((8, 64)).astype(np.float32)
+        c = rng.standard_normal((500, 64)).astype(np.float32)
+        h = pmt.Corpus(c)
+        i32, v32 = h.topk(q, 10, "cosine")
+        i16, v16 = h.topk(q.astype(np.float16), 10, "cosine")
+        # query quantization is ~1e-3 relative: rankings nearly identical
+        agree = (i16 == i32).mean()
+        assert agree > 0.9, agree
+        np.testing.assert_allclose(v16, v32, rtol=5e-3, atol=5e-3)
+        assert v16.dtype == np.float64  # output contract unchanged
+
+    def test_bf16_queries_accepted(self):
+        import ml_dtypes
+
+        rng = np.random.default_rng(102)
+        q = rng.standard_normal((4, 32)).astype(np.float32)
+        c = rng.standard_normal((200, 32)).astype(np.float32)
+        h = pmt.Corpus(c)
+        i32, _ = h.topk(q, 5, "dot")
+        ib, _ = h.topk(q.astype(ml_dtypes.bfloat16), 5, "dot")
+        assert (ib == i32).mean() > 0.85
+
+    def test_f16_queries_euclidean_and_fallback(self):
+        rng = np.random.default_rng(103)
+        q16 = rng.standard_normal((4, 16)).astype(np.float16)
+        c = rng.standard_normal((300, 16)).astype(np.float32)
+        h = pmt.Corpus(c)
+        i, v = h.topk(q16, 3, "euclidean")
+        assert (v >= 0).all()          # finalize ran in f32
+        # k > k_pad diverts to the XLA fallback, which upcasts on host
+        i2, v2 = h.topk(q16, 200, "cosine")
+        assert i2.shape == (4, 200)
