@@ -9,6 +9,7 @@ path, optionally across a device mesh.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple, Union
 
 import numpy as np
@@ -204,6 +205,20 @@ def _cached_fn(cache: dict, key, factory, max_entries: int = 64):
 _ONESHOT_CACHE: dict = {}
 
 
+@functools.lru_cache(maxsize=64)
+def _prep_chunk_fn(metric_v: str, precision: str, tn: int):
+    """Jitted row-chunk prep, cached per prepared-form key so Corpus.add
+    compiles each splice program once."""
+    import jax
+
+    from ..kernels.fused_topk import prepare_corpus
+
+    return jax.jit(functools.partial(
+        prepare_corpus, metric=Metric.parse(metric_v), tn=tn,
+        precision=precision,
+    ))
+
+
 def _packed_topk(qj, cj, k: int, metric: Metric, cfg: SearchConfig, mask):
     """Single-dispatch topk returning the packed host array."""
     key = (k, metric, cfg, mask is not None)
@@ -265,12 +280,18 @@ class Corpus:
         *,
         mesh=None,
         storage: str = "f32",
+        capacity: Optional[int] = None,
         config: Optional[SearchConfig] = None,
     ):
         """``storage="bf16"`` keeps the device corpus in bfloat16 (half the
         HBM; scores then carry the ~2^-9 storage quantization — opt-in).
         Composes with ``mesh``: shards are stored bf16 and searched with
-        the same "bf16c" kernel mode as single-device bf16 handles."""
+        the same "bf16c" kernel mode as single-device bf16 handles.
+
+        ``capacity`` pre-reserves device rows for ``add()`` (single-device
+        only): adds within capacity are in-place row writes into the
+        prepared buffers — the compiled search program's shapes never
+        change, so growth costs zero recompilation."""
         cfg = resolve(config)
         c = np.asarray(embeddings)
         if c.ndim != 2:
@@ -281,10 +302,16 @@ class Corpus:
             raise ValueError("Zero-dimensional vectors")
         if storage not in ("f32", "bf16"):
             raise ValueError(f"Unknown storage mode: {storage!r}")
+        if capacity is not None and mesh is not None:
+            raise ValueError("capacity/add() are single-device only")
         self.config = cfg
         self.mesh = mesh
         self.storage = storage
         self.n, self.dim = c.shape
+        # Device buffers are allocated at `_cap` rows; rows in [n, _cap)
+        # are zeros whose prepared bias is -inf (never selectable).
+        self._cap = (self.n if capacity is None
+                     else max(int(capacity), self.n))
         # bf16 storage quantizes the values, so the handle presents f32
         # semantics regardless of the input float width (f64 "precision"
         # on a quantized corpus would be theater and would also divert
@@ -302,13 +329,18 @@ class Corpus:
 
                 dev = dev.astype(jnp.bfloat16)
             self._device = shard_corpus(dev, mesh, cfg)
-        elif storage == "bf16":
-            import jax.numpy as jnp
-
-            self._device = _to_jax(c, np.dtype(np.float32)).astype(
-                jnp.bfloat16)
         else:
-            self._device = _to_jax(c, dt)
+            if storage == "bf16":
+                import jax.numpy as jnp
+
+                dev = _to_jax(c, np.dtype(np.float32)).astype(jnp.bfloat16)
+            else:
+                dev = _to_jax(c, dt)
+            if self._cap > self.n:
+                import jax.numpy as jnp
+
+                dev = jnp.pad(dev, ((0, self._cap - self.n), (0, 0)))
+            self._device = dev
         # Lazy f32 upcast of a bf16-stored corpus, built only if a
         # non-Pallas path (k > k_pad, dim > 8192, use_pallas=False) or
         # Corpus.matmul needs dense values; costs the f32 bytes once.
@@ -324,6 +356,75 @@ class Corpus:
         # built lazily on first use: steady-state queries then do zero
         # per-call corpus work on device.
         self._prepared = {}
+
+    def add(self, rows: ArrayLike) -> int:
+        """Append corpus rows; returns the new row count.
+
+        Dynamic growth the TPU way (static shapes + masking): device
+        buffers are allocated at ``_cap`` rows with a -inf prepared bias
+        beyond ``n``, so an add within capacity is a handful of in-place
+        row writes — the raw buffer, and each cached prepared form (the
+        new rows are scaled/split at chunk granularity and spliced in) —
+        and the compiled search program is reused with zero recompilation.
+        Exceeding capacity doubles it (one buffer reallocation; prepared
+        forms rebuild lazily).  New rows receive indices ``n..n+m-1``.
+        Single-device handles only (a sharded add would change every
+        shard's global offset).
+        """
+        if self.mesh is not None:
+            raise ValueError("add() is single-device only")
+        r = np.asarray(rows)
+        if r.ndim != 2 or r.shape[1] != self.dim:
+            raise ValueError(
+                f"Dimension mismatch: left has "
+                f"{r.shape[1] if r.ndim == 2 else r.shape} dimensional "
+                f"vectors, right has {self.dim} dimensional vectors"
+            )
+        m = r.shape[0]
+        if m == 0:
+            return self.n
+        import jax
+        import jax.numpy as jnp
+
+        new_n = self.n + m
+        buf_dt = self._device.dtype
+        if new_n > self._cap:
+            # Grow geometrically; prepared forms rebuild lazily at the new
+            # capacity (their row counts change, so in-place is impossible).
+            new_cap = max(2 * self._cap, new_n)
+            self._device = jnp.pad(
+                self._device, ((0, new_cap - self._cap), (0, 0)))
+            self._cap = new_cap
+            self._prepared.clear()
+            self._f32_view = None
+
+        rj32 = _to_jax(r, np.dtype(np.float32))
+        rj = rj32.astype(buf_dt) if buf_dt != jnp.float32 else rj32
+        if np.dtype(buf_dt) == np.float64:
+            rj = _to_jax(r, np.dtype(np.float64))
+        self._device = jax.lax.dynamic_update_slice(
+            self._device, rj, (self.n, 0))
+        self._f32_view = None
+
+        # Splice the new rows into every cached prepared form: prep is
+        # row-wise (per-row scaling / bias / precision split), so a chunk
+        # prep of just the new rows is exact.
+        with jax.enable_x64(False):
+            for key in list(self._prepared):
+                cp, cbp = self._prepared[key]
+                cpc, cbc = _prep_chunk_fn(*key)(rj32)
+                cp = jax.lax.dynamic_update_slice(
+                    cp, cpc[:m], (self.n, 0))
+                cbp = jax.lax.dynamic_update_slice(
+                    cbp, cbc[:, :m], (0, self.n))
+                self._prepared[key] = (cp, cbp)
+
+        if self._tombstones is not None:
+            self._tombstones = np.concatenate(
+                [self._tombstones, np.zeros(m, dtype=bool)])
+            self._alive_dev = None
+        self.n = new_n
+        return new_n
 
     def delete(self, indices: ArrayLike) -> int:
         """Tombstone corpus rows: they never match again (topk only).
@@ -436,7 +537,8 @@ class Corpus:
                     return prep_old + (tn_old,)
         with jax.enable_x64(False):
             if raw_bytes <= self.config.prep_chunk_bytes:
-                self._prepared[key] = jax.block_until_ready(jax.jit(prep)(c))
+                self._prepared[key] = jax.block_until_ready(
+                    self._mask_capacity_tail(*jax.jit(prep)(c)))
                 return self._prepared[key] + (tn,)
 
             import jax.numpy as jnp
@@ -472,8 +574,18 @@ class Corpus:
                 buf_cp, buf_cb = update(buf_cp, buf_cb, chunk,
                                         jnp.int32(row0))
                 row0 += rows
-            self._prepared[key] = jax.block_until_ready((buf_cp, buf_cb))
+            self._prepared[key] = jax.block_until_ready(
+                self._mask_capacity_tail(buf_cp, buf_cb))
         return self._prepared[key] + (tn,)
+
+    def _mask_capacity_tail(self, cp, cbp):
+        """Reserved-capacity rows ([n, _cap)) are zeros in the raw buffer;
+        the prep treats them as real rows, so force their bias to -inf
+        (the same mechanism that excludes tile-padding rows).  ``add()``
+        later overwrites both the rows and their bias entries in place."""
+        if self._cap > self.n:
+            cbp = cbp.at[:, self.n:].set(-np.inf)
+        return cp, cbp
 
     def topk(
         self, queries: ArrayLike, k: int,
@@ -547,6 +659,8 @@ class Corpus:
                 return i.astype(np.uint32), v.astype(np.float64)
             qj = _to_jax(q, dt)
             dense = self._dense_device()
+            if self._cap > self.n:
+                dense = dense[:self.n]
             cj = dense if dt == dense.dtype else dense.astype(dt)
             vals, idx = _device_topk(qj, cj, kk, metric, self.config,
                                      mask=self._combined_mask(user_mk))
@@ -575,6 +689,8 @@ class Corpus:
         from ..kernels.matmul import pairwise_matmul
 
         dense = self._dense_device()
+        if self._cap > self.n:
+            dense = dense[:self.n]
         cj = dense if np.dtype(dense.dtype) == dt else dense.astype(dt)
         with annotate("pmm.matmul"):
             out = pairwise_matmul(_to_jax(q, dt), cj,

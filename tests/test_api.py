@@ -575,3 +575,118 @@ class TestHalfPrecisionQueries:
         # k > k_pad diverts to the XLA fallback, which upcasts on host
         i2, v2 = h.topk(q16, 200, "cosine")
         assert i2.shape == (4, 200)
+
+
+class TestCorpusAdd:
+    """Dynamic corpus growth: in-place row writes into capacity-padded
+    prepared buffers; compiled programs reused (static shapes + masking)."""
+
+    def _oracle(self, q, c, k):
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        s = qn @ cn.T
+        return np.argsort(-s, axis=1)[:, :k]
+
+    def test_add_within_capacity_zero_reprep(self):
+        rng = np.random.default_rng(111)
+        q = rng.standard_normal((6, 32)).astype(np.float32)
+        c0 = rng.standard_normal((200, 32)).astype(np.float32)
+        extra = rng.standard_normal((50, 32)).astype(np.float32)
+        h = pmt.Corpus(c0, capacity=400)
+        i_before, _ = h.topk(q, 5)           # builds the prepared form
+        cp_before, _ = next(iter(h._prepared.values()))
+        assert h.add(extra) == 250
+        cp_after, _ = next(iter(h._prepared.values()))
+        assert cp_after.shape == cp_before.shape      # spliced, not rebuilt
+        i, v = h.topk(q, 5)
+        oracle = self._oracle(q, np.vstack([c0, extra]), 5)
+        assert (i == oracle).mean() > 0.99
+        # a genuinely new row is reachable by its new index (cosine would
+        # tie a scaled copy back to the original, lowest-index-wins)
+        probe = rng.standard_normal((1, 32)).astype(np.float32)
+        h.add(probe)
+        ip, vp = h.topk(probe, 1)
+        assert ip[0, 0] == 250                        # the row just added
+        np.testing.assert_allclose(vp[0, 0], 1.0, atol=1e-4)
+
+    def test_add_beyond_capacity_grows(self):
+        rng = np.random.default_rng(112)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c0 = rng.standard_normal((100, 16)).astype(np.float32)
+        h = pmt.Corpus(c0)                   # capacity == n
+        h.topk(q, 3)
+        extra = rng.standard_normal((30, 16)).astype(np.float32)
+        assert h.add(extra) == 130
+        assert h._cap >= 130
+        i, _ = h.topk(q, 3)
+        oracle = self._oracle(q, np.vstack([c0, extra]), 3)
+        assert (i == oracle).mean() > 0.99
+
+    def test_add_euclidean_bias_spliced(self):
+        rng = np.random.default_rng(113)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c0 = rng.standard_normal((80, 16)).astype(np.float32)
+        h = pmt.Corpus(c0, capacity=200)
+        h.topk(q, 3, "euclidean")            # cache the euclid prep
+        h.add(q)                             # queries themselves: distance 0
+        i, v = h.topk(q, 1, "euclidean")
+        np.testing.assert_array_equal(i[:, 0], np.arange(80, 84))
+        # self-distance ~ sqrt(eps_bf16x3 * |q|^2) under the default
+        # precision: ~1e-2 noise through the sqrt's cancellation
+        np.testing.assert_allclose(v[:, 0], 0.0, atol=5e-2)
+
+    def test_add_then_delete_then_mask(self):
+        rng = np.random.default_rng(114)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        c0 = rng.standard_normal((50, 16)).astype(np.float32)
+        h = pmt.Corpus(c0, capacity=100)
+        h.delete([0, 1])
+        h.add(q * 5.0)                       # rows 50..52, exact matches
+        i, _ = h.topk(q, 1)
+        np.testing.assert_array_equal(i[:, 0], [50, 51, 52])
+        h.delete([50])
+        i2, _ = h.topk(q[:1], 1)
+        assert i2[0, 0] != 50                # tombstone covers added rows
+
+    def test_add_updates_matmul_and_fallback(self):
+        rng = np.random.default_rng(115)
+        q = rng.standard_normal((3, 8)).astype(np.float32)
+        c0 = rng.standard_normal((40, 8)).astype(np.float32)
+        extra = rng.standard_normal((10, 8)).astype(np.float32)
+        h = pmt.Corpus(c0, capacity=64)
+        h.add(extra)
+        out = h.matmul(q)
+        assert out.shape == (3, 50)
+        np.testing.assert_allclose(out, q @ np.vstack([c0, extra]).T,
+                                   rtol=1e-5, atol=1e-5)
+        i, _ = h.topk(q, 200)                # k > k_pad: XLA fallback
+        assert i.shape == (3, 50)
+
+    def test_add_bf16_storage(self):
+        rng = np.random.default_rng(116)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        c0 = rng.standard_normal((60, 16)).astype(np.float32)
+        h = pmt.Corpus(c0, storage="bf16", capacity=100)
+        h.topk(q, 3)
+        h.add(q * 4.0)
+        i, _ = h.topk(q, 1)
+        np.testing.assert_array_equal(i[:, 0], [60, 61, 62])
+
+    def test_add_f64_handle(self):
+        rng = np.random.default_rng(117)
+        q = rng.standard_normal((3, 8))
+        c0 = rng.standard_normal((30, 8))
+        h = pmt.Corpus(c0, capacity=50)
+        h.add(q * 3.0)
+        i, _ = h.topk(q, 1)
+        np.testing.assert_array_equal(i[:, 0], [30, 31, 32])
+
+    def test_add_errors(self):
+        rng = np.random.default_rng(118)
+        c0 = rng.standard_normal((20, 8)).astype(np.float32)
+        h = pmt.Corpus(c0)
+        with pytest.raises(ValueError, match="Dimension mismatch"):
+            h.add(rng.standard_normal((2, 9)).astype(np.float32))
+        assert h.add(np.empty((0, 8), np.float32)) == 20
+        with pytest.raises(ValueError, match="single-device"):
+            pmt.Corpus(c0, capacity=40, mesh=object())
