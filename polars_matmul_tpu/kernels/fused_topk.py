@@ -290,8 +290,10 @@ def _dot_nt(a, b, precision):
 def _kernel(
     q_ref,      # (TM, D)    queries tile (pre-scaled per metric); bf16x3
                 #            mode passes (TM, 2D): hi | lo halves
-    c_ref,      # (TN, D)    corpus tile (pre-scaled per metric); idem
+    c_ref,      # (TN, D)    corpus tile (pre-scaled per metric); idem.
+                #            int8c mode passes int8 quantization codes
     cb_ref,     # (1, TN)    per-corpus epilogue bias (euclid -|c|^2, pad -inf)
+                #            int8c mode passes (2, TN): scale row | bias row
     *rest,      # [mb_ref (1, TN) f32 0/1 if use_mask] + outputs + scratch:
                 # vals_ref (TM, KP), idx_ref (TM, KP), carry_vals, carry_idx
     k: int,
@@ -331,23 +333,34 @@ def _kernel(
         cl = c_ref[:, dsplit:]
         p = jax.lax.Precision.DEFAULT
         d = _dot_nt(qh, ch, p) + (_dot_nt(qh, cl, p) + _dot_nt(ql, ch, p))
-    elif precision == "bf16c":
-        # bf16-STORAGE corpus (half the HBM; Corpus(storage="bf16")):
-        # the corpus carries only the hi half, queries stay split, so the
-        # matmul is two bf16 passes and accuracy is bounded by the
-        # corpus quantization itself (~2^-9).
+    elif precision in ("bf16c", "int8c"):
+        # Quantized-STORAGE corpus: "bf16c" (Corpus(storage="bf16"), half
+        # the HBM) carries only the hi half; "int8c" (storage="int8", a
+        # quarter of the HBM) carries per-row int8 codes converted to bf16
+        # here — int8 values are bf16-exact, so accuracy is bounded by the
+        # int8 quantization itself (the per-row scale rides cb_ref row 0).
+        # Queries stay hi|lo split in both modes, so the matmul is two
+        # bf16 passes either way.
         dsplit = q_ref.shape[1] // 2
         qh = q_ref[:, :dsplit]
         ql = q_ref[:, dsplit:]
         ch = c_ref[:]
+        if precision == "int8c":
+            ch = ch.astype(jnp.bfloat16)
         p = jax.lax.Precision.DEFAULT
         d = _dot_nt(qh, ch, p) + _dot_nt(ql, ch, p)
     else:
         d = _dot_nt(q_ref[:], c_ref[:], precision)
 
-    # --- VPU epilogue: a single additive bias pass covers both the
-    # euclidean -|c|^2 term and the padding-tail mask -------------------------
-    s = d + cb_ref[:] if use_bias else d
+    # --- VPU epilogue: one fused pass covers the int8 per-row dequant
+    # scale (multiplicative), the euclidean -|c|^2 term, and the
+    # padding-tail mask (both additive) --------------------------------------
+    if precision == "int8c":
+        s = d * cb_ref[0:1, :] + cb_ref[1:2, :]
+    elif use_bias:
+        s = d + cb_ref[:]
+    else:
+        s = d
     if use_mask:
         # Filter by SELECT, not arithmetic: a -inf bias on a masked row
         # whose dot product is NaN/inf would poison the whole selection.
@@ -455,15 +468,61 @@ def pad_mask_row(mask, width: int):
     )
 
 
-def prepare_corpus(c: jax.Array, metric, *, tn: int, precision: str):
+def quantize_int8(c: jax.Array):
+    """Per-row symmetric int8 quantization: codes * scale[:, None] ~= c.
+
+    Zero rows get scale 1.0 so the dequantized row is exactly zero and no
+    division blows up.  rint ties-to-even matches np.rint on the host path.
+    """
+    c = c.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(c), axis=1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    codes = jnp.rint(c / scale).astype(jnp.int8)
+    return codes, scale[:, 0]
+
+
+def prepare_corpus(c: jax.Array, metric, *, tn: int, precision: str,
+                   scales: "Optional[jax.Array]" = None):
     """Metric pre-scaling + padding + (bf16x3) splitting of the corpus.
 
     Pure and traceable; the Corpus handle jits this once and caches the
     result on device so steady-state queries do zero per-call corpus work.
     Returns (cp, cbp): the processed corpus and the epilogue-bias row.
+
+    ``precision="int8c"``: ``c`` is either f32 (quantized here) or int8
+    codes with ``scales`` (n,) from quantize_int8 (the Corpus storage
+    path — quantize once at ingestion, reuse the codes for every metric).
+    cp stays int8; cbp is (2, n_padded): a multiplicative per-row dequant
+    scale folded with the metric scaling, over the usual additive bias.
     """
     metric = Metric.parse(metric)
     n, dim = c.shape
+    if precision == "int8c":
+        if c.dtype != jnp.int8:
+            c, scales = quantize_int8(c)
+        codesf = c.astype(jnp.float32)
+        code_norm = jnp.sqrt(jnp.sum(codesf * codesf, axis=1))
+        if metric is Metric.COSINE:
+            # s = (q/|q| . codes) * 1/|codes|: the dequant scale cancels
+            # against the normalization, so cosine pays NO extra
+            # quantization error from the scale itself.
+            cs = jnp.where(code_norm > 0, 1.0 / code_norm, 0.0)
+            cb = jnp.zeros((n,), jnp.float32)
+        elif metric is Metric.EUCLIDEAN:
+            cs = scales.astype(jnp.float32)
+            cb = -(cs * code_norm) ** 2
+        else:
+            cs = scales.astype(jnp.float32)
+            cb = jnp.zeros((n,), jnp.float32)
+        np_ = _round_up(n, tn)
+        dp = _round_up(dim, 128)
+        cp = jnp.pad(c, ((0, np_ - n), (0, dp - dim)))
+        # Row 0: dequant scale (pad rows get 0 — any finite value works,
+        # their dot products are 0).  Row 1: additive bias, pad tail -inf.
+        csp = jnp.pad(cs.reshape(1, n), ((0, 0), (0, np_ - n)))
+        cbp = jnp.pad(cb.reshape(1, n), ((0, 0), (0, np_ - n)),
+                      constant_values=-np.inf)
+        return cp, jnp.concatenate([csp, cbp], axis=0)
     if c.dtype != jnp.float32:
         # bf16-stored corpora arrive quantized; prep math (norms, bias)
         # runs in f32.  Chunked callers pass bf16 chunks so the f32 copy
@@ -531,7 +590,7 @@ def _run_prepared(
     np_ = cbp.shape[1]
 
     qp = jnp.pad(q, ((0, mp - m), (0, dp - dim)))
-    if precision in ("bf16x3", "bf16c"):
+    if precision in ("bf16x3", "bf16c", "int8c"):
         qp = _split_hi_lo(qp)
         dk_q = 2 * dp  # query feature axis carries hi|lo halves
         dk_c = 2 * dp if precision == "bf16x3" else dp
@@ -539,6 +598,7 @@ def _run_prepared(
     else:
         dk_q = dk_c = dp
         kern_precision = _PRECISION[precision]
+    cb_rows = cbp.shape[0]  # 2 in int8c mode (scale row | bias row)
 
     grid = (mp // tm, np_ // tn)
 
@@ -557,7 +617,7 @@ def _run_prepared(
     in_specs = [
         pl.BlockSpec((tm, dk_q), lambda i, j: (i, 0)),
         pl.BlockSpec((tn, dk_c), lambda i, j: (j, 0)),
-        pl.BlockSpec((1, tn), lambda i, j: (0, j)),
+        pl.BlockSpec((cb_rows, tn), lambda i, j: (0, j)),
     ]
     operands = [qp, cp, cbp]
     if use_mask:
@@ -710,7 +770,7 @@ def fused_topk(
         interpret = jax.default_backend() != "tpu"
 
     if not cfg.use_pallas or not supports(q.shape, c.shape, q.dtype, k, cfg):
-        fb = ("highest" if cfg.precision in ("bf16x3", "bf16c")
+        fb = ("highest" if cfg.precision in ("bf16x3", "bf16c", "int8c")
               else cfg.precision)
         mk = None if mask is None else jnp.asarray(mask).astype(bool)
         return reference.topk_search(q, c, k, metric, mask=mk, precision=fb)

@@ -690,3 +690,127 @@ class TestCorpusAdd:
         assert h.add(np.empty((0, 8), np.float32)) == 20
         with pytest.raises(ValueError, match="single-device"):
             pmt.Corpus(c0, capacity=40, mesh=object())
+
+
+class TestInt8Storage:
+    """Corpus(storage="int8"): per-row symmetric int8 codes + f32 scales —
+    a quarter of the f32 HBM and upload bytes.  The fused kernel converts
+    codes to bf16 in VMEM (int8 values are bf16-exact) and folds the
+    dequant scale into the epilogue, so results match the DEQUANTIZED
+    corpus almost exactly; recall vs exact f32 carries the quantization."""
+
+    def _dequant(self, c):
+        from polars_matmul_tpu.api.search import _quantize_rows_np
+
+        codes, scales = _quantize_rows_np(np.asarray(c, np.float32))
+        return codes.astype(np.float32) * scales[:, None]
+
+    def test_matches_dequantized_oracle_all_metrics(self):
+        rng = np.random.default_rng(121)
+        q = rng.standard_normal((12, 48)).astype(np.float32)
+        c = rng.standard_normal((400, 48)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8")
+        cdeq = self._dequant(c)
+        for metric in ("cosine", "dot", "euclidean"):
+            i1, v1 = h.topk(q, 6, metric)
+            i0, v0 = pmt.topk(q, cdeq, 6, metric)
+            assert (i1 == i0).mean() > 0.97, (metric, (i1 == i0).mean())
+            np.testing.assert_allclose(v1, v0, rtol=2e-4, atol=2e-4)
+        # prepared corpus is genuinely int8 codes (quarter of the bytes),
+        # shared across metrics after the first call built each form
+        for cp, cb in h._prepared.values():
+            assert str(cp.dtype) == "int8"
+            assert cb.shape[0] == 2           # scale row | bias row
+
+    def test_recall_vs_exact_f32(self):
+        rng = np.random.default_rng(122)
+        q = rng.standard_normal((40, 128)).astype(np.float32)
+        c = rng.standard_normal((2000, 128)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8")
+        i1, _ = h.topk(q, 10)
+        i0, _ = pmt.topk(q, c, 10)
+        recall = np.mean([
+            len(set(i1[r]) & set(i0[r])) / 10 for r in range(len(q))
+        ])
+        assert recall > 0.95, recall
+
+    def test_dtype_contracts_and_fallbacks(self):
+        rng = np.random.default_rng(123)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c64 = rng.standard_normal((60, 16))          # f64 input
+        h = pmt.Corpus(c64, storage="int8")
+        assert h.dtype == np.float32
+        out = h.matmul(q)                            # dequantized panel
+        assert out.dtype == np.float32
+        np.testing.assert_allclose(
+            out, q @ self._dequant(c64).T, rtol=1e-5, atol=1e-5)
+        i, v = h.topk(q, 3)
+        assert len(h._prepared) == 1                 # pallas path reachable
+        i2, _ = h.topk(q, 200)                       # k > k_pad: XLA fallback
+        assert i2.shape == (4, 60)
+        assert h._f32_view is not None
+        # the fallback ranks the same dequantized values
+        i3, _ = pmt.topk(q, self._dequant(c64), 60)
+        np.testing.assert_array_equal(i2, i3)
+
+    def test_precision_override_ignored(self):
+        rng = np.random.default_rng(124)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c = rng.standard_normal((60, 16)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8",
+                       config=pmt.SearchConfig(precision="highest"))
+        h.topk(q, 3)
+        (cp, _), = [val for val in h._prepared.values()]
+        assert str(cp.dtype) == "int8"               # not a full f32 prep
+
+    def test_masked_delete_and_half_queries(self):
+        rng = np.random.default_rng(125)
+        q = rng.standard_normal((5, 32)).astype(np.float32)
+        c = rng.standard_normal((300, 32)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8")
+        mask = rng.random(300) < 0.4
+        mask[:8] = True
+        i, v = h.topk(q, 4, "dot", mask=mask)
+        assert mask[i.reshape(-1)].all()
+        h.delete([int(i[0, 0])])
+        i2, _ = h.topk(q, 4, "dot", mask=mask)
+        assert int(i[0, 0]) not in set(i2[0].tolist())
+        i3, _ = h.topk(q.astype(np.float16), 4)      # half-precision queries
+        assert i3.shape == (5, 4)
+
+    def test_capacity_add(self):
+        rng = np.random.default_rng(126)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c0 = rng.standard_normal((100, 16)).astype(np.float32)
+        h = pmt.Corpus(c0, storage="int8", capacity=200)
+        h.topk(q, 3)                                 # build prepared form
+        cp_before, _ = next(iter(h._prepared.values()))
+        h.add(q * 4.0)                               # exact matches appended
+        cp_after, _ = next(iter(h._prepared.values()))
+        assert cp_after.shape == cp_before.shape     # spliced, not rebuilt
+        i, v = h.topk(q, 1)
+        np.testing.assert_array_equal(i[:, 0], [100, 101, 102, 103])
+        np.testing.assert_allclose(v[:, 0], 1.0, atol=1e-2)
+        # grow beyond capacity too
+        extra = rng.standard_normal((150, 16)).astype(np.float32)
+        assert h.add(extra) == 254
+        i2, _ = h.topk(q, 1)
+        np.testing.assert_array_equal(i2[:, 0], [100, 101, 102, 103])
+
+    def test_chunked_prep_matches_oneshot(self):
+        rng = np.random.default_rng(127)
+        q = rng.standard_normal((6, 32)).astype(np.float32)
+        c = rng.standard_normal((900, 32)).astype(np.float32)
+        h1 = pmt.Corpus(c, storage="int8")
+        # force the chunked path: raw int8 bytes (900*32) > 8192
+        h2 = pmt.Corpus(c, storage="int8",
+                        config=pmt.SearchConfig(prep_chunk_bytes=8192))
+        i1, v1 = h1.topk(q, 5, "euclidean")
+        i2, v2 = h2.topk(q, 5, "euclidean")
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=1e-6)
+
+    def test_mesh_rejected(self):
+        c = np.eye(8, dtype=np.float32)
+        with pytest.raises(ValueError, match="single-device"):
+            pmt.Corpus(c, mesh=object(), storage="int8")
