@@ -300,6 +300,7 @@ class Corpus:
         *,
         mesh=None,
         storage: str = "f32",
+        scales: Optional[ArrayLike] = None,
         capacity: Optional[int] = None,
         config: Optional[SearchConfig] = None,
     ):
@@ -316,6 +317,10 @@ class Corpus:
         to ~1e-5 and recall@10 vs exact f32 is ~0.99 on random data.
         Quantization happens once at ingestion; every metric reuses the
         same codes (for cosine the scale cancels against the row norm).
+        Pre-quantized corpora skip that step: pass int8 ``embeddings``
+        (the codes) with ``scales`` (n,) — the contract is
+        ``row ~= codes * scale`` (this is also what ``Corpus.load``
+        uses, so saved int8 corpora reload without requantizing).
 
         ``capacity`` pre-reserves device rows for ``add()`` (single-device
         only): adds within capacity are in-place row writes into the
@@ -337,6 +342,28 @@ class Corpus:
             raise ValueError(
                 "storage='int8' is single-device for now; use 'bf16' "
                 "for mesh-sharded quantized storage"
+            )
+        if np.dtype(c.dtype) == np.int8 and storage != "int8":
+            raise ValueError(
+                "int8 embeddings (pre-quantized codes) require "
+                "storage='int8'"
+            )
+        if storage == "int8" and np.dtype(c.dtype) == np.int8:
+            if scales is None:
+                raise ValueError(
+                    "pre-quantized int8 embeddings require scales=(n,) "
+                    "with row ~= codes * scale"
+                )
+            scales = np.asarray(scales, dtype=np.float32).reshape(-1)
+            if scales.shape[0] != c.shape[0]:
+                raise ValueError(
+                    f"scales must have shape ({c.shape[0]},), "
+                    f"got {scales.shape}"
+                )
+        elif scales is not None:
+            raise ValueError(
+                "scales= is only meaningful with pre-quantized int8 "
+                "embeddings"
             )
         self.config = cfg
         self.mesh = mesh
@@ -370,9 +397,11 @@ class Corpus:
 
                 dev = _to_jax(c, np.dtype(np.float32)).astype(jnp.bfloat16)
             elif storage == "int8":
-                # Quantize on host so the upload moves int8 bytes, not f32.
-                codes, scales = _quantize_rows_np(c)
-                dev = _to_jax(codes, np.dtype(np.int8))
+                # Quantize on host so the upload moves int8 bytes, not f32
+                # (pre-quantized codes pass straight through).
+                if np.dtype(c.dtype) != np.int8:
+                    c, scales = _quantize_rows_np(c)
+                dev = _to_jax(c, np.dtype(np.int8))
                 self._scales = _to_jax(scales, np.dtype(np.float32))
             else:
                 dev = _to_jax(c, dt)
@@ -483,6 +512,58 @@ class Corpus:
             self._alive_dev = None
         self.n = new_n
         return new_n
+
+    def save(self, path) -> None:
+        """Persist the corpus to ``path`` (.npz): storage-native bytes.
+
+        int8 corpora save their codes + scales (a quarter of the f32
+        bytes on disk too); bf16 saves the bf16 payload; tombstones are
+        preserved.  Reserved capacity is not persisted (pass
+        ``capacity=`` again at load).  Mesh-sharded corpora gather to
+        host and can be re-sharded at load with ``mesh=``.
+        """
+        data = np.asarray(
+            self._device[: self.n] if self.mesh is None else self._device)
+        arrays = {"n": np.int64(self.n), "dim": np.int64(self.dim),
+                  "storage": np.array(self.storage)}
+        if self.storage == "bf16":
+            arrays["data_u16"] = data.view(np.uint16)
+        else:
+            arrays["data"] = data
+        if self._scales is not None:
+            arrays["scales"] = np.asarray(self._scales[: self.n])
+        if self._tombstones is not None:
+            arrays["tombstones"] = self._tombstones
+        with open(path, "wb") as f:
+            np.savez(f, **arrays)
+
+    @classmethod
+    def load(
+        cls,
+        path,
+        *,
+        mesh=None,
+        capacity: Optional[int] = None,
+        config: Optional[SearchConfig] = None,
+    ) -> "Corpus":
+        """Rebuild a saved corpus; uploads exactly the storage-native
+        bytes (int8 corpora are NOT requantized — codes round-trip)."""
+        with np.load(path, allow_pickle=False) as z:
+            storage = str(z["storage"])
+            if storage == "bf16":
+                import ml_dtypes
+
+                data = z["data_u16"].view(ml_dtypes.bfloat16)
+            else:
+                data = z["data"]
+            scales = z["scales"] if "scales" in z else None
+            tomb = z["tombstones"] if "tombstones" in z else None
+        obj = cls(data, mesh=mesh, storage=storage, scales=scales,
+                  capacity=capacity, config=config)
+        if tomb is not None and tomb.any():
+            obj._tombstones = tomb.astype(bool)
+            obj._alive_dev = None
+        return obj
 
     def delete(self, indices: ArrayLike) -> int:
         """Tombstone corpus rows: they never match again (topk only).

@@ -814,3 +814,89 @@ class TestInt8Storage:
         c = np.eye(8, dtype=np.float32)
         with pytest.raises(ValueError, match="single-device"):
             pmt.Corpus(c, mesh=object(), storage="int8")
+
+
+class TestSaveLoad:
+    """Corpus.save/load: storage-native persistence (int8 corpora
+    round-trip their codes bit-exactly, never requantized)."""
+
+    def test_f32_roundtrip_with_tombstones(self, tmp_path):
+        rng = np.random.default_rng(131)
+        q = rng.standard_normal((5, 16)).astype(np.float32)
+        c = rng.standard_normal((80, 16)).astype(np.float32)
+        h = pmt.Corpus(c)
+        h.delete([0, 7])
+        i0, v0 = h.topk(q, 4)
+        p = tmp_path / "corpus.npz"
+        h.save(p)
+        h2 = pmt.Corpus.load(p)
+        assert (h2.n, h2.dim, h2.storage) == (80, 16, "f32")
+        assert h2.deleted_count == 2
+        i1, v1 = h2.topk(q, 4)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(v0, v1, rtol=1e-6)
+
+    def test_int8_roundtrip_bit_exact(self, tmp_path):
+        rng = np.random.default_rng(132)
+        q = rng.standard_normal((5, 32)).astype(np.float32)
+        c = rng.standard_normal((200, 32)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8")
+        i0, v0 = h.topk(q, 5, "euclidean")
+        p = tmp_path / "corpus_i8.npz"
+        h.save(p)
+        # the file stores int8 codes, not f32
+        with np.load(p) as z:
+            assert z["data"].dtype == np.int8
+            assert z["scales"].dtype == np.float32
+        h2 = pmt.Corpus.load(p)
+        np.testing.assert_array_equal(
+            np.asarray(h._device), np.asarray(h2._device))  # codes bit-exact
+        i1, v1 = h2.topk(q, 5, "euclidean")
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(v0, v1, rtol=1e-6, atol=1e-6)
+
+    def test_bf16_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(133)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c = rng.standard_normal((60, 16)).astype(np.float32)
+        h = pmt.Corpus(c, storage="bf16")
+        i0, v0 = h.topk(q, 3)
+        p = tmp_path / "corpus_bf16.npz"
+        h.save(p)
+        h2 = pmt.Corpus.load(p)
+        assert h2.storage == "bf16"
+        i1, v1 = h2.topk(q, 3)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(v0, v1, rtol=1e-6)
+
+    def test_load_with_capacity_then_add(self, tmp_path):
+        rng = np.random.default_rng(134)
+        q = rng.standard_normal((3, 8)).astype(np.float32)
+        c = rng.standard_normal((40, 8)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8")
+        p = tmp_path / "c.npz"
+        h.save(p)
+        h2 = pmt.Corpus.load(p, capacity=100)
+        h2.add(q * 2.0)
+        i, _ = h2.topk(q, 1)
+        np.testing.assert_array_equal(i[:, 0], [40, 41, 42])
+
+    def test_prequantized_constructor_contracts(self):
+        rng = np.random.default_rng(135)
+        c = rng.standard_normal((30, 8)).astype(np.float32)
+        from polars_matmul_tpu.api.search import _quantize_rows_np
+
+        codes, scales = _quantize_rows_np(c)
+        h = pmt.Corpus(codes, storage="int8", scales=scales)
+        q = rng.standard_normal((3, 8)).astype(np.float32)
+        i0, v0 = pmt.Corpus(c, storage="int8").topk(q, 3)
+        i1, v1 = h.topk(q, 3)
+        np.testing.assert_array_equal(i0, i1)
+        with pytest.raises(ValueError, match="require scales"):
+            pmt.Corpus(codes, storage="int8")
+        with pytest.raises(ValueError, match="storage='int8'"):
+            pmt.Corpus(codes)
+        with pytest.raises(ValueError, match="scales must have shape"):
+            pmt.Corpus(codes, storage="int8", scales=scales[:5])
+        with pytest.raises(ValueError, match="only meaningful"):
+            pmt.Corpus(c, scales=np.ones(30, np.float32))
