@@ -317,6 +317,8 @@ class Corpus:
         to ~1e-5 and recall@10 vs exact f32 is ~0.99 on random data.
         Quantization happens once at ingestion; every metric reuses the
         same codes (for cosine the scale cancels against the row norm).
+        Composes with ``mesh=``: int8 shards + sharded scales, searched
+        with the same "int8c" kernel mode (4x the corpus rows per chip).
         Pre-quantized corpora skip that step: pass int8 ``embeddings``
         (the codes) with ``scales`` (n,) — the contract is
         ``row ~= codes * scale`` (this is also what ``Corpus.load``
@@ -338,11 +340,6 @@ class Corpus:
             raise ValueError(f"Unknown storage mode: {storage!r}")
         if capacity is not None and mesh is not None:
             raise ValueError("capacity/add() are single-device only")
-        if storage == "int8" and mesh is not None:
-            raise ValueError(
-                "storage='int8' is single-device for now; use 'bf16' "
-                "for mesh-sharded quantized storage"
-            )
         if np.dtype(c.dtype) == np.int8 and storage != "int8":
             raise ValueError(
                 "int8 embeddings (pre-quantized codes) require "
@@ -385,12 +382,19 @@ class Corpus:
         if mesh is not None:
             from ..parallel.sharded import shard_corpus
 
-            dev = _to_jax(c, dt)
-            if storage == "bf16":
-                import jax.numpy as jnp
+            if storage == "int8":
+                if np.dtype(c.dtype) != np.int8:
+                    c, scales = _quantize_rows_np(c)
+                self._device = shard_corpus(
+                    _to_jax(c, np.dtype(np.int8)), mesh, cfg,
+                    scales=_to_jax(scales, np.dtype(np.float32)))
+            else:
+                dev = _to_jax(c, dt)
+                if storage == "bf16":
+                    import jax.numpy as jnp
 
-                dev = dev.astype(jnp.bfloat16)
-            self._device = shard_corpus(dev, mesh, cfg)
+                    dev = dev.astype(jnp.bfloat16)
+                self._device = shard_corpus(dev, mesh, cfg)
         else:
             if storage == "bf16":
                 import jax.numpy as jnp
@@ -522,16 +526,21 @@ class Corpus:
         ``capacity=`` again at load).  Mesh-sharded corpora gather to
         host and can be re-sharded at load with ``mesh=``.
         """
-        data = np.asarray(
-            self._device[: self.n] if self.mesh is None else self._device)
+        if self.mesh is None:
+            data = np.asarray(self._device[: self.n])
+            scales = self._scales
+        else:
+            # ShardedCorpus: gather the (zero-padded) shards and trim.
+            data = np.asarray(self._device.data[: self.n])
+            scales = self._device.scales
         arrays = {"n": np.int64(self.n), "dim": np.int64(self.dim),
                   "storage": np.array(self.storage)}
         if self.storage == "bf16":
             arrays["data_u16"] = data.view(np.uint16)
         else:
             arrays["data"] = data
-        if self._scales is not None:
-            arrays["scales"] = np.asarray(self._scales[: self.n])
+        if scales is not None:
+            arrays["scales"] = np.asarray(scales[: self.n])
         if self._tombstones is not None:
             arrays["tombstones"] = self._tombstones
         with open(path, "wb") as f:

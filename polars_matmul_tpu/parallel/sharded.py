@@ -40,6 +40,9 @@ class ShardedCorpus:
 
     data: "jax.Array"  # noqa: F821  (n_padded, dim), sharded over corpus axis
     n_true: int
+    # int8 storage: (n_padded,) f32 per-row dequant scales, sharded with
+    # the rows (pad rows get scale 1.0 so they dequantize to exact zero).
+    scales: "Optional[jax.Array]" = None  # noqa: F821
     # Lazily-built per-(metric, precision) prepared forms (pre-scaled,
     # padded, precision-split per shard) so steady-state distributed
     # queries do zero per-call corpus work — the sharded analog of
@@ -58,8 +61,6 @@ class ShardedCorpus:
         buffers (one-shot prep transiently holds ~3x the shard bytes,
         chunked ~2x + one chunk), mirroring Corpus._prepared_for.
         """
-        import functools
-
         from ..kernels.fused_topk import corpus_tile_rows, prepare_corpus
 
         # The prep is padded for a specific corpus tile height, which the
@@ -79,19 +80,26 @@ class ShardedCorpus:
         ns = self.data.shape[0] // n_shards
         dim = self.data.shape[1]
         itemsize = self.data.dtype.itemsize
-        prep = functools.partial(
-            prepare_corpus, metric=metric, tn=tn, precision=cfg.precision
-        )
+        quant = self.scales is not None
+
+        def prep(chunk, *rest):  # rest = (scales_chunk,) on the int8 path
+            return prepare_corpus(
+                chunk, metric, tn=tn, precision=cfg.precision,
+                scales=rest[0] if rest else None,
+            )
+
+        data_args = (self.data,) + ((self.scales,) if quant else ())
+        data_specs = (P(c_axis, None),) + ((P(c_axis),) if quant else ())
 
         with jax.enable_x64(False):
             if ns * dim * itemsize <= cfg.prep_chunk_bytes:
                 mapped = _shard_map(
                     prep, mesh,
-                    in_specs=(P(c_axis, None),),
+                    in_specs=data_specs,
                     out_specs=(P(c_axis, None), P(None, c_axis)),
                 )
                 self._prepared[key] = jax.block_until_ready(
-                    jax.jit(mapped)(self.data)
+                    jax.jit(mapped)(*data_args)
                 )
                 return self._prepared[key]
 
@@ -102,26 +110,35 @@ class ShardedCorpus:
                 tn, cfg.prep_chunk_bytes // (dim * itemsize) // tn * tn
             )
             ns_pad = ((ns + tn - 1) // tn) * tn
-            probe_cp, probe_cb = jax.eval_shape(
-                prep,
-                jax.ShapeDtypeStruct((rows_per_chunk, dim), self.data.dtype),
-            )
+            probe_shapes = [
+                jax.ShapeDtypeStruct((rows_per_chunk, dim), self.data.dtype)
+            ]
+            if quant:
+                probe_shapes.append(
+                    jax.ShapeDtypeStruct((rows_per_chunk,),
+                                         self.scales.dtype))
+            probe_cp, probe_cb = jax.eval_shape(prep, *probe_shapes)
             buf_cp = jax.device_put(
                 jnp.zeros((n_shards * ns_pad, probe_cp.shape[1]),
                           probe_cp.dtype),
                 jax.sharding.NamedSharding(mesh, P(c_axis, None)),
             )
             buf_cb = jax.device_put(
-                jnp.zeros((1, n_shards * ns_pad), probe_cb.dtype),
+                jnp.zeros((probe_cb.shape[0], n_shards * ns_pad),
+                          probe_cb.dtype),
                 jax.sharding.NamedSharding(mesh, P(None, c_axis)),
             )
 
             def make_update(rows, r0):
                 # Each shard slices ITS local rows [r0, r0 + rows) — a
                 # per-shard operation, so it lives inside the shard_map.
-                def update_local(buf_cp_, buf_cb_, data_):
+                def update_local(buf_cp_, buf_cb_, data_, *rest_):
                     c_ = jax.lax.dynamic_slice_in_dim(data_, r0, rows, 0)
-                    cpc, cbc = prep(c_)
+                    s_args = tuple(
+                        jax.lax.dynamic_slice_in_dim(s_, r0, rows, 0)
+                        for s_ in rest_
+                    )
+                    cpc, cbc = prep(c_, *s_args)
                     bp = jax.lax.dynamic_update_slice(
                         buf_cp_, cpc, (jnp.int32(r0), jnp.int32(0)))
                     bb = jax.lax.dynamic_update_slice(
@@ -131,7 +148,7 @@ class ShardedCorpus:
                 mapped = _shard_map(
                     update_local, mesh,
                     in_specs=(P(c_axis, None), P(None, c_axis),
-                              P(c_axis, None)),
+                              *data_specs),
                     out_specs=(P(c_axis, None), P(None, c_axis)),
                 )
                 return jax.jit(mapped, donate_argnums=(0, 1))
@@ -140,13 +157,16 @@ class ShardedCorpus:
             while r0 < ns:
                 rows = min(rows_per_chunk, ns - r0)
                 buf_cp, buf_cb = make_update(rows, r0)(
-                    buf_cp, buf_cb, self.data)
+                    buf_cp, buf_cb, *data_args)
                 r0 += rows
             self._prepared[key] = jax.block_until_ready((buf_cp, buf_cb))
         return self._prepared[key]
 
 
-def shard_corpus(c, mesh, config: Optional[SearchConfig] = None) -> ShardedCorpus:
+def shard_corpus(c, mesh, config: Optional[SearchConfig] = None,
+                 scales=None) -> ShardedCorpus:
+    """Block-partition a corpus (optionally int8 codes + per-row scales)
+    over the corpus mesh axis."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -158,8 +178,12 @@ def shard_corpus(c, mesh, config: Optional[SearchConfig] = None) -> ShardedCorpu
     n_pad = _round_up(n, n_shards)
     if n_pad != n:
         c = jnp.pad(c, ((0, n_pad - n), (0, 0)))
+        if scales is not None:
+            scales = jnp.pad(scales, (0, n_pad - n), constant_values=1.0)
     sharding = NamedSharding(mesh, P(axis, None))
-    return ShardedCorpus(jax.device_put(c, sharding), n)
+    sh_scales = (None if scales is None else
+                 jax.device_put(scales, NamedSharding(mesh, P(axis))))
+    return ShardedCorpus(jax.device_put(c, sharding), n, scales=sh_scales)
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -185,7 +209,6 @@ def _merge_sorted_2key(vals, idx, k: int, hib: bool):
     (-score if hib else score, index) and keeps the first k columns.
     """
     import jax
-    import jax.numpy as jnp
 
     key = -vals if hib else vals
     key_s, idx_s, vals_s = jax.lax.sort(
@@ -203,7 +226,7 @@ def _merge_sorted_2key(vals, idx, k: int, hib: bool):
 @lru_cache(maxsize=64)
 def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
                    cfg: SearchConfig, prepared: bool = False,
-                   masked: bool = False):
+                   masked: bool = False, quant: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -237,6 +260,17 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
             ))
 
         corpus_in_specs = (P(c_axis, None), P(None, c_axis))
+    elif quant:
+        def local_topk(q_, c_, s_, *m_):
+            # int8-stored shard on a path that needs dense values (one-shot
+            # prep inside fused_topk, or the XLA fallback): dequantize
+            # locally, at shard granularity.
+            mk = m_[0] if m_ else None
+            c_ = c_.astype(jnp.float32) * s_[:, None]
+            return finish(*fused_topk(q_, c_, k_local, metric, mask=mk,
+                                      config=cfg))
+
+        corpus_in_specs = (P(c_axis, None), P(c_axis))
     else:
         def local_topk(q_, c_, *m_):
             mk = m_[0] if m_ else None
@@ -348,6 +382,10 @@ def distributed_topk(
         # shards are quantized at rest, so the only coherent kernel mode is
         # "bf16c" — a higher-precision request could only spend memory.
         cfg = cfg.with_updates(precision="bf16c")
+    quant = corpus.scales is not None
+    if quant and cfg.precision != "int8c":
+        # int8-STORAGE policy: same reasoning as bf16c above.
+        cfg = cfg.with_updates(precision="int8c")
     c_axis = cfg.mesh_axes[1]
     n_shards = mesh.shape[c_axis]
     ns = corpus.shape[0] // n_shards
@@ -364,11 +402,12 @@ def distributed_topk(
     from ..kernels.fused_topk import supports
 
     dim = corpus.data.shape[1]
-    dev_ok = (
-        _np.dtype(corpus.data.dtype) == _np.float32
-        if str(corpus.data.dtype) != "bfloat16"
-        else cfg.precision == "bf16c"
-    )
+    if quant:
+        dev_ok = cfg.precision == "int8c"
+    elif str(corpus.data.dtype) == "bfloat16":
+        dev_ok = cfg.precision == "bf16c"
+    else:
+        dev_ok = _np.dtype(corpus.data.dtype) == _np.float32
     use_prepared = (
         cfg.use_pallas
         and dev_ok
@@ -386,36 +425,42 @@ def distributed_topk(
                             prepared=True, masked=mask is not None)
         return fn(q, cp, cbp, *m_args)
     fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg,
-                        masked=mask is not None)
-    return fn(q, corpus.data, *m_args)
+                        masked=mask is not None, quant=quant)
+    c_args = (corpus.data,) + ((corpus.scales,) if quant else ())
+    return fn(q, *c_args, *m_args)
 
 
 @lru_cache(maxsize=64)
-def _matmul_callable(mesh, n_true, cfg: SearchConfig):
+def _matmul_callable(mesh, n_true, cfg: SearchConfig, quant: bool = False):
     import jax
-    import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
     from ..kernels.matmul import pairwise_matmul
 
     d_axis, c_axis = cfg.mesh_axes
     shards_data = mesh.shape[d_axis] > 1
+    precision = "bf16x3" if cfg.precision == "int8c" else cfg.precision
 
-    def local_fn(q_, c_):
-        if c_.dtype != q_.dtype:
-            # bf16-stored shards: matmul contracts to return dense values
-            # in the compute dtype, so upcast at shard granularity.
+    def local_fn(q_, c_, *s_):
+        if s_:
+            # int8-stored shards: dequantize at shard granularity (matmul
+            # contracts to return dense values in the compute dtype).
+            c_ = c_.astype(q_.dtype) * s_[0].astype(q_.dtype)[:, None]
+        elif c_.dtype != q_.dtype:
+            # bf16-stored shards: upcast at shard granularity.
             c_ = c_.astype(q_.dtype)
-        return pairwise_matmul(q_, c_, precision=cfg.precision)
+        return pairwise_matmul(q_, c_, precision=precision)
 
+    q_spec = P(d_axis, None) if shards_data else P()
+    c_specs = (P(c_axis, None),) + ((P(c_axis),) if quant else ())
     mapped = _shard_map(
         local_fn,
         mesh,
-        in_specs=(P(d_axis, None) if shards_data else P(), P(c_axis, None)),
+        in_specs=(q_spec, *c_specs),
         out_specs=P(d_axis if shards_data else None, c_axis),
     )
 
-    return jax.jit(lambda q, data: mapped(q, data)[:, :n_true])
+    return jax.jit(lambda q, *c_args: mapped(q, *c_args)[:, :n_true])
 
 
 def distributed_matmul(
@@ -428,4 +473,7 @@ def distributed_matmul(
     along the corpus axis (the output IS (m, n), so it is materialized —
     this op exists for parity with the reference's raw matmul)."""
     cfg = resolve(config)
-    return _matmul_callable(mesh, corpus.n_true, cfg)(q, corpus.data)
+    quant = corpus.scales is not None
+    fn = _matmul_callable(mesh, corpus.n_true, cfg, quant=quant)
+    c_args = (corpus.data,) + ((corpus.scales,) if quant else ())
+    return fn(q, *c_args)

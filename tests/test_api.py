@@ -810,10 +810,8 @@ class TestInt8Storage:
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=1e-6)
 
-    def test_mesh_rejected(self):
-        c = np.eye(8, dtype=np.float32)
-        with pytest.raises(ValueError, match="single-device"):
-            pmt.Corpus(c, mesh=object(), storage="int8")
+    # (mesh + int8 storage is covered in test_parallel.py: int8 code
+    # shards + sharded scales, searched with the same int8c kernel mode)
 
 
 class TestSaveLoad:

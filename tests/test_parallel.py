@@ -310,3 +310,104 @@ class TestShardedBf16Storage:
         assert out.dtype == np.float32
         cq = c.astype(ml_dtypes.bfloat16).astype(np.float32)
         np.testing.assert_allclose(out, q @ cq.T, rtol=1e-5, atol=1e-5)
+
+
+class TestShardedInt8Storage:
+    """Corpus(storage="int8", mesh=...): int8 code shards + sharded
+    scales, int8c kernel mode — 4x the corpus rows per chip."""
+
+    def _dequant(self, c):
+        from polars_matmul_tpu.api.search import _quantize_rows_np
+
+        codes, scales = _quantize_rows_np(np.asarray(c, np.float32))
+        return codes.astype(np.float32) * scales[:, None]
+
+    def test_matches_dequantized_oracle(self, mesh8):
+        rng = np.random.default_rng(96)
+        q = rng.standard_normal((10, 48)).astype(np.float32)
+        c = rng.standard_normal((333, 48)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8", mesh=mesh8)
+        cdeq = self._dequant(c)
+        for metric in ("cosine", "dot", "euclidean"):
+            i1, v1 = h.topk(q, 6, metric)
+            i0, v0 = pmt.topk(q, cdeq, 6, metric)
+            assert (i1 == i0).mean() > 0.97, (metric, (i1 == i0).mean())
+            np.testing.assert_allclose(v1, v0, rtol=2e-4, atol=2e-4)
+        # shards are genuinely int8, and so is the per-shard prep
+        assert str(h._device.data.dtype) == "int8"
+        assert h._device.scales is not None
+        for cp, cb in h._device._prepared.values():
+            assert str(cp.dtype) == "int8"
+            assert cb.shape[0] == 2
+
+    def test_ring_merge_and_mask(self, mesh8):
+        rng = np.random.default_rng(97)
+        q = rng.standard_normal((6, 32)).astype(np.float32)
+        c = rng.standard_normal((200, 32)).astype(np.float32)
+        mask = rng.random(200) < 0.4
+        mask[:8] = True
+        h = pmt.Corpus(c, storage="int8", mesh=mesh8,
+                       config=pmt.SearchConfig(merge="ring"))
+        i, v = h.topk(q, 5, "dot", mask=mask)
+        assert mask[i.reshape(-1)].all()
+        i0, _ = pmt.topk(q, self._dequant(c), 5, "dot", mask=mask)
+        np.testing.assert_array_equal(i, i0)
+
+    def test_fallback_path_dequantizes_per_shard(self, mesh8):
+        """k > k_pad diverts to the non-prepared path, which must
+        dequantize the int8 shards locally before the XLA fallback."""
+        rng = np.random.default_rng(98)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c = rng.standard_normal((2000, 16)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8", mesh=mesh8)
+        i, v = h.topk(q, 200, "cosine")  # k > k_pad=128
+        assert i.shape == (4, 200)
+        i0, v0 = pmt.topk(q, self._dequant(c), 200, "cosine")
+        assert (i == i0).mean() > 0.97
+
+    def test_matmul_dequantizes_per_shard(self, mesh8):
+        rng = np.random.default_rng(99)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c = rng.standard_normal((64, 16)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8", mesh=mesh8)
+        out = h.matmul(q)
+        assert out.dtype == np.float32
+        np.testing.assert_allclose(out, q @ self._dequant(c).T,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_chunked_prep_and_save_load(self, mesh8, tmp_path):
+        rng = np.random.default_rng(100)
+        q = rng.standard_normal((6, 32)).astype(np.float32)
+        c = rng.standard_normal((900, 32)).astype(np.float32)
+        h1 = pmt.Corpus(c, storage="int8", mesh=mesh8)
+        h2 = pmt.Corpus(c, storage="int8", mesh=mesh8,
+                        config=pmt.SearchConfig(prep_chunk_bytes=8192))
+        i1, v1 = h1.topk(q, 5, "euclidean")
+        i2, v2 = h2.topk(q, 5, "euclidean")
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=1e-6)
+        # mesh handles save gathered shards; reload single-device matches
+        p = tmp_path / "mesh_i8.npz"
+        h1.save(p)
+        h3 = pmt.Corpus.load(p)
+        assert h3.n == 900 and h3.storage == "int8"
+        i3, v3 = h3.topk(q, 5, "euclidean")
+        np.testing.assert_array_equal(i1, i3)
+
+
+def test_mesh_save_load_f32(mesh8, tmp_path):
+    """Regression: save() on a mesh handle must gather ShardedCorpus.data
+    (it used to hand the dataclass itself to np.asarray)."""
+    rng = np.random.default_rng(101)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    c = rng.standard_normal((100, 16)).astype(np.float32)
+    h = pmt.Corpus(c, mesh=mesh8)
+    i0, v0 = h.topk(q, 3)
+    p = tmp_path / "mesh_f32.npz"
+    h.save(p)
+    h2 = pmt.Corpus.load(p, mesh=mesh8)   # re-shard at load
+    i1, v1 = h2.topk(q, 3)
+    np.testing.assert_array_equal(i0, i1)
+    h3 = pmt.Corpus.load(p)               # or load single-device
+    i2, _ = h3.topk(q, 3)
+    np.testing.assert_array_equal(i0, i2)
