@@ -71,6 +71,13 @@ class SearchConfig:
     precision: str = "bf16x3"
     # Use the Pallas kernel when possible; False forces the XLA lax.top_k path.
     use_pallas: bool = True
+    # Above this dim the fused kernel runs K-chunked (third grid axis,
+    # partial dots accumulated in VMEM) — correct at any dim, but measured
+    # slower than the XLA fallback at high dim (see kernels.fused_topk
+    # .supports), so it is only chosen when the XLA path would materialize
+    # more than fallback_score_bytes of (m, n) scores.
+    max_fused_dim: int = 8192
+    fallback_score_bytes: int = 1 << 30
     # Distributed merge strategy: "allgather" (gather per-shard k candidates,
     # re-select locally) or "ring" (ppermute carry merge).
     merge: str = "allgather"

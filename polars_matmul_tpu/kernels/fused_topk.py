@@ -78,6 +78,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_K_CHUNK = 2048
+
+
+def feature_chunk(dim: int) -> int:
+    """Feature-axis (K) chunk width for this dim, post-128-padding.
+
+    dims whose padded width fits VMEM comfortably run in one chunk (the
+    historical layout, bit-identical programs); wider dims are processed
+    in _K_CHUNK-wide chunks along a third (minor) grid axis, partial dot
+    products accumulating in a VMEM scratch tile until the last chunk
+    runs the epilogue + selection.  Removes the old dim <= 8192 kernel
+    limit (beyond it the XLA fallback was used).
+    """
+    dp = _round_up(dim, 128)
+    return dp if dp <= 8192 else _K_CHUNK
+
+
+def feature_geometry(dim: int):
+    """(ck, dpp, nk): chunk width, padded feature width, chunk count."""
+    ck = feature_chunk(dim)
+    dpp = _round_up(_round_up(dim, 128), ck)
+    return ck, dpp, dpp // ck
+
+
 # ---------------------------------------------------------------------------
 # Strategy "extract": k masked-argmax extractions over the full tile.
 # ---------------------------------------------------------------------------
@@ -295,7 +319,8 @@ def _kernel(
     cb_ref,     # (1, TN)    per-corpus epilogue bias (euclid -|c|^2, pad -inf)
                 #            int8c mode passes (2, TN): scale row | bias row
     *rest,      # [mb_ref (1, TN) f32 0/1 if use_mask] + outputs + scratch:
-                # vals_ref (TM, KP), idx_ref (TM, KP), carry_vals, carry_idx
+                # vals_ref (TM, KP), idx_ref (TM, KP), carry_vals,
+                # carry_idx [, acc (TM, TN) f32 partial-dot tile if nk > 1]
     k: int,
     kp: int,
     block_n: int,
@@ -303,28 +328,34 @@ def _kernel(
     use_mask: bool,
     selection: str,
     precision,
+    nk: int = 1,
 ):
     if use_mask:
-        mb_ref, vals_ref, idx_ref, carry_vals, carry_idx = rest
+        mb_ref, *rest = rest
+    else:
+        mb_ref = None
+    if nk > 1:
+        vals_ref, idx_ref, carry_vals, carry_idx, acc = rest
     else:
         vals_ref, idx_ref, carry_vals, carry_idx = rest
-        mb_ref = None
+        acc = None
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
+    kf = pl.program_id(2) if nk > 1 else None
     tm = q_ref.shape[0]
     groups = block_n // _LANES
 
-    @pl.when(j == 0)
+    @pl.when(j == 0 if nk == 1 else (j == 0) & (kf == 0))
     def _():
         carry_vals[:] = jnp.full((tm, kp), _NEG_INF, dtype=jnp.float32)
         carry_idx[:] = jnp.full((tm, kp), _BIG_I32, dtype=jnp.int32)
 
-    # --- MXU: raw dot products for this tile --------------------------------
+    # --- MXU: raw dot products for this (corpus, K-chunk) tile --------------
     if precision == "bf16x3":
-        # f32 accuracy from three full-rate bf16 MXU passes: inputs arrive
-        # as bf16 hi|lo halves concatenated on the feature axis (f32 =
-        # hi + lo exactly; same HBM bytes as the f32 original).  The
-        # dropped lo.lo term is ~2^-16 relative — far inside the 1e-5
+        # f32 accuracy from three full-rate bf16 MXU passes: each grid
+        # block arrives as bf16 [hi_i | lo_i] halves on the feature axis
+        # (f32 = hi + lo exactly; same HBM bytes as the f32 original).
+        # The dropped lo.lo term is ~2^-16 relative — far inside the 1e-5
         # score contract.  XLA's own HIGHEST on f32 costs 6 passes.
         dsplit = q_ref.shape[1] // 2
         qh = q_ref[:, :dsplit]
@@ -352,52 +383,79 @@ def _kernel(
     else:
         d = _dot_nt(q_ref[:], c_ref[:], precision)
 
-    # --- VPU epilogue: one fused pass covers the int8 per-row dequant
-    # scale (multiplicative), the euclidean -|c|^2 term, and the
-    # padding-tail mask (both additive) --------------------------------------
-    if precision == "int8c":
-        s = d * cb_ref[0:1, :] + cb_ref[1:2, :]
-    elif use_bias:
-        s = d + cb_ref[:]
+    def epilogue_and_select(d):
+        # --- VPU epilogue: one fused pass covers the int8 per-row dequant
+        # scale (multiplicative), the euclidean -|c|^2 term, and the
+        # padding-tail mask (both additive) ----------------------------------
+        if precision == "int8c":
+            s = d * cb_ref[0:1, :] + cb_ref[1:2, :]
+        elif use_bias:
+            s = d + cb_ref[:]
+        else:
+            s = d
+        if use_mask:
+            # Filter by SELECT, not arithmetic: a -inf bias on a masked row
+            # whose dot product is NaN/inf would poison the whole selection.
+            s = jnp.where(mb_ref[:] > 0, s, _NEG_INF)
+
+        n_base = j * block_n
+        if selection == "bucket":
+            lane = jax.lax.broadcasted_iota(jnp.int32, (tm, _LANES), 1)
+            new_v, new_i = _select_bucket(
+                s, carry_vals[:], carry_idx[:], lane, n_base, k, kp, tm,
+                groups
+            )
+        else:
+            lane_n = jax.lax.broadcasted_iota(jnp.int32, (tm, block_n), 1)
+            new_v, new_i = _select_extract(
+                s, carry_vals[:], carry_idx[:], lane_n, n_base, k, kp, tm
+            )
+
+        carry_vals[:] = new_v
+        carry_idx[:] = new_i
+
+        @pl.when(j == n_j - 1)
+        def _():
+            vals_ref[:] = carry_vals[:]
+            idx_ref[:] = carry_idx[:]
+
+    if nk == 1:
+        epilogue_and_select(d)
     else:
-        s = d
-    if use_mask:
-        # Filter by SELECT, not arithmetic: a -inf bias on a masked row
-        # whose dot product is NaN/inf would poison the whole selection.
-        s = jnp.where(mb_ref[:] > 0, s, _NEG_INF)
+        # K-chunked: accumulate partial dots in the scratch tile; the
+        # epilogue + selection run once, on the final chunk.
+        @pl.when(kf == 0)
+        def _():
+            acc[:] = d
 
-    n_base = j * block_n
-    if selection == "bucket":
-        lane = jax.lax.broadcasted_iota(jnp.int32, (tm, _LANES), 1)
-        new_v, new_i = _select_bucket(
-            s, carry_vals[:], carry_idx[:], lane, n_base, k, kp, tm, groups
-        )
-    else:
-        lane_n = jax.lax.broadcasted_iota(jnp.int32, (tm, block_n), 1)
-        new_v, new_i = _select_extract(
-            s, carry_vals[:], carry_idx[:], lane_n, n_base, k, kp, tm
-        )
+        @pl.when(kf != 0)
+        def _():
+            acc[:] = acc[:] + d
 
-    carry_vals[:] = new_v
-    carry_idx[:] = new_i
-
-    @pl.when(j == n_j - 1)
-    def _():
-        vals_ref[:] = carry_vals[:]
-        idx_ref[:] = carry_idx[:]
+        @pl.when(kf == nk - 1)
+        def _():
+            epilogue_and_select(acc[:])
 
 
 def _pick_block_n(dim: int, block_q: int, block_n: int, kp: int) -> int:
-    """Shrink the corpus tile until the working set fits comfortably in VMEM."""
+    """Shrink the corpus tile until the working set fits comfortably in
+    VMEM.  Only one K-chunk of the feature axis is resident at a time
+    (feature_chunk), so very large dims stop collapsing the corpus tile."""
     budget = 10 * 1024 * 1024  # leave headroom out of ~16 MB
+    ck, _, nk = feature_geometry(dim)
+    if nk > 1:
+        block_q = min(block_q, 128)  # must match _run_prepared's cap
     bn = block_n
     while bn > 128:
         tile_bytes = (
-            block_q * dim * 4          # Q tile
-            + bn * dim * 4 * 2         # C tile (double-buffered)
+            # Q tile: one K-chunk; in chunked mode its block varies along
+            # the minor grid axis, so Mosaic double-buffers it too.
+            block_q * ck * 4 * (2 if nk > 1 else 1)
+            + bn * ck * 4 * 2          # C tile (double-buffered)
             + block_q * bn * 4 * 2     # score tile + selection working set
             + block_q * kp * 8 * 2     # carry + merge working set
             + block_q * _LANES * 5 * 4 # bucket reduce state
+            + (block_q * bn * 4 if nk > 1 else 0)  # partial-dot scratch
         )
         if tile_bytes <= budget:
             break
@@ -406,19 +464,31 @@ def _pick_block_n(dim: int, block_q: int, block_n: int, kp: int) -> int:
 
 
 def supports(q_shape, c_shape, dtype, k: int, cfg: SearchConfig) -> bool:
-    """Whether the Pallas kernel handles this problem (else XLA fallback)."""
+    """Whether the Pallas kernel handles this problem (else XLA fallback).
+
+    The kernel runs correctly at ANY dim (K-chunked above 8192), but the
+    measured crossover on v5e says to use it above ``max_fused_dim`` only
+    when materializing the (m, n) score matrix would be the real
+    constraint: at 256x2048x12288, XLA normalize+matmul+top_k runs 401 us
+    vs the K-chunked kernel's 990 us (XLA streams the corpus once and its
+    huge-K matmul pipelines better), so raw speed favors XLA at high dim —
+    until m*n*4 bytes is large enough that the XLA path's dense score
+    matrix dominates HBM (or OOMs), where the fused kernel is the only
+    path that never builds it.
+    """
     if jnp.dtype(dtype) != jnp.float32:
         return False  # MXU kernel is f32; f64 path uses lax.top_k fallback
     if k > cfg.k_pad:
         return False
-    dim = q_shape[1]
-    if dim > 8192:
-        return False
+    if q_shape[1] > cfg.max_fused_dim:
+        return q_shape[0] * c_shape[0] * 4 > cfg.fallback_score_bytes
     return True
 
 
-def _split_hi_lo(x):
-    """f32 -> bf16 hi|lo halves concatenated on the feature axis.
+def _split_hi_lo(x, ck: "Optional[int]" = None):
+    """f32 -> bf16 hi|lo halves concatenated on the feature axis
+    (chunk-interleaved when ``ck`` divides the width into several
+    K-chunks — see feature_chunk).
 
     hi must be built by integer bit-masking, NOT x.astype(bf16)
     round-tripped to f32: under --xla_allow_excess_precision (set by the
@@ -433,9 +503,18 @@ def _split_hi_lo(x):
         jnp.float32,
     )
     lo = x - hi  # exact; its significand is <= 8 bits -> bf16-exact
-    return jnp.concatenate(
-        [hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)], axis=1
-    )
+    hi = hi.astype(jnp.bfloat16)
+    lo = lo.astype(jnp.bfloat16)
+    if ck is None or ck == x.shape[1]:
+        return jnp.concatenate([hi, lo], axis=1)
+    # K-chunked layout: interleave at chunk granularity,
+    # [hi_0 | lo_0 | hi_1 | lo_1 | ...], so each (.., 2*ck) grid block
+    # is [hi_i | lo_i] and the kernel's in-block split works unchanged.
+    m, dpp = x.shape
+    nk = dpp // ck
+    h = hi.reshape(m, nk, ck)
+    low = lo.reshape(m, nk, ck)
+    return jnp.concatenate([h, low], axis=2).reshape(m, nk * 2 * ck)
 
 
 def effective_tiles(cfg: SearchConfig, k: int):
@@ -515,8 +594,8 @@ def prepare_corpus(c: jax.Array, metric, *, tn: int, precision: str,
             cs = scales.astype(jnp.float32)
             cb = jnp.zeros((n,), jnp.float32)
         np_ = _round_up(n, tn)
-        dp = _round_up(dim, 128)
-        cp = jnp.pad(c, ((0, np_ - n), (0, dp - dim)))
+        _, dpp, _ = feature_geometry(dim)
+        cp = jnp.pad(c, ((0, np_ - n), (0, dpp - dim)))
         # Row 0: dequant scale (pad rows get 0 — any finite value works,
         # their dot products are 0).  Row 1: additive bias, pad tail -inf.
         csp = jnp.pad(cs.reshape(1, n), ((0, 0), (0, np_ - n)))
@@ -539,10 +618,10 @@ def prepare_corpus(c: jax.Array, metric, *, tn: int, precision: str,
         cb = jnp.zeros((1, n), jnp.float32)
 
     np_ = _round_up(n, tn)
-    dp = _round_up(dim, 128)
-    cp = jnp.pad(c, ((0, np_ - n), (0, dp - dim)))
+    ck, dpp, _ = feature_geometry(dim)
+    cp = jnp.pad(c, ((0, np_ - n), (0, dpp - dim)))
     if precision == "bf16x3":
-        cp = _split_hi_lo(cp)
+        cp = _split_hi_lo(cp, ck)
     elif precision == "bf16c":
         cp = cp.astype(jnp.bfloat16)  # storage-quantized corpus, hi only
     # Padding corpus rows get a -inf bias so they can never be selected
@@ -584,23 +663,25 @@ def _run_prepared(
     elif metric is Metric.EUCLIDEAN:
         q = 2.0 * q
 
+    ck, dpp, nk = feature_geometry(dim)
+    if nk > 1:
+        # Chunked mode: the Q tile double-buffers along the K axis, so a
+        # 256-row tile at ck wide would blow scoped VMEM.
+        block_q = min(block_q, 128)
     tm = min(block_q, _round_up(m, 8))
     mp = _round_up(m, tm)
-    dp = _round_up(dim, 128)
     np_ = cbp.shape[1]
 
-    qp = jnp.pad(q, ((0, mp - m), (0, dp - dim)))
+    qp = jnp.pad(q, ((0, mp - m), (0, dpp - dim)))
     if precision in ("bf16x3", "bf16c", "int8c"):
-        qp = _split_hi_lo(qp)
-        dk_q = 2 * dp  # query feature axis carries hi|lo halves
-        dk_c = 2 * dp if precision == "bf16x3" else dp
+        qp = _split_hi_lo(qp, ck)
+        dk_q = 2 * ck  # each query grid block carries [hi_i | lo_i]
+        dk_c = 2 * ck if precision == "bf16x3" else ck
         kern_precision = precision
     else:
-        dk_q = dk_c = dp
+        dk_q = dk_c = ck
         kern_precision = _PRECISION[precision]
     cb_rows = cbp.shape[0]  # 2 in int8c mode (scale row | bias row)
-
-    grid = (mp // tm, np_ // tn)
 
     use_mask = mask_p is not None
     kernel = functools.partial(
@@ -612,26 +693,43 @@ def _run_prepared(
         use_mask=use_mask,
         selection=selection,
         precision=kern_precision,
+        nk=nk,
     )
 
+    if nk == 1:
+        grid = (mp // tm, np_ // tn)
+        q_map = lambda i, j: (i, 0)  # noqa: E731
+        c_map = lambda i, j: (j, 0)  # noqa: E731
+        b_map = lambda i, j: (0, j)  # noqa: E731
+        o_map = lambda i, j: (i, 0)  # noqa: E731
+    else:
+        # Third (minor, sequential) grid axis over feature chunks:
+        # partial dots accumulate in a VMEM scratch tile; selection runs
+        # on the final chunk.  Removes the old dim <= 8192 limit.
+        grid = (mp // tm, np_ // tn, nk)
+        q_map = lambda i, j, kf: (i, kf)  # noqa: E731
+        c_map = lambda i, j, kf: (j, kf)  # noqa: E731
+        b_map = lambda i, j, kf: (0, j)  # noqa: E731
+        o_map = lambda i, j, kf: (i, 0)  # noqa: E731
+
     in_specs = [
-        pl.BlockSpec((tm, dk_q), lambda i, j: (i, 0)),
-        pl.BlockSpec((tn, dk_c), lambda i, j: (j, 0)),
-        pl.BlockSpec((cb_rows, tn), lambda i, j: (0, j)),
+        pl.BlockSpec((tm, dk_q), q_map),
+        pl.BlockSpec((tn, dk_c), c_map),
+        pl.BlockSpec((cb_rows, tn), b_map),
     ]
     operands = [qp, cp, cbp]
     if use_mask:
-        in_specs.append(pl.BlockSpec((1, tn), lambda i, j: (0, j)))
+        in_specs.append(pl.BlockSpec((1, tn), b_map))
         operands.append(mask_p.astype(jnp.float32))
 
-    flops = 2 * mp * np_ * dp
+    flops = 2 * mp * np_ * dpp
     vals, idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((tm, k_pad), lambda i, j: (i, 0)),
-            pl.BlockSpec((tm, k_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((tm, k_pad), o_map),
+            pl.BlockSpec((tm, k_pad), o_map),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((mp, k_pad), jnp.float32),
@@ -640,10 +738,10 @@ def _run_prepared(
         scratch_shapes=[
             pltpu.VMEM((tm, k_pad), jnp.float32),
             pltpu.VMEM((tm, k_pad), jnp.int32),
-        ],
+        ] + ([pltpu.VMEM((tm, tn), jnp.float32)] if nk > 1 else []),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=(mp * dp + np_ * dp + mp * k_pad * 2) * 4,
+            bytes_accessed=(mp * dpp + np_ * dpp + mp * k_pad * 2) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
