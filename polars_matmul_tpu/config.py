@@ -69,6 +69,13 @@ class SearchConfig:
     # (SURVEY.md §7 hard part #2); the dense matmul op and the XLA oracle
     # always compute exact f32.
     precision: str = "bf16x3"
+    # Tile pruning in the fused kernel: a corpus tile can only change the
+    # top-k carry if some row's tile-max beats that row's current k-th
+    # best (ties lose to the carry), so one max pass can skip the k
+    # extraction passes entirely.  Exact.  Wins grow with corpus size
+    # (later tiles rarely update a strong carry); "auto" enables it when
+    # the corpus spans >= 16 tiles, "on"/"off" force it.
+    prune: str = "auto"
     # Use the Pallas kernel when possible; False forces the XLA lax.top_k path.
     use_pallas: bool = True
     # Above this dim the fused kernel runs K-chunked (third grid axis,

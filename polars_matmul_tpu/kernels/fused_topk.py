@@ -329,6 +329,7 @@ def _kernel(
     selection: str,
     precision,
     nk: int = 1,
+    prune: bool = False,
 ):
     if use_mask:
         mb_ref, *rest = rest
@@ -399,20 +400,41 @@ def _kernel(
             s = jnp.where(mb_ref[:] > 0, s, _NEG_INF)
 
         n_base = j * block_n
-        if selection == "bucket":
-            lane = jax.lax.broadcasted_iota(jnp.int32, (tm, _LANES), 1)
-            new_v, new_i = _select_bucket(
-                s, carry_vals[:], carry_idx[:], lane, n_base, k, kp, tm,
-                groups
-            )
-        else:
-            lane_n = jax.lax.broadcasted_iota(jnp.int32, (tm, block_n), 1)
-            new_v, new_i = _select_extract(
-                s, carry_vals[:], carry_idx[:], lane_n, n_base, k, kp, tm
-            )
 
-        carry_vals[:] = new_v
-        carry_idx[:] = new_i
+        def run_selection():
+            if selection == "bucket":
+                lane = jax.lax.broadcasted_iota(jnp.int32, (tm, _LANES), 1)
+                new_v, new_i = _select_bucket(
+                    s, carry_vals[:], carry_idx[:], lane, n_base, k, kp, tm,
+                    groups
+                )
+            else:
+                lane_n = jax.lax.broadcasted_iota(
+                    jnp.int32, (tm, block_n), 1)
+                new_v, new_i = _select_extract(
+                    s, carry_vals[:], carry_idx[:], lane_n, n_base, k, kp,
+                    tm
+                )
+
+            carry_vals[:] = new_v
+            carry_idx[:] = new_i
+
+        if prune:
+            # Tile pruning (exact): this tile can only change the carry if
+            # some row's tile-max BEATS that row's current k-th best — a
+            # tie loses to the carry by lowest-index-wins, so strict > is
+            # the right test.  One max pass decides; later tiles of a
+            # large corpus mostly skip the k extraction passes entirely,
+            # collapsing selection cost from O(k*N) toward O(N).
+            kth = carry_vals[:, k - 1]
+            ms = jnp.max(s, axis=1)
+            upd = jnp.max(jnp.where(ms > kth, 1, 0).astype(jnp.int32))
+
+            @pl.when(upd == 1)
+            def _():
+                run_selection()
+        else:
+            run_selection()
 
         @pl.when(j == n_j - 1)
         def _():
@@ -647,6 +669,7 @@ def _run_prepared(
     selection: str,
     use_bias: bool,
     interpret: bool,
+    prune: str = "auto",
     mask_p: "Optional[jax.Array]" = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Query-side prep + the pallas call, against a prepared corpus.
@@ -683,6 +706,11 @@ def _run_prepared(
         kern_precision = _PRECISION[precision]
     cb_rows = cbp.shape[0]  # 2 in int8c mode (scale row | bias row)
 
+    # Tile pruning: "auto" pays its extra per-tile max pass only when the
+    # corpus spans enough tiles for skips to dominate.
+    n_tiles = np_ // tn
+    prune_eff = (n_tiles >= 16) if prune == "auto" else (prune == "on")
+
     use_mask = mask_p is not None
     kernel = functools.partial(
         _kernel,
@@ -694,6 +722,7 @@ def _run_prepared(
         selection=selection,
         precision=kern_precision,
         nk=nk,
+        prune=prune_eff,
     )
 
     if nk == 1:
@@ -753,7 +782,7 @@ def _run_prepared(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "block_q", "block_n", "k_pad",
-                     "precision", "selection", "interpret"),
+                     "precision", "selection", "interpret", "prune"),
 )
 def _fused_topk_f32(
     q: jax.Array,
@@ -768,6 +797,7 @@ def _fused_topk_f32(
     precision: str,
     selection: str,
     interpret: bool,
+    prune: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """One-shot path: corpus prep + run fused in a single jit."""
     n, dim = c.shape[0], q.shape[1]
@@ -783,14 +813,15 @@ def _fused_topk_f32(
         q, cp, cbp,
         k=k, metric=metric, block_q=block_q, tn=tn, k_pad=k_pad,
         precision=precision, selection=selection, use_bias=use_bias,
-        interpret=interpret, mask_p=mask_p,
+        interpret=interpret, prune=prune, mask_p=mask_p,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "block_q", "tn", "k_pad",
-                     "precision", "selection", "use_bias", "interpret"),
+                     "precision", "selection", "use_bias", "interpret",
+                     "prune"),
 )
 def _run_prepared_jit(q, cp, cbp, **kw):
     return _run_prepared(q, cp, cbp, **kw)
@@ -836,7 +867,7 @@ def fused_topk_prepared(
             k=k, metric=metric, block_q=bq_eff, tn=tn,
             k_pad=cfg.k_pad, precision=cfg.precision,
             selection=cfg.selection, use_bias=use_bias,
-            interpret=interpret, mask_p=mask_p,
+            interpret=interpret, prune=cfg.prune, mask_p=mask_p,
         )
     if metric is Metric.EUCLIDEAN:
         qsq = jnp.sum(q * q, axis=1, keepdims=True).astype(jnp.float32)
@@ -889,6 +920,7 @@ def fused_topk(
             precision=cfg.precision,
             selection=cfg.selection,
             interpret=interpret,
+            prune=cfg.prune,
         )
     if metric is Metric.EUCLIDEAN:
         # Kernel scores are 2 q.c - |c|^2 (maximize orientation, |q|^2

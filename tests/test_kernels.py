@@ -265,3 +265,57 @@ class TestHighDimKChunking:
             # not the right oracle for quantized storage)
             i0, _ = pmt.topk(q, c_oracle, 5)
             assert (i == i0).mean() > 0.9, storage
+
+
+class TestTilePruning:
+    """Exact tile pruning: a tile is skipped when no row's tile-max BEATS
+    that row's current k-th best (ties lose to the carry, so strict >)."""
+
+    def _check(self, q, c, k, metric, cfg, mask=None):
+        v, i = fused_topk(q, c, k, metric, mask=mask, config=cfg)
+        v0, i0 = topk_search(q, c, k, metric, mask=mask,
+                             precision="highest")
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i0))
+
+    @pytest.mark.parametrize("metric", ["cosine", "dot", "euclidean"])
+    def test_exact_many_tiles(self, metric):
+        rng = np.random.default_rng(71)
+        q = rng.standard_normal((8, 32)).astype(np.float32)
+        c = rng.standard_normal((40000, 32)).astype(np.float32)  # ~20 tiles
+        self._check(q, c, 7, metric, SearchConfig(prune="on"))
+        self._check(q, c, 7, metric, SearchConfig(prune="auto"))
+
+    def test_ties_never_skipped_wrong(self):
+        # exact duplicate rows across tiles: the carry's lowest-index copy
+        # must win and pruning must not corrupt that
+        rng = np.random.default_rng(72)
+        base = rng.standard_normal((3000, 16)).astype(np.float32)
+        c = np.vstack([base] * 3)  # every row appears 3x, tiles apart
+        q = rng.standard_normal((5, 16)).astype(np.float32)
+        v, i = fused_topk(q, c, 6, "cosine", config=SearchConfig(prune="on"))
+        v0, i0 = topk_search(q, c, 6, "cosine")
+        i = np.asarray(i)
+        np.testing.assert_array_equal(i, np.asarray(i0))
+        # top-6 = the top-2 base rows, each followed by its two copies in
+        # index order (lowest-index-wins among exact ties)
+        np.testing.assert_array_equal(i[:, 1], i[:, 0] + 3000)
+        np.testing.assert_array_equal(i[:, 2], i[:, 0] + 6000)
+        np.testing.assert_array_equal(i[:, 4], i[:, 3] + 3000)
+        np.testing.assert_array_equal(i[:, 5], i[:, 3] + 6000)
+
+    def test_mask_and_large_k_regime(self):
+        rng = np.random.default_rng(73)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c = rng.standard_normal((40000, 16)).astype(np.float32)
+        mask = rng.random(40000) < 0.2
+        self._check(q, c, 5, "dot", SearchConfig(prune="on"), mask=mask)
+        # k > 16 takes the fori_loop extraction path under pl.when
+        self._check(q, c, 40, "cosine", SearchConfig(prune="on"))
+
+    def test_auto_threshold(self):
+        # small corpora (few tiles) leave pruning off under "auto":
+        # same compiled behavior as before, just verify correctness
+        rng = np.random.default_rng(74)
+        q = rng.standard_normal((6, 32)).astype(np.float32)
+        c = rng.standard_normal((500, 32)).astype(np.float32)
+        self._check(q, c, 5, "cosine", SearchConfig())
