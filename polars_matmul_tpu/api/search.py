@@ -222,6 +222,27 @@ def _prep_chunk_fn(metric_v: str, precision: str, tn: int):
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=16)
+def _int8_bias_chunk_fn(metric_v: str):
+    """Jitted (2, m) scale|bias columns for freshly added int8 rows (all
+    valid), spliced into a shared-storage prepared form by Corpus.add."""
+    import jax
+
+    from ..kernels.fused_topk import prepare_int8_bias
+
+    def run(codes, scales):
+        return prepare_int8_bias(codes, scales, Metric.parse(metric_v),
+                                 codes.shape[0])
+
+    return jax.jit(run)
+
+
+def _round_up_rows(n: int, m: int = 4096) -> int:
+    """int8 shared-storage row padding: a multiple every standard corpus
+    tile height (powers of two <= 4096) divides."""
+    return ((n + m - 1) // m) * m
+
+
 def _quantize_rows_np(c: np.ndarray):
     """Host-side per-row symmetric int8 quantization, row-chunked so the
     f32 temp stays bounded.  Mirrors kernels.fused_topk.quantize_int8 —
@@ -402,22 +423,31 @@ class Corpus:
                 dev = _to_jax(c, np.dtype(np.float32)).astype(jnp.bfloat16)
             elif storage == "int8":
                 # Quantize on host so the upload moves int8 bytes, not f32
-                # (pre-quantized codes pass straight through).
+                # (pre-quantized codes pass straight through).  The code
+                # buffer is allocated directly in prepared-cp geometry
+                # (rows padded to a 4096 multiple — every standard tile
+                # height divides it — features padded to the kernel
+                # width): int8 prep never changes the codes, so the
+                # prepared form ALIASES this buffer instead of copying it.
+                # int8 residency = one code buffer, not two.
+                from ..kernels.fused_topk import feature_geometry
+
                 if np.dtype(c.dtype) != np.int8:
                     c, scales = _quantize_rows_np(c)
-                dev = _to_jax(c, np.dtype(np.int8))
-                self._scales = _to_jax(scales, np.dtype(np.float32))
+                _, dpp, _ = feature_geometry(self.dim)
+                rows_pad = _round_up_rows(self._cap)
+                codes_p = np.zeros((rows_pad, dpp), np.int8)
+                codes_p[: self.n, : self.dim] = c
+                scales_p = np.ones(rows_pad, np.float32)
+                scales_p[: self.n] = scales
+                dev = _to_jax(codes_p, np.dtype(np.int8))
+                self._scales = _to_jax(scales_p, np.dtype(np.float32))
             else:
                 dev = _to_jax(c, dt)
-            if self._cap > self.n:
+            if storage != "int8" and self._cap > self.n:
                 import jax.numpy as jnp
 
                 dev = jnp.pad(dev, ((0, self._cap - self.n), (0, 0)))
-                if self._scales is not None:
-                    # Pad scale 1.0: dequantized reserve rows stay exact 0.
-                    self._scales = jnp.pad(
-                        self._scales, (0, self._cap - self.n),
-                        constant_values=1.0)
             self._device = dev
         # Lazy f32 upcast of a bf16-stored corpus, built only if a
         # non-Pallas path (k > k_pad, dim > 8192, use_pallas=False) or
@@ -469,16 +499,22 @@ class Corpus:
         if new_n > self._cap:
             # Grow geometrically; prepared forms rebuild lazily at the new
             # capacity (their row counts change, so in-place is impossible).
+            # int8 shared-storage: the buffer is padded to 4096-row
+            # multiples, so growth within the existing padding keeps every
+            # aliased prepared form valid — only a real reallocation
+            # invalidates them.
             new_cap = max(2 * self._cap, new_n)
-            self._device = jnp.pad(
-                self._device, ((0, new_cap - self._cap), (0, 0)))
-            if self._scales is not None:
-                self._scales = jnp.pad(
-                    self._scales, (0, new_cap - self._cap),
-                    constant_values=1.0)
+            grow = ((_round_up_rows(new_cap) if self.storage == "int8"
+                     else new_cap) - self._device.shape[0])
+            if grow > 0:
+                self._device = jnp.pad(
+                    self._device, ((0, grow), (0, 0)))
+                if self._scales is not None:
+                    self._scales = jnp.pad(
+                        self._scales, (0, grow), constant_values=1.0)
+                self._prepared.clear()
+                self._f32_view = None
             self._cap = new_cap
-            self._prepared.clear()
-            self._f32_view = None
 
         if self.storage == "int8":
             codes_np, scales_np = _quantize_rows_np(r)
@@ -486,13 +522,11 @@ class Corpus:
             scales_j = _to_jax(scales_np, np.dtype(np.float32))
             self._scales = jax.lax.dynamic_update_slice(
                 self._scales, scales_j, (self.n,))
-            prep_args = (rj, scales_j)
         else:
             rj32 = _to_jax(r, np.dtype(np.float32))
             rj = rj32.astype(buf_dt) if buf_dt != jnp.float32 else rj32
             if np.dtype(buf_dt) == np.float64:
                 rj = _to_jax(r, np.dtype(np.float64))
-            prep_args = (rj32,)
         self._device = jax.lax.dynamic_update_slice(
             self._device, rj, (self.n, 0))
         self._f32_view = None
@@ -503,7 +537,21 @@ class Corpus:
         with jax.enable_x64(False):
             for key in list(self._prepared):
                 cp, cbp = self._prepared[key]
-                cpc, cbc = _prep_chunk_fn(*key)(*prep_args)
+                if self.storage == "int8":
+                    if cbp.shape[1] != self._device.shape[0]:
+                        # copy-path prep (exotic tile height): rebuild
+                        # lazily rather than splice a mismatched layout
+                        del self._prepared[key]
+                        continue
+                    # shared-storage: the code splice above already
+                    # updated cp (it aliases the buffer); only the new
+                    # rows' scale|bias columns need computing.
+                    cbc = _int8_bias_chunk_fn(key[0])(rj, scales_j)
+                    cbp = jax.lax.dynamic_update_slice(
+                        cbp, cbc, (0, self.n))
+                    self._prepared[key] = (self._device, cbp)
+                    continue
+                cpc, cbc = _prep_chunk_fn(*key)(rj32)
                 cp = jax.lax.dynamic_update_slice(
                     cp, cpc[:m], (self.n, 0))
                 cbp = jax.lax.dynamic_update_slice(
@@ -527,7 +575,9 @@ class Corpus:
         host and can be re-sharded at load with ``mesh=``.
         """
         if self.mesh is None:
-            data = np.asarray(self._device[: self.n])
+            # Trim storage padding (int8 shared-storage buffers carry
+            # tile-padded rows and 128-padded features).
+            data = np.asarray(self._device[: self.n, : self.dim])
             scales = self._scales
         else:
             # ShardedCorpus: gather the (zero-padded) shards and trim.
@@ -640,18 +690,21 @@ class Corpus:
         return self.config.precision
 
     def _dense_device(self):
-        """Dense compute-dtype corpus for fallback/matmul paths (cached)."""
+        """Dense compute-dtype corpus for fallback/matmul paths (cached);
+        (n, dim) exactly (storage padding trimmed)."""
         if self.storage == "f32":
-            return self._device
+            return (self._device if self._device.shape[0] == self.n
+                    else self._device[: self.n])
         if self._f32_view is None:
             import jax
             import jax.numpy as jnp
 
             if self.storage == "int8":
-                dense = (self._device.astype(jnp.float32)
-                         * self._scales[:, None])
+                dense = (
+                    self._device[: self.n, : self.dim].astype(jnp.float32)
+                    * self._scales[: self.n, None])
             else:
-                dense = self._device.astype(jnp.float32)
+                dense = self._device[: self.n].astype(jnp.float32)
             self._f32_view = jax.block_until_ready(dense)
         return self._f32_view
 
@@ -676,6 +729,24 @@ class Corpus:
         import functools
 
         import jax
+
+        if (self.storage == "int8" and self.mesh is None
+                and self._device.shape[0] % tn == 0):
+            # Shared-storage fast path: the code buffer IS the prepared
+            # cp (allocated in cp geometry at construction; int8 prep
+            # never changes the codes).  Only the (2, rows) scale|bias
+            # operand is computed — chunked, so the f32 norm temp never
+            # exceeds one chunk even for multi-GB corpora.  The bias rows
+            # are tile-height-independent, so a different k-regime reuses
+            # them as-is.
+            for (mv, pv, _t), (cp_o, cbp_o) in self._prepared.items():
+                if ((mv, pv) == (metric.value, precision)
+                        and cbp_o.shape[1] == self._device.shape[0]):
+                    self._prepared[key] = (self._device, cbp_o)
+                    return self._prepared[key] + (tn,)
+            self._prepared[key] = (
+                self._device, self._int8_bias_rows(metric))
+            return self._prepared[key] + (tn,)
 
         def prep(chunk, *rest):  # rest = (scales_chunk,) on the int8 path
             return prepare_corpus(
@@ -743,6 +814,49 @@ class Corpus:
             self._prepared[key] = jax.block_until_ready(
                 self._mask_capacity_tail(buf_cp, buf_cb))
         return self._prepared[key] + (tn,)
+
+    def _int8_bias_rows(self, metric):
+        """(2, rows) scale|bias for the shared int8 code buffer, computed
+        in row chunks (the transient f32 code upcast inside the norm is
+        bounded by one chunk)."""
+        import functools as _ft
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..kernels.fused_topk import prepare_int8_bias
+
+        rows = self._device.shape[0]
+        row_bytes = self._device.shape[1] * 4  # f32 upcast dominates
+        per_chunk = max(
+            4096, self.config.prep_chunk_bytes // row_bytes // 4096 * 4096
+        )
+        with jax.enable_x64(False):
+            if rows <= per_chunk:
+                fn = jax.jit(_ft.partial(prepare_int8_bias, metric=metric))
+                return jax.block_until_ready(
+                    fn(self._device, self._scales, n_valid=jnp.int32(self.n)))
+
+            buf = jnp.zeros((2, rows), jnp.float32)
+
+            @_ft.partial(jax.jit, donate_argnums=(0,))
+            def update(buf, codes_c, scales_c, row0, n_valid_local):
+                cbc = prepare_int8_bias(codes_c, scales_c, metric,
+                                        n_valid_local)
+                return jax.lax.dynamic_update_slice(
+                    buf, cbc, (jnp.int32(0), row0))
+
+            row0 = 0
+            while row0 < rows:
+                nr = min(per_chunk, rows - row0)
+                codes_c = jax.lax.dynamic_slice_in_dim(
+                    self._device, row0, nr, axis=0)
+                scales_c = jax.lax.dynamic_slice_in_dim(
+                    self._scales, row0, nr, axis=0)
+                buf = update(buf, codes_c, scales_c, jnp.int32(row0),
+                             jnp.int32(self.n - row0))
+                row0 += nr
+            return jax.block_until_ready(buf)
 
     def _mask_capacity_tail(self, cp, cbp):
         """Reserved-capacity rows ([n, _cap)) are zeros in the raw buffer;
@@ -828,9 +942,7 @@ class Corpus:
                 v, i = _unpack_pair(packed, kk)
                 return i.astype(np.uint32), v.astype(np.float64)
             qj = _to_jax(q, dt)
-            dense = self._dense_device()
-            if self._cap > self.n:
-                dense = dense[:self.n]
+            dense = self._dense_device()  # (n, dim): padding trimmed
             cj = dense if dt == dense.dtype else dense.astype(dt)
             vals, idx = _device_topk(qj, cj, kk, metric, self.config,
                                      mask=self._combined_mask(user_mk))
@@ -858,9 +970,7 @@ class Corpus:
             return np.asarray(out)
         from ..kernels.matmul import pairwise_matmul
 
-        dense = self._dense_device()
-        if self._cap > self.n:
-            dense = dense[:self.n]
+        dense = self._dense_device()  # (n, dim): padding trimmed
         cj = dense if np.dtype(dense.dtype) == dt else dense.astype(dt)
         with annotate("pmm.matmul"):
             out = pairwise_matmul(_to_jax(q, dt), cj,

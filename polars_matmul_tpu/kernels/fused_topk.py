@@ -582,6 +582,35 @@ def quantize_int8(c: jax.Array):
     return codes, scale[:, 0]
 
 
+def prepare_int8_bias(codes: jax.Array, scales: jax.Array, metric,
+                      n_valid) -> jax.Array:
+    """The (2, rows) scale|bias operand for an int8 corpus whose code
+    buffer IS already the prepared cp (rows tile-padded, features
+    128-padded): int8 prep never changes the codes — for cosine the
+    dequant scale cancels against the row norm — so only these two rows
+    need computing and the code buffer is shared, not copied (half the
+    HBM of a separate prepared form).  Rows >= ``n_valid`` (capacity
+    reserve and tile padding, all zero rows) get -inf bias.  Pure and
+    traceable; ``n_valid`` may be traced.
+    """
+    metric = Metric.parse(metric)
+    rows = codes.shape[0]
+    codesf = codes.astype(jnp.float32)
+    code_norm = jnp.sqrt(jnp.sum(codesf * codesf, axis=1))
+    if metric is Metric.COSINE:
+        cs = jnp.where(code_norm > 0, 1.0 / code_norm, 0.0)
+        cb = jnp.zeros((rows,), jnp.float32)
+    elif metric is Metric.EUCLIDEAN:
+        cs = scales.astype(jnp.float32)
+        cb = -(cs * code_norm) ** 2
+    else:
+        cs = scales.astype(jnp.float32)
+        cb = jnp.zeros((rows,), jnp.float32)
+    live = jnp.arange(rows) < n_valid
+    cb = jnp.where(live, cb, -np.inf)
+    return jnp.stack([cs, cb], axis=0)
+
+
 def prepare_corpus(c: jax.Array, metric, *, tn: int, precision: str,
                    scales: "Optional[jax.Array]" = None):
     """Metric pre-scaling + padding + (bf16x3) splitting of the corpus.

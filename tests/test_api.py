@@ -898,3 +898,58 @@ class TestSaveLoad:
             pmt.Corpus(codes, storage="int8", scales=scales[:5])
         with pytest.raises(ValueError, match="only meaningful"):
             pmt.Corpus(c, scales=np.ones(30, np.float32))
+
+
+class TestInt8SharedStorage:
+    """int8 single-device corpora keep ONE code buffer: the prepared cp
+    aliases the storage buffer (codes never change under prep), so int8
+    residency is codes + tiny scale/bias rows — not two copies."""
+
+    def test_prepared_aliases_storage(self):
+        rng = np.random.default_rng(141)
+        q = rng.standard_normal((5, 48)).astype(np.float32)
+        c = rng.standard_normal((300, 48)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8")
+        for metric in ("cosine", "dot", "euclidean"):
+            h.topk(q, 4, metric)
+        assert len(h._prepared) == 3
+        for cp, cb in h._prepared.values():
+            assert cp is h._device            # aliased, zero extra HBM
+            assert cb.shape == (2, h._device.shape[0])
+
+    def test_k_regimes_share_bias_rows(self):
+        rng = np.random.default_rng(142)
+        q = rng.standard_normal((4, 32)).astype(np.float32)
+        c = rng.standard_normal((200, 32)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8")
+        h.topk(q, 5)
+        h.topk(q, 40)                         # large-k regime, new tn key
+        cbs = [cb for _, cb in h._prepared.values()]
+        assert len(cbs) == 2 and cbs[0] is cbs[1]
+
+    def test_add_splices_alias_and_bias(self):
+        rng = np.random.default_rng(143)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        c = rng.standard_normal((100, 16)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8", capacity=300)
+        h.topk(q, 3)
+        h.add(q * 5.0)
+        (cp, cb), = [v for v in h._prepared.values()]
+        assert cp is h._device                # still aliased after add
+        i, v = h.topk(q, 1)
+        np.testing.assert_array_equal(i[:, 0], [100, 101, 102])
+        np.testing.assert_allclose(v[:, 0], 1.0, atol=1e-2)
+
+    def test_chunked_bias_matches_oneshot(self):
+        rng = np.random.default_rng(144)
+        q = rng.standard_normal((5, 32)).astype(np.float32)
+        c = rng.standard_normal((600, 32)).astype(np.float32)
+        h1 = pmt.Corpus(c, storage="int8")
+        # tiny chunk budget forces the chunked bias loop
+        h2 = pmt.Corpus(c, storage="int8",
+                        config=pmt.SearchConfig(prep_chunk_bytes=1))
+        for metric in ("cosine", "euclidean"):
+            i1, v1 = h1.topk(q, 5, metric)
+            i2, v2 = h2.topk(q, 5, metric)
+            np.testing.assert_array_equal(i1, i2)
+            np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=1e-6)
