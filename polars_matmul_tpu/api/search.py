@@ -222,6 +222,31 @@ def _prep_chunk_fn(metric_v: str, precision: str, tn: int):
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=1)
+def _splice_fns():
+    """Donated dynamic_update_slice wrappers: Corpus.add splices rows /
+    bias columns IN PLACE (input-output aliasing) instead of copying the
+    whole buffer per add — an eager dynamic_update_slice cannot alias, so
+    without donation every add costs O(corpus) HBM traffic and a 2x
+    transient, which would OOM a corpus sized to fit HBM."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def rows(buf, block, r0):
+        return jax.lax.dynamic_update_slice(buf, block, (r0, jnp.int32(0)))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def cols(buf, block, c0):
+        return jax.lax.dynamic_update_slice(buf, block, (jnp.int32(0), c0))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def vec(buf, block, i0):
+        return jax.lax.dynamic_update_slice(buf, block, (i0,))
+
+    return rows, cols, vec
+
+
 @functools.lru_cache(maxsize=16)
 def _int8_bias_chunk_fn(metric_v: str):
     """Jitted (2, m) scale|bias columns for freshly added int8 rows (all
@@ -516,47 +541,57 @@ class Corpus:
                 self._f32_view = None
             self._cap = new_cap
 
+        splice_rows, splice_cols, splice_vec = _splice_fns()
+        n0 = jnp.int32(self.n)
         if self.storage == "int8":
             codes_np, scales_np = _quantize_rows_np(r)
             rj = _to_jax(codes_np, np.dtype(np.int8))
             scales_j = _to_jax(scales_np, np.dtype(np.float32))
-            self._scales = jax.lax.dynamic_update_slice(
-                self._scales, scales_j, (self.n,))
+            self._scales = splice_vec(self._scales, scales_j, n0)
+            # Drop every alias of the code buffer BEFORE donating it:
+            # shared-storage prepared forms hold the same array, and a
+            # donated buffer with surviving references would poison
+            # later reads.  Their bias rows are kept and re-pointed.
+            shared_cbs = []
+            for key in list(self._prepared):
+                entry = self._prepared.pop(key)
+                cbp = entry[1]
+                del entry
+                if cbp.shape[1] == self._device.shape[0]:
+                    shared_cbs.append((key, cbp))
+                # else: copy-path prep (exotic tile height) — rebuild
+                # lazily rather than splice a mismatched layout
+            self._device = splice_rows(self._device, rj, n0)
+            self._f32_view = None
+            with jax.enable_x64(False):
+                for key, cbp in shared_cbs:
+                    cbc = _int8_bias_chunk_fn(key[0])(rj, scales_j)
+                    self._prepared[key] = (
+                        self._device, splice_cols(cbp, cbc, n0))
         else:
             rj32 = _to_jax(r, np.dtype(np.float32))
             rj = rj32.astype(buf_dt) if buf_dt != jnp.float32 else rj32
             if np.dtype(buf_dt) == np.float64:
                 rj = _to_jax(r, np.dtype(np.float64))
-        self._device = jax.lax.dynamic_update_slice(
-            self._device, rj, (self.n, 0))
-        self._f32_view = None
+            # bf16 storage: derive the prepared splice from the STORED
+            # (quantized) values, so a splice and a later
+            # rebuild-from-storage score added rows identically.
+            prep_src = rj if self.storage == "bf16" else rj32
+            self._device = splice_rows(self._device, rj, n0)
+            self._f32_view = None
 
-        # Splice the new rows into every cached prepared form: prep is
-        # row-wise (per-row scaling / bias / precision split), so a chunk
-        # prep of just the new rows is exact.
-        with jax.enable_x64(False):
-            for key in list(self._prepared):
-                cp, cbp = self._prepared[key]
-                if self.storage == "int8":
-                    if cbp.shape[1] != self._device.shape[0]:
-                        # copy-path prep (exotic tile height): rebuild
-                        # lazily rather than splice a mismatched layout
-                        del self._prepared[key]
-                        continue
-                    # shared-storage: the code splice above already
-                    # updated cp (it aliases the buffer); only the new
-                    # rows' scale|bias columns need computing.
-                    cbc = _int8_bias_chunk_fn(key[0])(rj, scales_j)
-                    cbp = jax.lax.dynamic_update_slice(
-                        cbp, cbc, (0, self.n))
-                    self._prepared[key] = (self._device, cbp)
-                    continue
-                cpc, cbc = _prep_chunk_fn(*key)(rj32)
-                cp = jax.lax.dynamic_update_slice(
-                    cp, cpc[:m], (self.n, 0))
-                cbp = jax.lax.dynamic_update_slice(
-                    cbp, cbc[:, :m], (0, self.n))
-                self._prepared[key] = (cp, cbp)
+            # Splice the new rows into every cached prepared form: prep
+            # is row-wise (per-row scaling / bias / precision split), so
+            # a chunk prep of just the new rows is exact.  (Prepared
+            # forms only exist for f32-semantic handles, so the x64-off
+            # trace context cannot downcast anything real.)
+            with jax.enable_x64(False):
+                for key in list(self._prepared):
+                    cp, cbp = self._prepared.pop(key)
+                    cpc, cbc = _prep_chunk_fn(*key)(prep_src)
+                    cp = splice_rows(cp, cpc[:m], n0)
+                    cbp = splice_cols(cbp, cbc[:, :m], n0)
+                    self._prepared[key] = (cp, cbp)
 
         if self._tombstones is not None:
             self._tombstones = np.concatenate(
@@ -864,8 +899,14 @@ class Corpus:
         (the same mechanism that excludes tile-padding rows).  ``add()``
         later overwrites both the rows and their bias entries in place.
         The bias is the LAST cbp row (int8c carries a scale row above it,
-        which must stay finite: 0 * -inf would poison the tail with NaN)."""
-        if self._cap > self.n:
+        which must stay finite: 0 * -inf would poison the tail with NaN).
+
+        Condition on the PREP width, not ``_cap``: int8 buffers are
+        row-padded to a 4096 multiple even without ``capacity=``, and a
+        copy-path prep (exotic tile height) treats those zero rows as
+        real — without this they would surface as index >= n with score
+        0.0 whenever every true score is negative."""
+        if cbp.shape[1] > self.n:
             cbp = cbp.at[-1:, self.n:].set(-np.inf)
         return cp, cbp
 
@@ -920,12 +961,21 @@ class Corpus:
                 or (self.storage == "int8"
                     and np.dtype(self._device.dtype) == np.int8)
             )
+            sup = supports(q.shape, (self.n, self.dim), dt, kk,
+                           self.config)
+            if (not sup and self.storage != "f32" and dt == np.float32
+                    and kk <= self.config.k_pad):
+                # Quantized storage above max_fused_dim: supports() says
+                # XLA is faster there, but the XLA path would materialize
+                # (and cache) a dense f32 copy — 2x/4x the quantized HBM,
+                # exactly what the storage tier exists to avoid.  The
+                # K-chunked kernel serves any dim from the codes directly.
+                sup = True
             if (
                 self.config.use_pallas
                 and dt == np.float32
                 and dev_ok
-                and supports(q.shape, (self.n, self.dim), dt, kk,
-                             self.config)
+                and sup
             ):
                 qj = _to_jax(q, q.dtype) if half_q else _to_jax(q, dt)
                 cp, cbp, tn = self._prepared_for(metric, kk)

@@ -101,6 +101,22 @@ class SearchConfig:
     # Mesh axis names used by the parallel layer.
     mesh_axes: Tuple[str, str] = ("data", "corpus")
 
+    def __post_init__(self):
+        # Fail fast on typo'd enum knobs (prune='true', merge='tree', ...):
+        # every one of these silently selected a default behavior before.
+        for field, allowed in (
+            ("prune", ("auto", "on", "off")),
+            ("selection", ("extract", "bucket")),
+            ("merge", ("allgather", "ring")),
+            ("precision", ("default", "high", "highest",
+                           "bf16x3", "bf16c", "int8c")),
+        ):
+            v = getattr(self, field)
+            if v not in allowed:
+                raise ValueError(
+                    f"Unknown {field}: {v!r} (expected one of {allowed})"
+                )
+
     def with_updates(self, **kw) -> "SearchConfig":
         return dataclasses.replace(self, **kw)
 

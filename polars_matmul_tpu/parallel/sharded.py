@@ -48,10 +48,50 @@ class ShardedCorpus:
     # queries do zero per-call corpus work — the sharded analog of
     # Corpus._prepared_for.
     _prepared: dict = dataclasses.field(default_factory=dict, repr=False)
+    # Cached dense-f32 shards for fallback/matmul paths on quantized
+    # storage (the sharded analog of Corpus._f32_view): built once, not
+    # re-dequantized on every call.
+    _f32_view: "Optional[jax.Array]" = dataclasses.field(  # noqa: F821
+        default=None, repr=False)
 
     @property
     def shape(self):
         return self.data.shape
+
+    def dense_f32(self, mesh, cfg: SearchConfig):
+        """Dense f32 shards (dequantized / upcast at shard granularity,
+        cached) for paths that need real values: the XLA fallback and
+        the distributed matmul."""
+        if str(self.data.dtype) == "float32":
+            return self.data
+        if self._f32_view is None:
+            import jax
+            import jax.numpy as jnp
+            from jax.sharding import PartitionSpec as P
+
+            c_axis = cfg.mesh_axes[1]
+            if self.scales is not None:
+                def dequant(c_, s_):
+                    return c_.astype(jnp.float32) * s_[:, None]
+
+                mapped = _shard_map(
+                    dequant, mesh,
+                    in_specs=(P(c_axis, None), P(c_axis)),
+                    out_specs=P(c_axis, None),
+                )
+                view = jax.jit(mapped)(self.data, self.scales)
+            else:
+                def upcast(c_):
+                    return c_.astype(jnp.float32)
+
+                mapped = _shard_map(
+                    upcast, mesh,
+                    in_specs=(P(c_axis, None),),
+                    out_specs=P(c_axis, None),
+                )
+                view = jax.jit(mapped)(self.data)
+            self._f32_view = jax.block_until_ready(view)
+        return self._f32_view
 
     def prepared_for(self, metric: Metric, mesh, cfg: SearchConfig,
                      k: int = 1):
@@ -226,7 +266,7 @@ def _merge_sorted_2key(vals, idx, k: int, hib: bool):
 @lru_cache(maxsize=64)
 def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
                    cfg: SearchConfig, prepared: bool = False,
-                   masked: bool = False, quant: bool = False):
+                   masked: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -260,25 +300,12 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
             ))
 
         corpus_in_specs = (P(c_axis, None), P(None, c_axis))
-    elif quant:
-        def local_topk(q_, c_, s_, *m_):
-            # int8-stored shard on a path that needs dense values (one-shot
-            # prep inside fused_topk, or the XLA fallback): dequantize
-            # locally, at shard granularity.
-            mk = m_[0] if m_ else None
-            c_ = c_.astype(jnp.float32) * s_[:, None]
-            return finish(*fused_topk(q_, c_, k_local, metric, mask=mk,
-                                      config=cfg))
-
-        corpus_in_specs = (P(c_axis, None), P(c_axis))
     else:
         def local_topk(q_, c_, *m_):
+            # Quantized shards arrive pre-dequantized (ShardedCorpus
+            # .dense_f32 caches the f32 view), so this path always sees
+            # real f32 values.
             mk = m_[0] if m_ else None
-            if c_.dtype == jnp.bfloat16:
-                # bf16-stored shard on a path that needs dense f32 values
-                # (one-shot prep inside fused_topk, or the XLA fallback):
-                # upcast locally, at shard granularity.
-                c_ = c_.astype(jnp.float32)
             return finish(*fused_topk(q_, c_, k_local, metric, mask=mk,
                                       config=cfg))
 
@@ -425,13 +452,14 @@ def distributed_topk(
                             prepared=True, masked=mask is not None)
         return fn(q, cp, cbp, *m_args)
     fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg,
-                        masked=mask is not None, quant=quant)
-    c_args = (corpus.data,) + ((corpus.scales,) if quant else ())
-    return fn(q, *c_args, *m_args)
+                        masked=mask is not None)
+    # Quantized / bf16 shards: the fallback needs dense values — use the
+    # cached f32 view (built once) instead of dequantizing per call.
+    return fn(q, corpus.dense_f32(mesh, cfg), *m_args)
 
 
 @lru_cache(maxsize=64)
-def _matmul_callable(mesh, n_true, cfg: SearchConfig, quant: bool = False):
+def _matmul_callable(mesh, n_true, cfg: SearchConfig):
     import jax
     from jax.sharding import PartitionSpec as P
 
@@ -439,28 +467,24 @@ def _matmul_callable(mesh, n_true, cfg: SearchConfig, quant: bool = False):
 
     d_axis, c_axis = cfg.mesh_axes
     shards_data = mesh.shape[d_axis] > 1
-    precision = "bf16x3" if cfg.precision == "int8c" else cfg.precision
+    precision = ("bf16x3" if cfg.precision in ("int8c", "bf16c")
+                 else cfg.precision)
 
-    def local_fn(q_, c_, *s_):
-        if s_:
-            # int8-stored shards: dequantize at shard granularity (matmul
-            # contracts to return dense values in the compute dtype).
-            c_ = c_.astype(q_.dtype) * s_[0].astype(q_.dtype)[:, None]
-        elif c_.dtype != q_.dtype:
-            # bf16-stored shards: upcast at shard granularity.
+    def local_fn(q_, c_):
+        if c_.dtype != q_.dtype:
+            # f64-query contract on an f32 view: upcast per shard.
             c_ = c_.astype(q_.dtype)
         return pairwise_matmul(q_, c_, precision=precision)
 
     q_spec = P(d_axis, None) if shards_data else P()
-    c_specs = (P(c_axis, None),) + ((P(c_axis),) if quant else ())
     mapped = _shard_map(
         local_fn,
         mesh,
-        in_specs=(q_spec, *c_specs),
+        in_specs=(q_spec, P(c_axis, None)),
         out_specs=P(d_axis if shards_data else None, c_axis),
     )
 
-    return jax.jit(lambda q, *c_args: mapped(q, *c_args)[:, :n_true])
+    return jax.jit(lambda q, data: mapped(q, data)[:, :n_true])
 
 
 def distributed_matmul(
@@ -473,7 +497,5 @@ def distributed_matmul(
     along the corpus axis (the output IS (m, n), so it is materialized —
     this op exists for parity with the reference's raw matmul)."""
     cfg = resolve(config)
-    quant = corpus.scales is not None
-    fn = _matmul_callable(mesh, corpus.n_true, cfg, quant=quant)
-    c_args = (corpus.data,) + ((corpus.scales,) if quant else ())
-    return fn(q, *c_args)
+    fn = _matmul_callable(mesh, corpus.n_true, cfg)
+    return fn(q, corpus.dense_f32(mesh, cfg))

@@ -953,3 +953,82 @@ class TestInt8SharedStorage:
             i2, v2 = h2.topk(q, 5, metric)
             np.testing.assert_array_equal(i1, i2)
             np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=1e-6)
+
+
+class TestReviewRegressions:
+    """Pinned regressions from the sixth review pass."""
+
+    def test_int8_copy_path_never_leaks_pad_indices(self):
+        # block_n=1536 (legal: multiple of 128) doesn't divide the 4096-
+        # padded int8 buffer -> copy-path prep; its zero pad rows must be
+        # bias-masked even without capacity= (they used to surface as
+        # index >= n with score 0.0 when all true scores are negative).
+        rng = np.random.default_rng(151)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c = -np.abs(rng.standard_normal((100, 16))).astype(np.float32)
+        qpos = np.abs(q)  # all dots with -|c| rows are negative
+        h = pmt.Corpus(c, storage="int8",
+                       config=pmt.SearchConfig(block_n=1536))
+        i, v = h.topk(qpos, 5, "dot")
+        assert (i < 100).all(), i
+        assert (np.asarray(v) < 0).all()
+
+    def test_prune_config_validated(self):
+        with pytest.raises(ValueError, match="Unknown prune"):
+            pmt.SearchConfig(prune="true")
+        with pytest.raises(ValueError, match="Unknown selection"):
+            pmt.SearchConfig(selection="heap")
+        with pytest.raises(ValueError, match="Unknown merge"):
+            pmt.SearchConfig(merge="tree")
+        with pytest.raises(ValueError, match="Unknown precision"):
+            pmt.SearchConfig(precision="fp8")
+
+    def test_bf16_add_splice_matches_rebuild(self):
+        # the spliced prepared rows must derive from the STORED bf16
+        # values: after add, a fresh handle built from the same logical
+        # corpus must score identically
+        rng = np.random.default_rng(152)
+        q = rng.standard_normal((6, 32)).astype(np.float32)
+        c0 = rng.standard_normal((120, 32)).astype(np.float32)
+        extra = rng.standard_normal((40, 32)).astype(np.float32)
+        h = pmt.Corpus(c0, storage="bf16", capacity=200)
+        h.topk(q, 5)                          # build prep, then splice
+        h.add(extra)
+        i1, v1 = h.topk(q, 5)
+        h2 = pmt.Corpus(np.vstack([c0, extra]), storage="bf16",
+                        capacity=200)
+        i2, v2 = h2.topk(q, 5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, rtol=0, atol=0)  # bit-equal
+
+    def test_highdim_quantized_never_builds_f32_view(self):
+        # dim > max_fused_dim with small scores used to fall back to XLA
+        # and permanently cache a 4x dense f32 copy; quantized storage
+        # must serve from the codes via the K-chunked kernel instead
+        rng = np.random.default_rng(153)
+        dim = 8600
+        q = (rng.standard_normal((3, dim)) / 90).astype(np.float32)
+        c = (rng.standard_normal((50, dim)) / 90).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8")
+        i, v = h.topk(q, 4)
+        assert h._f32_view is None
+        assert len(h._prepared) == 1          # kernel path taken
+        i2, _ = h.topk(q, 4, "euclidean")
+        assert h._f32_view is None
+
+    def test_sharded_int8_fallback_uses_cached_view(self):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        mesh = pmt.make_mesh(n_data=1, n_corpus=8)
+        rng = np.random.default_rng(154)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        c = rng.standard_normal((2000, 16)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8", mesh=mesh)
+        h.topk(q, 200)                        # k > k_pad: fallback
+        assert h._device._f32_view is not None
+        view1 = h._device._f32_view
+        h.topk(q, 200)
+        assert h._device._f32_view is view1   # built once, reused
