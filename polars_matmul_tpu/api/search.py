@@ -431,9 +431,9 @@ class Corpus:
             if storage == "int8":
                 if np.dtype(c.dtype) != np.int8:
                     c, scales = _quantize_rows_np(c)
-                self._device = shard_corpus(
-                    _to_jax(c, np.dtype(np.int8)), mesh, cfg,
-                    scales=_to_jax(scales, np.dtype(np.float32)))
+                # Host arrays go straight to the shards (device_put with a
+                # sharding) — no single-device staging copy.
+                self._device = shard_corpus(c, mesh, cfg, scales=scales)
             else:
                 dev = _to_jax(c, dt)
                 if storage == "bf16":
@@ -615,8 +615,9 @@ class Corpus:
             data = np.asarray(self._device[: self.n, : self.dim])
             scales = self._scales
         else:
-            # ShardedCorpus: gather the (zero-padded) shards and trim.
-            data = np.asarray(self._device.data[: self.n])
+            # ShardedCorpus: gather the (zero-padded) shards and trim
+            # (int8 shared-storage shards also carry feature padding).
+            data = np.asarray(self._device.data[: self.n, : self.dim])
             scales = self._device.scales
         arrays = {"n": np.int64(self.n), "dim": np.int64(self.dim),
                   "storage": np.array(self.storage)}

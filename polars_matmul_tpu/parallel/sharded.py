@@ -43,6 +43,9 @@ class ShardedCorpus:
     # int8 storage: (n_padded,) f32 per-row dequant scales, sharded with
     # the rows (pad rows get scale 1.0 so they dequantize to exact zero).
     scales: "Optional[jax.Array]" = None  # noqa: F821
+    # Original (unpadded) feature width; int8 shared-storage shards carry
+    # 128-padded features, which dense views must trim.
+    dim: Optional[int] = None
     # Lazily-built per-(metric, precision) prepared forms (pre-scaled,
     # padded, precision-split per shard) so steady-state distributed
     # queries do zero per-call corpus work — the sharded analog of
@@ -64,6 +67,7 @@ class ShardedCorpus:
         the distributed matmul."""
         if str(self.data.dtype) == "float32":
             return self.data
+        dim = self.dim or self.data.shape[1]
         if self._f32_view is None:
             import jax
             import jax.numpy as jnp
@@ -72,7 +76,8 @@ class ShardedCorpus:
             c_axis = cfg.mesh_axes[1]
             if self.scales is not None:
                 def dequant(c_, s_):
-                    return c_.astype(jnp.float32) * s_[:, None]
+                    return (c_[:, :dim].astype(jnp.float32)
+                            * s_[:, None])
 
                 mapped = _shard_map(
                     dequant, mesh,
@@ -121,6 +126,32 @@ class ShardedCorpus:
         dim = self.data.shape[1]
         itemsize = self.data.dtype.itemsize
         quant = self.scales is not None
+
+        if quant and ns % tn == 0:
+            # Shared-storage fast path (see shard_corpus): the shard data
+            # IS the prepared cp; only the per-shard (2, ns) scale|bias
+            # rows are computed.  Each shard masks its rows beyond the
+            # global live count — every padding row's global index lands
+            # >= n_true, which the merge already discards.
+            from ..kernels.fused_topk import prepare_int8_bias
+
+            n_true = self.n_true
+
+            def bias_local(codes_, scales_):
+                off = jax.lax.axis_index(c_axis) * ns
+                return prepare_int8_bias(codes_, scales_, metric,
+                                         n_true - off)
+
+            mapped = _shard_map(
+                bias_local, mesh,
+                in_specs=(P(c_axis, None), P(c_axis)),
+                out_specs=P(None, c_axis),
+            )
+            with jax.enable_x64(False):
+                cbp = jax.block_until_ready(
+                    jax.jit(mapped)(self.data, self.scales))
+            self._prepared[key] = (self.data, cbp)
+            return self._prepared[key]
 
         def prep(chunk, *rest):  # rest = (scales_chunk,) on the int8 path
             return prepare_corpus(
@@ -206,7 +237,16 @@ class ShardedCorpus:
 def shard_corpus(c, mesh, config: Optional[SearchConfig] = None,
                  scales=None) -> ShardedCorpus:
     """Block-partition a corpus (optionally int8 codes + per-row scales)
-    over the corpus mesh axis."""
+    over the corpus mesh axis.
+
+    int8 corpora get the shared-storage layout: every shard's height is
+    padded to a 4096 multiple (each standard tile height divides it) and
+    features to the kernel width, so the per-shard prepared form ALIASES
+    the shard data instead of copying it.  Original rows stay contiguous
+    at global positions [0, n) — the standard index mapping is untouched
+    — and all padding rows map to global indices >= n, which the merge
+    already masks.
+    """
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -215,15 +255,24 @@ def shard_corpus(c, mesh, config: Optional[SearchConfig] = None,
     axis = cfg.mesh_axes[1]
     n_shards = mesh.shape[axis]
     n = c.shape[0]
+    if scales is not None:
+        from ..kernels.fused_topk import feature_geometry
+
+        _, dpp, _ = feature_geometry(c.shape[1])
+        ns = _round_up(-(-n // n_shards), 4096)
+        codes_p = np.zeros((ns * n_shards, dpp), np.int8)
+        codes_p[:n, : c.shape[1]] = np.asarray(c)
+        scales_p = np.ones(ns * n_shards, np.float32)
+        scales_p[:n] = np.asarray(scales)
+        data = jax.device_put(codes_p, NamedSharding(mesh, P(axis, None)))
+        sh_scales = jax.device_put(
+            scales_p, NamedSharding(mesh, P(axis)))
+        return ShardedCorpus(data, n, scales=sh_scales, dim=c.shape[1])
     n_pad = _round_up(n, n_shards)
     if n_pad != n:
         c = jnp.pad(c, ((0, n_pad - n), (0, 0)))
-        if scales is not None:
-            scales = jnp.pad(scales, (0, n_pad - n), constant_values=1.0)
     sharding = NamedSharding(mesh, P(axis, None))
-    sh_scales = (None if scales is None else
-                 jax.device_put(scales, NamedSharding(mesh, P(axis))))
-    return ShardedCorpus(jax.device_put(c, sharding), n, scales=sh_scales)
+    return ShardedCorpus(jax.device_put(c, sharding), n)
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -419,12 +468,21 @@ def distributed_topk(
     n_true = corpus.n_true
     k = min(k, n_true)
     # Global zero-pad rows (corpus padded to a multiple of the shard
-    # count) take part in the last shard's LOCAL selection before they
-    # are masked to worst score, so they could evict real candidates.
-    # Widening the local k by the pad count (< n_shards rows, all in the
-    # last shard) guarantees every true top-k member survives the local
-    # round.
-    k_local = min(k + (corpus.shape[0] - n_true), ns)
+    # count) take part in the shards' LOCAL selection before they are
+    # masked to worst score, so they could evict real candidates.  With
+    # the standard layout (pad < n_shards rows, all in the last shard)
+    # widening the local k by the pad count guarantees every true top-k
+    # member survives the local round.  The int8 shared-storage layout
+    # pads every shard to a 4096-row multiple — widening by that much
+    # would blow past k_pad — so it synthesizes an explicit live-row
+    # mask instead (the kernel then -inf's pad rows by SELECT, and they
+    # cannot evict anything).
+    pad_rows = corpus.shape[0] - n_true
+    synth_mask = pad_rows >= n_shards
+    if synth_mask:
+        k_local = min(k, ns)
+    else:
+        k_local = min(k + pad_rows, ns)
 
     from ..kernels.fused_topk import supports
 
@@ -442,17 +500,26 @@ def distributed_topk(
         and supports((q.shape[0], dim), (ns, dim), _np.float32, k_local, cfg)
     )
     m_args = ()
-    if mask is not None:
+    masked = mask is not None or synth_mask
+    if masked:
+        import jax.numpy as jnp
+
         from ..kernels.fused_topk import pad_mask_row
 
-        m_args = (pad_mask_row(mask, corpus.shape[0]).reshape(-1),)
+        if mask is not None:
+            mk = pad_mask_row(mask, corpus.shape[0]).reshape(-1)
+            if synth_mask:
+                mk = mk & (jnp.arange(corpus.shape[0]) < n_true)
+        else:
+            mk = jnp.arange(corpus.shape[0]) < n_true
+        m_args = (mk,)
     if use_prepared:
         cp, cbp = corpus.prepared_for(metric, mesh, cfg, k_local)
         fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg,
-                            prepared=True, masked=mask is not None)
+                            prepared=True, masked=masked)
         return fn(q, cp, cbp, *m_args)
     fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg,
-                        masked=mask is not None)
+                        masked=masked)
     # Quantized / bf16 shards: the fallback needs dense values — use the
     # cached f32 view (built once) instead of dequantizing per call.
     return fn(q, corpus.dense_f32(mesh, cfg), *m_args)

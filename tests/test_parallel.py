@@ -411,3 +411,34 @@ def test_mesh_save_load_f32(mesh8, tmp_path):
     h3 = pmt.Corpus.load(p)               # or load single-device
     i2, _ = h3.topk(q, 3)
     np.testing.assert_array_equal(i0, i2)
+
+
+def test_sharded_int8_shared_storage(mesh8):
+    """Mesh int8 uses the shared-storage layout: per-shard prepared forms
+    alias the shard data (one code copy per shard), padding rows are
+    masked via the synthesized live-row mask rather than k-widening, and
+    indices/scores match the dequantized oracle exactly."""
+    from polars_matmul_tpu.api.search import _quantize_rows_np
+
+    rng = np.random.default_rng(105)
+    q = rng.standard_normal((6, 48)).astype(np.float32)
+    c = rng.standard_normal((333, 48)).astype(np.float32)
+    h = pmt.Corpus(c, storage="int8", mesh=mesh8)
+    # shards are padded to 4096-row multiples and 128-wide features
+    assert h._device.data.shape[0] % (8 * 4096) == 0
+    assert h._device.data.shape[1] == 128
+    for metric in ("cosine", "dot", "euclidean"):
+        i, v = h.topk(q, 5, metric)
+        codes, sc = _quantize_rows_np(c)
+        cdeq = codes.astype(np.float32) * sc[:, None]
+        i0, v0 = pmt.topk(q, cdeq, 5, metric)
+        np.testing.assert_array_equal(i, i0)
+        np.testing.assert_allclose(v, v0, rtol=2e-4, atol=2e-4)
+        assert (i < 333).all()               # no padding index leaks
+    for cp, cb in h._device._prepared.values():
+        assert cp is h._device.data          # aliased, zero extra HBM
+    # euclidean min-orientation + all-pad shards + user mask compose
+    mask = rng.random(333) < 0.3
+    mask[:6] = True
+    i2, _ = h.topk(q, 4, "euclidean", mask=mask)
+    assert mask[i2.reshape(-1)].all()
