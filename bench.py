@@ -162,6 +162,15 @@ def main():
         kernel_step, qj, chain_lo=c_lo, chain_hi=c_hi, iters=7
     ) * 1e3
 
+    # ---- secondary: k=100 on the same corpus (BASELINE pod-config k) -------
+    def kernel_step_k100(qq):
+        v, _ = fused_topk(qq, cj, 100, "cosine", config=cfg)
+        return jnp.max(v, axis=1, keepdims=True)
+
+    k100_ms = device_step_seconds(
+        kernel_step_k100, qj, chain_lo=c_lo, chain_hi=c_hi, iters=5
+    ) * 1e3
+
     flops = 2.0 * N_QUERIES * N_CORPUS * DIM
     roof = roofline(flops, kernel_ms / 1e3, "float32")
     qps = N_QUERIES / (kernel_ms / 1e3)
@@ -184,6 +193,7 @@ def main():
         "tunnel_e2e_qps": round(tunnel_qps, 1),
         "vs_baseline_e2e_batched": round(tunnel_qps / BASELINE_QPS, 3),
         "device_kernel_ms": round(kernel_ms, 3),
+        "device_kernel_k100_ms": round(k100_ms, 3),
         "kernel_gflops": round(roof["achieved_gflops"], 1),
         "backend": backend,
     }
