@@ -247,6 +247,23 @@ def _splice_fns():
     return rows, cols, vec
 
 
+@functools.lru_cache(maxsize=1)
+def _scatter_fns():
+    """Donated scatter wrappers for Corpus.update (arbitrary-index row
+    replacement), same in-place rationale as _splice_fns."""
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def rows(buf, block, idx):
+        return buf.at[idx].set(block)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def cols(buf, block, idx):
+        return buf.at[:, idx].set(block)
+
+    return rows, cols
+
+
 @functools.lru_cache(maxsize=16)
 def _int8_bias_chunk_fn(metric_v: str):
     """Jitted (2, m) scale|bias columns for freshly added int8 rows (all
@@ -314,12 +331,22 @@ def _pack_pair(vals, idx):
 
 
 def _unpack_pair(packed: np.ndarray, k: int):
+    """Split a packed result into host-OWNED (vals, idx) arrays.
+
+    ``packed`` is np.asarray of a jax array — a zero-copy VIEW of
+    jax-owned memory on CPU backends.  Returned results must not alias
+    it: once the jax array is unreferenced its buffer can be recycled by
+    a later dispatch (donated in-place updates make this routine), and a
+    user-held view would silently corrupt.  Both slices below copy.
+    """
     if packed.dtype == np.int32:
-        vals = np.ascontiguousarray(packed[:, :k]).view(np.float32)
-        idx = packed[:, k:]
+        # .copy(), not ascontiguousarray: a single-row slice is already
+        # contiguous and would be returned as a view.
+        vals = packed[:, :k].copy().view(np.float32)
+        idx = packed[:, k:].copy()
     else:
-        vals = packed[:, :k]
-        idx = np.ascontiguousarray(packed[:, k:]).astype(np.int64)
+        vals = packed[:, :k].copy()
+        idx = packed[:, k:].copy().astype(np.int64)
     return vals, idx
 
 
@@ -599,6 +626,92 @@ class Corpus:
             self._alive_dev = None
         self.n = new_n
         return new_n
+
+    def update(self, indices: ArrayLike, rows: ArrayLike) -> None:
+        """Overwrite existing corpus rows in place (upsert).
+
+        ``indices`` (m,) keep their values as row ids; ``rows`` (m, dim)
+        are the new vectors.  Same in-place machinery as ``add``: the raw
+        buffer and every cached prepared form are scatter-updated through
+        donated programs, so compiled search programs are reused with
+        zero recompilation and no buffer copies.  Updating a tombstoned
+        row revives it.  Single-device handles only.
+        """
+        if self.mesh is not None:
+            raise ValueError("update() is single-device only")
+        idx = np.asarray(indices).reshape(-1)
+        r = np.asarray(rows)
+        if r.ndim != 2 or r.shape[1] != self.dim:
+            raise ValueError(
+                f"Dimension mismatch: left has "
+                f"{r.shape[1] if r.ndim == 2 else r.shape} dimensional "
+                f"vectors, right has {self.dim} dimensional vectors"
+            )
+        if idx.size != r.shape[0]:
+            raise ValueError(
+                f"got {idx.size} indices for {r.shape[0]} rows"
+            )
+        if idx.size == 0:
+            return
+        if not np.issubdtype(idx.dtype, np.integer):
+            raise ValueError(
+                f"update indices must be integers, got dtype {idx.dtype}"
+            )
+        if idx.min() < 0 or idx.max() >= self.n:
+            raise ValueError(
+                f"update indices must be in [0, {self.n}); got "
+                f"[{idx.min()}, {idx.max()}]"
+            )
+        import jax
+        import jax.numpy as jnp
+
+        scatter_rows, scatter_cols = _scatter_fns()
+        idx_j = _to_jax(idx, np.dtype(np.int32))
+        buf_dt = self._device.dtype
+        if self.storage == "int8":
+            codes_np, scales_np = _quantize_rows_np(r)
+            # scatter needs full-width rows (the shared buffer carries
+            # 128-padded features; the pad columns are zeros)
+            codes_np = np.pad(
+                codes_np,
+                ((0, 0), (0, self._device.shape[1] - self.dim)))
+            rj = _to_jax(codes_np, np.dtype(np.int8))
+            scales_j = _to_jax(scales_np, np.dtype(np.float32))
+            self._scales = scatter_rows(self._scales, scales_j, idx_j)
+            shared_cbs = []
+            for key in list(self._prepared):
+                entry = self._prepared.pop(key)
+                cbp = entry[1]
+                del entry
+                if cbp.shape[1] == self._device.shape[0]:
+                    shared_cbs.append((key, cbp))
+            self._device = scatter_rows(self._device, rj, idx_j)
+            self._f32_view = None
+            with jax.enable_x64(False):
+                for key, cbp in shared_cbs:
+                    cbc = _int8_bias_chunk_fn(key[0])(rj, scales_j)
+                    self._prepared[key] = (
+                        self._device, scatter_cols(cbp, cbc, idx_j))
+        else:
+            rj32 = _to_jax(r, np.dtype(np.float32))
+            rj = rj32.astype(buf_dt) if buf_dt != jnp.float32 else rj32
+            if np.dtype(buf_dt) == np.float64:
+                rj = _to_jax(r, np.dtype(np.float64))
+            prep_src = rj if self.storage == "bf16" else rj32
+            self._device = scatter_rows(self._device, rj, idx_j)
+            self._f32_view = None
+            m = r.shape[0]
+            with jax.enable_x64(False):
+                for key in list(self._prepared):
+                    cp, cbp = self._prepared.pop(key)
+                    cpc, cbc = _prep_chunk_fn(*key)(prep_src)
+                    cp = scatter_rows(cp, cpc[:m], idx_j)
+                    cbp = scatter_cols(cbp, cbc[:, :m], idx_j)
+                    self._prepared[key] = (cp, cbp)
+
+        if self._tombstones is not None and self._tombstones[idx].any():
+            self._tombstones[idx] = False
+            self._alive_dev = None
 
     def save(self, path) -> None:
         """Persist the corpus to ``path`` (.npz): storage-native bytes.

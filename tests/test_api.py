@@ -1032,3 +1032,64 @@ class TestReviewRegressions:
         view1 = h._device._f32_view
         h.topk(q, 200)
         assert h._device._f32_view is view1   # built once, reused
+
+
+class TestCorpusUpdate:
+    """In-place row replacement (upsert): same donated-scatter machinery
+    as add(); updated rows keep their indices, tombstones are revived."""
+
+    def test_update_all_storages_all_metrics(self):
+        rng = np.random.default_rng(161)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        for storage in ("f32", "bf16", "int8"):
+            c = rng.standard_normal((120, 16)).astype(np.float32)
+            h = pmt.Corpus(c, storage=storage)
+            for metric in ("cosine", "euclidean"):
+                h.topk(q, 3, metric)          # build prepared forms
+            # overwrite scattered rows with exact query matches
+            tgt = np.array([7, 64, 3, 99])
+            h.update(tgt, q * 3.0)
+            i, v = h.topk(q, 1)
+            np.testing.assert_array_equal(i[:, 0], tgt, err_msg=storage)
+            # the scattered splice matches a rebuilt handle exactly, for
+            # both metrics (euclidean can't assert tgt wins: |3q - q| is
+            # FARTHER than typical random rows in 16d)
+            c2 = c.copy()
+            c2[tgt] = q * 3.0
+            h2 = pmt.Corpus(c2, storage=storage)
+            for metric in ("cosine", "euclidean"):
+                ia, va = h.topk(q, 5, metric)
+                ib, vb = h2.topk(q, 5, metric)
+                np.testing.assert_array_equal(ia, ib, err_msg=storage)
+                np.testing.assert_allclose(va, vb, rtol=0, atol=0)
+
+    def test_update_revives_tombstone(self):
+        rng = np.random.default_rng(162)
+        q = rng.standard_normal((2, 8)).astype(np.float32)
+        c = rng.standard_normal((40, 8)).astype(np.float32)
+        h = pmt.Corpus(c)
+        h.delete([5])
+        h.update([5], q[:1] * 2.0)
+        i, _ = h.topk(q[:1], 1)
+        assert i[0, 0] == 5
+        assert h.deleted_count == 0
+
+    def test_update_f64(self):
+        rng = np.random.default_rng(163)
+        q = rng.standard_normal((2, 8))
+        c = rng.standard_normal((30, 8))
+        h = pmt.Corpus(c)
+        h.update([11, 22], q * 4.0)
+        i, _ = h.topk(q, 1)
+        np.testing.assert_array_equal(i[:, 0], [11, 22])
+
+    def test_update_errors(self):
+        c = np.eye(8, dtype=np.float32)
+        h = pmt.Corpus(c)
+        with pytest.raises(ValueError, match="Dimension mismatch"):
+            h.update([0], np.ones((1, 9), np.float32))
+        with pytest.raises(ValueError, match="update indices must be in"):
+            h.update([8], np.ones((1, 8), np.float32))
+        with pytest.raises(ValueError, match="indices for"):
+            h.update([0, 1], np.ones((1, 8), np.float32))
+        h.update(np.empty(0, np.int64), np.empty((0, 8), np.float32))
