@@ -31,6 +31,15 @@ def _to_jax(x: np.ndarray, dtype: np.dtype):
     return jnp.asarray(x, dtype=dtype)
 
 
+def _host_owned(x) -> np.ndarray:
+    """Host-OWNED numpy result: np.asarray of a jax array is a zero-copy
+    view of jax-owned memory on CPU backends, which a later dispatch can
+    recycle under the caller (see _unpack_pair).  Copy unless numpy
+    already owns the bytes."""
+    a = np.asarray(x)
+    return a if a.flags["OWNDATA"] else a.copy()
+
+
 def _validate_pair(q: np.ndarray, c: np.ndarray) -> None:
     if q.ndim != 2 or c.ndim != 2:
         raise ValueError("Embeddings must be 2-D (n_rows, dim) matrices")
@@ -76,7 +85,7 @@ def matmul(
         out = pairwise_matmul(
             _to_jax(q, dt), _to_jax(c, dt), precision=cfg.precision
         )
-    return np.asarray(out)
+    return _host_owned(out)
 
 
 def topk(
@@ -1131,7 +1140,7 @@ class Corpus:
             out = distributed_matmul(
                 _to_jax(q, dt), self._device, self.mesh, self.config
             )
-            return np.asarray(out)
+            return _host_owned(out)
         from ..kernels.matmul import pairwise_matmul
 
         dense = self._dense_device()  # (n, dim): padding trimmed
@@ -1139,4 +1148,4 @@ class Corpus:
         with annotate("pmm.matmul"):
             out = pairwise_matmul(_to_jax(q, dt), cj,
                                   precision=self.config.precision)
-        return np.asarray(out)
+        return _host_owned(out)
