@@ -32,9 +32,17 @@ def _as_array(col: Union[pa.Array, pa.ChunkedArray]) -> pa.Array:
     return col
 
 
+def _mask_to_np(mask):
+    if mask is None:
+        return None
+    if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+        return np.asarray(_as_array(mask).fill_null(False)).astype(bool)
+    return np.asarray(mask).astype(bool)
+
+
 def topk_arrow(
     left: Union[pa.Array, pa.ChunkedArray],
-    corpus: Union[pa.Array, pa.ChunkedArray],
+    corpus: "Union[pa.Array, pa.ChunkedArray, search.Corpus]",
     k: int,
     metric: Union[str, Metric] = "cosine",
     *,
@@ -43,6 +51,10 @@ def topk_arrow(
 ) -> pa.Array:
     """Arrow List/FixedSizeList embeddings -> List[Struct{index, score}].
 
+    ``corpus`` may also be a resident ``Corpus`` handle (built with
+    ``Corpus.from_arrow`` or from matrices): the serving pattern — upload
+    and prepare once, query many times, straight from Arrow columns.
+
     ``mask`` (boolean column or ndarray, length n_corpus) enables filtered
     search; Arrow nulls in the mask count as excluded.
     """
@@ -50,6 +62,16 @@ def topk_arrow(
 
     Metric.parse(metric)  # validate metric before touching data
     left = _as_array(left)
+    if isinstance(corpus, search.Corpus):
+        if len(left) == 0:
+            return ai.empty_topk_arrow()
+        dt = ai.promote_pair(ai._value_type(left),
+                             pa.from_numpy_dtype(corpus.dtype))
+        with annotate("pmm.extract"):
+            q = ai.extract_matrix(left, dt)
+        idx, scores = corpus.topk(q, k, metric, mask=_mask_to_np(mask))
+        with annotate("pmm.assemble"):
+            return ai.topk_to_arrow(idx, scores)
     corpus = _as_array(corpus)
     if len(left) == 0:
         return ai.empty_topk_arrow()
@@ -59,13 +81,7 @@ def topk_arrow(
     with annotate("pmm.extract"):
         q = ai.extract_matrix(left, dt)
         c = ai.extract_matrix(corpus, dt)
-    mk = None
-    if mask is not None:
-        if isinstance(mask, (pa.Array, pa.ChunkedArray)):
-            mask = _as_array(mask)
-            mk = np.asarray(mask.fill_null(False)).astype(bool)
-        else:
-            mk = np.asarray(mask).astype(bool)
+    mk = _mask_to_np(mask)
     idx, scores = search.topk(q, c, k, metric, mask=mk, config=config)
     with annotate("pmm.assemble"):
         return ai.topk_to_arrow(idx, scores)
@@ -80,8 +96,17 @@ def matmul_arrow(
 ) -> pa.Array:
     """Arrow embeddings -> FixedSizeList[n_corpus] of pairwise dot products
     (or a flat row-major column when ``flatten`` — reference
-    __init__.py:177-181)."""
+    __init__.py:177-181).  ``corpus`` may be a resident ``Corpus``."""
     left = _as_array(left)
+    if isinstance(corpus, search.Corpus):
+        if len(left) == 0:
+            return ai.empty_matrix_arrow(corpus.dtype)
+        dt = ai.promote_pair(ai._value_type(left),
+                             pa.from_numpy_dtype(corpus.dtype))
+        out = corpus.matmul(ai.extract_matrix(left, dt))
+        if flatten:
+            return pa.array(np.ascontiguousarray(out).reshape(-1))
+        return ai.matrix_to_arrow(out)
     corpus = _as_array(corpus)
     if len(left) == 0:
         if len(corpus) == 0:

@@ -22,6 +22,7 @@ from typing import Literal
 import polars as pl
 
 from .arrow_ops import matmul_arrow, topk_arrow
+from .search import Corpus
 
 MetricName = Literal["cosine", "dot", "euclidean"]
 
@@ -68,6 +69,11 @@ class PmmNamespace:
         __init__.py:63-119 contract: cosine default, euclidean lower-is-
         better, k clamped to corpus size).  ``mask`` is an optional boolean
         Series over the corpus rows for filtered search (nulls excluded).
+
+        ``corpus`` may also be a resident ``polars_matmul_tpu.Corpus``
+        handle (e.g. ``Corpus.from_arrow(df["embedding"])``): the corpus
+        is uploaded and prepared once, and every expression evaluation
+        only moves the queries — the serving pattern.
         """
         if isinstance(corpus, pl.Expr):
             raise TypeError(
@@ -75,7 +81,8 @@ class PmmNamespace:
                 "Use corpus['column_name'] or "
                 "corpus.get_column('column_name')."
             )
-        corpus_arrow = _series_to_arrow(corpus)
+        corpus_arrow = (corpus if isinstance(corpus, Corpus)
+                        else _series_to_arrow(corpus))
         mask_arrow = None if mask is None else _series_to_arrow(mask)
 
         def _run(s: pl.Series) -> pl.Series:
@@ -98,6 +105,7 @@ class PmmNamespace:
 
         ``flatten=True`` returns the (n_queries * n_corpus) row-major flat
         column (length-changing expression, reference __init__.py:177-187).
+        ``corpus`` may be a resident ``Corpus`` handle, like ``topk``.
         """
         if isinstance(corpus, pl.Expr):
             raise TypeError(
@@ -105,14 +113,23 @@ class PmmNamespace:
                 "Use corpus['column_name'] or "
                 "corpus.get_column('column_name')."
             )
-        corpus_arrow = _series_to_arrow(corpus)
-        n_corpus = len(corpus)
+        if isinstance(corpus, Corpus):
+            corpus_arrow = corpus
+            n_corpus = corpus.n
+        else:
+            corpus_arrow = _series_to_arrow(corpus)
+            n_corpus = len(corpus)
         # Declared dtype follows the corpus inner dtype, like the reference
         # (__init__.py:165-171). The closure casts the computed result to the
         # declared dtype so mixed f32/f64 inputs cannot desync declaration
         # from data (the reference quirk SURVEY.md §3.2 says not to copy).
         try:
-            is_f32 = corpus.dtype.inner == pl.Float32
+            if isinstance(corpus, Corpus):
+                import numpy as _np
+
+                is_f32 = corpus.dtype == _np.float32
+            else:
+                is_f32 = corpus.dtype.inner == pl.Float32
         except Exception:
             is_f32 = False
         inner_dtype = pl.Float32 if is_f32 else pl.Float64

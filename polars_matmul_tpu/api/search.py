@@ -636,6 +636,28 @@ class Corpus:
         self.n = new_n
         return new_n
 
+    @classmethod
+    def from_arrow(cls, column, **kwargs) -> "Corpus":
+        """Build a resident corpus straight from an Arrow (or polars)
+        embedding column — zero-copy extraction for FixedSizeList
+        columns, same fallbacks as the one-shot Arrow ops.  Accepts the
+        same keyword arguments as the constructor (storage=, mesh=,
+        capacity=, config=).  The handle can then serve ``topk_arrow``/
+        ``matmul_arrow`` calls (pass it as the ``corpus`` argument) and
+        the polars ``.pmm`` namespace directly.
+        """
+        import pyarrow as pa
+
+        from ..interop import arrow as ai
+
+        if hasattr(column, "to_arrow"):  # polars Series
+            column = column.to_arrow()
+        if isinstance(column, pa.ChunkedArray):
+            column = column.combine_chunks()
+        dt = ai.promote_pair(ai._value_type(column),
+                             ai._value_type(column))
+        return cls(ai.extract_matrix(column, dt), **kwargs)
+
     def update(self, indices: ArrayLike, rows: ArrayLike) -> None:
         """Overwrite existing corpus rows in place (upsert).
 

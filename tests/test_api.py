@@ -1093,3 +1093,58 @@ class TestCorpusUpdate:
         with pytest.raises(ValueError, match="indices for"):
             h.update([0, 1], np.ones((1, 8), np.float32))
         h.update(np.empty(0, np.int64), np.empty((0, 8), np.float32))
+
+
+class TestArrowCorpusHandle:
+    """Arrow surface with a resident Corpus: upload/prepare once, serve
+    Arrow queries many times (Corpus.from_arrow + handle dispatch)."""
+
+    def test_topk_arrow_with_handle_matches_oneshot(self):
+        rng = np.random.default_rng(171)
+        q = rng.standard_normal((6, 24)).astype(np.float32)
+        c = rng.standard_normal((200, 24)).astype(np.float32)
+        qa, ca = fsl(q, np.float32), fsl(c, np.float32)
+        h = pmt.Corpus.from_arrow(ca)
+        assert h.dtype == np.float32 and (h.n, h.dim) == (200, 24)
+        out_h = pmt.topk_arrow(qa, h, k=5)
+        out_a = pmt.topk_arrow(qa, ca, k=5)
+        assert out_h.to_pylist() == out_a.to_pylist()
+        # masks and metrics ride through
+        mask = rng.random(200) < 0.5
+        out_m = pmt.topk_arrow(qa, h, k=4, metric="euclidean",
+                               mask=pa.array(mask))
+        for row in out_m.to_pylist():
+            assert all(mask[m["index"]] for m in row)
+
+    def test_matmul_arrow_with_handle(self):
+        rng = np.random.default_rng(172)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c = rng.standard_normal((30, 16)).astype(np.float32)
+        h = pmt.Corpus.from_arrow(fsl(c, np.float32))
+        out = pmt.matmul_arrow(fsl(q, np.float32), h)
+        np.testing.assert_allclose(
+            np.array(out.to_pylist()), q @ c.T, rtol=1e-5, atol=1e-5)
+        flat = pmt.matmul_arrow(fsl(q, np.float32), h, flatten=True)
+        assert len(flat) == 4 * 30
+        # empty queries -> typed empty, not an error
+        empty = pa.array([], type=pa.list_(pa.float32()))
+        assert len(pmt.topk_arrow(empty, h, k=3)) == 0
+
+    def test_from_arrow_storage_modes_and_mutation(self):
+        rng = np.random.default_rng(173)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        c = rng.standard_normal((80, 16)).astype(np.float32)
+        h = pmt.Corpus.from_arrow(fsl(c, np.float32), storage="int8",
+                                  capacity=120)
+        i0, _ = h.topk(q, 3)
+        h.add(q * 2.0)
+        out = pmt.topk_arrow(fsl(q, np.float32), h, k=1)
+        assert [r[0]["index"] for r in out.to_pylist()] == [80, 81, 82]
+
+    def test_from_arrow_list_column_f64(self):
+        # plain List (not FixedSizeList) f64 column -> copy path, f64
+        c = pa.array([[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]])
+        h = pmt.Corpus.from_arrow(c)
+        assert h.dtype == np.float64
+        out = pmt.topk_arrow(pa.array([[1.0, 0.0]]), h, k=1)
+        assert out.to_pylist()[0][0]["index"] == 0

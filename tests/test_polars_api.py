@@ -565,3 +565,51 @@ class TestFilteredSearch:
         )
         hits = [row[0]["index"] for row in result["matches"].to_list()]
         assert hits == [1, 3]
+
+
+class TestResidentCorpusHandle:
+    """The .pmm namespace accepts a resident Corpus: uploaded/prepared
+    once, every expression evaluation only moves the queries."""
+
+    def test_topk_with_corpus_handle(self):
+        corpus_df = pl.DataFrame({
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [0.7, 0.7]],
+        })
+        handle = pmt.Corpus.from_arrow(corpus_df["embedding"])
+        queries = pl.DataFrame({"embedding": [[1.0, 0.1], [0.1, 1.0]]})
+        out = queries.with_columns(
+            pl.col("embedding").pmm.topk(handle, k=1).alias("m")
+        )
+        hits = [r[0]["index"] for r in out["m"].to_list()]
+        assert hits == [0, 1]
+        # identical to the Series path
+        out2 = queries.with_columns(
+            pl.col("embedding").pmm.topk(corpus_df["embedding"], k=1)
+            .alias("m")
+        )
+        assert out["m"].to_list() == out2["m"].to_list()
+
+    def test_matmul_with_corpus_handle(self):
+        corpus_df = pl.DataFrame({"embedding": [[1.0, 0.0], [0.0, 1.0]]})
+        handle = pmt.Corpus.from_arrow(corpus_df["embedding"])
+        queries = pl.DataFrame({"embedding": [[1.0, 2.0], [3.0, 4.0]]})
+        out = queries.with_columns(
+            pl.col("embedding").pmm.matmul(handle).alias("mm")
+        )
+        assert out["mm"].to_list() == [[1.0, 2.0], [3.0, 4.0]]
+        flat = queries.select(
+            pl.col("embedding").pmm.matmul(handle, flatten=True)
+        )
+        assert len(flat) == 4
+
+    def test_lazy_with_corpus_handle(self):
+        corpus_df = pl.DataFrame({
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]],
+        })
+        handle = pmt.Corpus.from_arrow(corpus_df["embedding"],
+                                       storage="int8")
+        lf = pl.LazyFrame({"embedding": [[1.0, 0.0], [0.0, 1.0]]})
+        out = lf.with_columns(
+            pl.col("embedding").pmm.topk(handle, k=2).alias("m")
+        ).filter(pl.col("m").list.len() == 2).collect()
+        assert len(out) == 2
