@@ -63,6 +63,11 @@ def topk_arrow(
     Metric.parse(metric)  # validate metric before touching data
     left = _as_array(left)
     if isinstance(corpus, search.Corpus):
+        if config is not None:
+            raise ValueError(
+                "config= has no effect with a resident Corpus — the "
+                "handle's own config governs (pass config= to Corpus)"
+            )
         if len(left) == 0:
             return ai.empty_topk_arrow()
         dt = ai.promote_pair(ai._value_type(left),
@@ -99,10 +104,16 @@ def matmul_arrow(
     __init__.py:177-181).  ``corpus`` may be a resident ``Corpus``."""
     left = _as_array(left)
     if isinstance(corpus, search.Corpus):
-        if len(left) == 0:
-            return ai.empty_matrix_arrow(corpus.dtype)
+        if config is not None:
+            raise ValueError(
+                "config= has no effect with a resident Corpus — the "
+                "handle's own config governs (pass config= to Corpus)"
+            )
+        # promote_pair returns an np.dtype (both-f32 rule)
         dt = ai.promote_pair(ai._value_type(left),
                              pa.from_numpy_dtype(corpus.dtype))
+        if len(left) == 0:
+            return ai.empty_matrix_arrow(dt)
         out = corpus.matmul(ai.extract_matrix(left, dt))
         if flatten:
             return pa.array(np.ascontiguousarray(out).reshape(-1))

@@ -355,7 +355,7 @@ def _unpack_pair(packed: np.ndarray, k: int):
         idx = packed[:, k:].copy()
     else:
         vals = packed[:, :k].copy()
-        idx = packed[:, k:].copy().astype(np.int64)
+        idx = packed[:, k:].astype(np.int64)  # astype allocates
     return vals, idx
 
 
@@ -526,6 +526,79 @@ class Corpus:
         # per-call corpus work on device.
         self._prepared = {}
 
+    def _apply_row_mutation(self, r, put_rows, put_cols, put_vec, pos):
+        """Shared in-place mutation core for add()/update(): writes new
+        rows into the raw buffer and every cached prepared form through
+        donated programs.  ``pos`` is whatever position operand the
+        writers take (a splice start row for add, a scatter index vector
+        for update)."""
+        import jax
+        import jax.numpy as jnp
+
+        m = r.shape[0]
+        buf_dt = self._device.dtype
+        if self.storage == "int8":
+            codes_np, scales_np = _quantize_rows_np(r)
+            # full-width rows: the shared buffer carries 128-padded
+            # features (the pad columns are zeros)
+            codes_np = np.pad(
+                codes_np,
+                ((0, 0), (0, self._device.shape[1] - self.dim)))
+            rj = _to_jax(codes_np, np.dtype(np.int8))
+            scales_j = _to_jax(scales_np, np.dtype(np.float32))
+            self._scales = put_vec(self._scales, scales_j, pos)
+            # Drop every alias of the code buffer BEFORE donating it:
+            # shared-storage prepared forms hold the same array, and a
+            # donated buffer with surviving references would poison later
+            # reads.  Bias rows are deduped by IDENTITY: different
+            # k-regime keys share ONE cbp (it is tile-height-independent
+            # and always same-metric), which must be donated exactly once
+            # and re-pointed under every key.
+            shared = {}
+            for key in list(self._prepared):
+                entry = self._prepared.pop(key)
+                cbp = entry[1]
+                del entry
+                if cbp.shape[1] != self._device.shape[0]:
+                    continue  # copy-path prep: rebuild lazily
+                if id(cbp) in shared:
+                    shared[id(cbp)][1].append(key)
+                else:
+                    shared[id(cbp)] = (cbp, [key])
+            self._device = put_rows(self._device, rj, pos)
+            self._f32_view = None
+            with jax.enable_x64(False):
+                for cbp, keys in list(shared.values()):
+                    cbc = _int8_bias_chunk_fn(keys[0][0])(rj, scales_j)
+                    new_cbp = put_cols(cbp, cbc, pos)
+                    for key in keys:
+                        self._prepared[key] = (self._device, new_cbp)
+            return
+
+        rj32 = _to_jax(r, np.dtype(np.float32))
+        rj = rj32.astype(buf_dt) if buf_dt != jnp.float32 else rj32
+        if np.dtype(buf_dt) == np.float64:
+            rj = _to_jax(r, np.dtype(np.float64))
+        # bf16 storage: derive the prepared write from the STORED
+        # (quantized) values, so a write and a later rebuild-from-storage
+        # score the rows identically.
+        prep_src = rj if self.storage == "bf16" else rj32
+        self._device = put_rows(self._device, rj, pos)
+        self._f32_view = None
+
+        # Write the new rows into every cached prepared form: prep is
+        # row-wise (per-row scaling / bias / precision split), so a chunk
+        # prep of just the new rows is exact.  (Prepared forms only exist
+        # for f32-semantic handles, so the x64-off trace context cannot
+        # downcast anything real.)
+        with jax.enable_x64(False):
+            for key in list(self._prepared):
+                cp, cbp = self._prepared.pop(key)
+                cpc, cbc = _prep_chunk_fn(*key)(prep_src)
+                cp = put_rows(cp, cpc[:m], pos)
+                cbp = put_cols(cbp, cbc[:, :m], pos)
+                self._prepared[key] = (cp, cbp)
+
     def add(self, rows: ArrayLike) -> int:
         """Append corpus rows; returns the new row count.
 
@@ -552,11 +625,9 @@ class Corpus:
         m = r.shape[0]
         if m == 0:
             return self.n
-        import jax
         import jax.numpy as jnp
 
         new_n = self.n + m
-        buf_dt = self._device.dtype
         if new_n > self._cap:
             # Grow geometrically; prepared forms rebuild lazily at the new
             # capacity (their row counts change, so in-place is impossible).
@@ -577,57 +648,7 @@ class Corpus:
                 self._f32_view = None
             self._cap = new_cap
 
-        splice_rows, splice_cols, splice_vec = _splice_fns()
-        n0 = jnp.int32(self.n)
-        if self.storage == "int8":
-            codes_np, scales_np = _quantize_rows_np(r)
-            rj = _to_jax(codes_np, np.dtype(np.int8))
-            scales_j = _to_jax(scales_np, np.dtype(np.float32))
-            self._scales = splice_vec(self._scales, scales_j, n0)
-            # Drop every alias of the code buffer BEFORE donating it:
-            # shared-storage prepared forms hold the same array, and a
-            # donated buffer with surviving references would poison
-            # later reads.  Their bias rows are kept and re-pointed.
-            shared_cbs = []
-            for key in list(self._prepared):
-                entry = self._prepared.pop(key)
-                cbp = entry[1]
-                del entry
-                if cbp.shape[1] == self._device.shape[0]:
-                    shared_cbs.append((key, cbp))
-                # else: copy-path prep (exotic tile height) — rebuild
-                # lazily rather than splice a mismatched layout
-            self._device = splice_rows(self._device, rj, n0)
-            self._f32_view = None
-            with jax.enable_x64(False):
-                for key, cbp in shared_cbs:
-                    cbc = _int8_bias_chunk_fn(key[0])(rj, scales_j)
-                    self._prepared[key] = (
-                        self._device, splice_cols(cbp, cbc, n0))
-        else:
-            rj32 = _to_jax(r, np.dtype(np.float32))
-            rj = rj32.astype(buf_dt) if buf_dt != jnp.float32 else rj32
-            if np.dtype(buf_dt) == np.float64:
-                rj = _to_jax(r, np.dtype(np.float64))
-            # bf16 storage: derive the prepared splice from the STORED
-            # (quantized) values, so a splice and a later
-            # rebuild-from-storage score added rows identically.
-            prep_src = rj if self.storage == "bf16" else rj32
-            self._device = splice_rows(self._device, rj, n0)
-            self._f32_view = None
-
-            # Splice the new rows into every cached prepared form: prep
-            # is row-wise (per-row scaling / bias / precision split), so
-            # a chunk prep of just the new rows is exact.  (Prepared
-            # forms only exist for f32-semantic handles, so the x64-off
-            # trace context cannot downcast anything real.)
-            with jax.enable_x64(False):
-                for key in list(self._prepared):
-                    cp, cbp = self._prepared.pop(key)
-                    cpc, cbc = _prep_chunk_fn(*key)(prep_src)
-                    cp = splice_rows(cp, cpc[:m], n0)
-                    cbp = splice_cols(cbp, cbc[:, :m], n0)
-                    self._prepared[key] = (cp, cbp)
+        self._apply_row_mutation(r, *_splice_fns(), jnp.int32(self.n))
 
         if self._tombstones is not None:
             self._tombstones = np.concatenate(
@@ -693,52 +714,15 @@ class Corpus:
                 f"update indices must be in [0, {self.n}); got "
                 f"[{idx.min()}, {idx.max()}]"
             )
-        import jax
-        import jax.numpy as jnp
+        if np.unique(idx).size != idx.size:
+            # XLA scatter applies duplicate indices in undefined order,
+            # and four separate scatters could each pick different winners
+            raise ValueError("update indices must be unique")
 
         scatter_rows, scatter_cols = _scatter_fns()
         idx_j = _to_jax(idx, np.dtype(np.int32))
-        buf_dt = self._device.dtype
-        if self.storage == "int8":
-            codes_np, scales_np = _quantize_rows_np(r)
-            # scatter needs full-width rows (the shared buffer carries
-            # 128-padded features; the pad columns are zeros)
-            codes_np = np.pad(
-                codes_np,
-                ((0, 0), (0, self._device.shape[1] - self.dim)))
-            rj = _to_jax(codes_np, np.dtype(np.int8))
-            scales_j = _to_jax(scales_np, np.dtype(np.float32))
-            self._scales = scatter_rows(self._scales, scales_j, idx_j)
-            shared_cbs = []
-            for key in list(self._prepared):
-                entry = self._prepared.pop(key)
-                cbp = entry[1]
-                del entry
-                if cbp.shape[1] == self._device.shape[0]:
-                    shared_cbs.append((key, cbp))
-            self._device = scatter_rows(self._device, rj, idx_j)
-            self._f32_view = None
-            with jax.enable_x64(False):
-                for key, cbp in shared_cbs:
-                    cbc = _int8_bias_chunk_fn(key[0])(rj, scales_j)
-                    self._prepared[key] = (
-                        self._device, scatter_cols(cbp, cbc, idx_j))
-        else:
-            rj32 = _to_jax(r, np.dtype(np.float32))
-            rj = rj32.astype(buf_dt) if buf_dt != jnp.float32 else rj32
-            if np.dtype(buf_dt) == np.float64:
-                rj = _to_jax(r, np.dtype(np.float64))
-            prep_src = rj if self.storage == "bf16" else rj32
-            self._device = scatter_rows(self._device, rj, idx_j)
-            self._f32_view = None
-            m = r.shape[0]
-            with jax.enable_x64(False):
-                for key in list(self._prepared):
-                    cp, cbp = self._prepared.pop(key)
-                    cpc, cbc = _prep_chunk_fn(*key)(prep_src)
-                    cp = scatter_rows(cp, cpc[:m], idx_j)
-                    cbp = scatter_cols(cbp, cbc[:, :m], idx_j)
-                    self._prepared[key] = (cp, cbp)
+        self._apply_row_mutation(r, scatter_rows, scatter_cols,
+                                 scatter_rows, idx_j)
 
         if self._tombstones is not None and self._tombstones[idx].any():
             self._tombstones[idx] = False

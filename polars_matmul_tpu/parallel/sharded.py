@@ -56,6 +56,20 @@ class ShardedCorpus:
     # re-dequantized on every call.
     _f32_view: "Optional[jax.Array]" = dataclasses.field(  # noqa: F821
         default=None, repr=False)
+    # Cached live-row mask for heavily padded (int8 shared-storage)
+    # layouts — depends only on (shape, n_true), so never rebuilt per call.
+    _live_mask: "Optional[jax.Array]" = dataclasses.field(  # noqa: F821
+        default=None, repr=False)
+
+    def live_mask(self, mesh, cfg: SearchConfig):
+        if self._live_mask is None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mask = np.arange(self.data.shape[0]) < self.n_true
+            self._live_mask = jax.device_put(
+                mask, NamedSharding(mesh, P(cfg.mesh_axes[1])))
+        return self._live_mask
 
     @property
     def shape(self):
@@ -132,24 +146,72 @@ class ShardedCorpus:
             # IS the prepared cp; only the per-shard (2, ns) scale|bias
             # rows are computed.  Each shard masks its rows beyond the
             # global live count — every padding row's global index lands
-            # >= n_true, which the merge already discards.
+            # >= n_true, which the merge already discards.  The bias rows
+            # are tile-height-independent, so a different k-regime reuses
+            # them as-is (mirrors Corpus._prepared_for).
             from ..kernels.fused_topk import prepare_int8_bias
+
+            for (mv, pv, _t), (cp_o, cbp_o) in self._prepared.items():
+                if ((mv, pv) == (metric.value, cfg.precision)
+                        and cbp_o.shape[1] == self.data.shape[0]):
+                    self._prepared[key] = (self.data, cbp_o)
+                    return self._prepared[key]
 
             n_true = self.n_true
 
-            def bias_local(codes_, scales_):
-                off = jax.lax.axis_index(c_axis) * ns
-                return prepare_int8_bias(codes_, scales_, metric,
-                                         n_true - off)
-
-            mapped = _shard_map(
-                bias_local, mesh,
-                in_specs=(P(c_axis, None), P(c_axis)),
-                out_specs=P(None, c_axis),
-            )
             with jax.enable_x64(False):
-                cbp = jax.block_until_ready(
-                    jax.jit(mapped)(self.data, self.scales))
+                if ns * dim * 4 <= cfg.prep_chunk_bytes:
+                    def bias_local(codes_, scales_):
+                        off = jax.lax.axis_index(c_axis) * ns
+                        return prepare_int8_bias(codes_, scales_, metric,
+                                                 n_true - off)
+
+                    mapped = _shard_map(
+                        bias_local, mesh,
+                        in_specs=(P(c_axis, None), P(c_axis)),
+                        out_specs=P(None, c_axis),
+                    )
+                    cbp = jax.block_until_ready(
+                        jax.jit(mapped)(self.data, self.scales))
+                else:
+                    # Chunked: bound the transient f32 code upcast inside
+                    # the norm to one row chunk per shard.
+                    per = max(4096,
+                              cfg.prep_chunk_bytes // (dim * 4)
+                              // 4096 * 4096)
+                    buf = jax.device_put(
+                        jnp.zeros((2, self.data.shape[0]), jnp.float32),
+                        jax.sharding.NamedSharding(
+                            mesh, P(None, c_axis)),
+                    )
+
+                    def make_update(rows, r0):
+                        def upd(buf_, codes_, scales_):
+                            off = jax.lax.axis_index(c_axis) * ns
+                            c_ = jax.lax.dynamic_slice_in_dim(
+                                codes_, r0, rows, 0)
+                            s_ = jax.lax.dynamic_slice_in_dim(
+                                scales_, r0, rows, 0)
+                            cbc = prepare_int8_bias(
+                                c_, s_, metric, n_true - off - r0)
+                            return jax.lax.dynamic_update_slice(
+                                buf_, cbc, (jnp.int32(0), jnp.int32(r0)))
+
+                        mapped = _shard_map(
+                            upd, mesh,
+                            in_specs=(P(None, c_axis), P(c_axis, None),
+                                      P(c_axis)),
+                            out_specs=P(None, c_axis),
+                        )
+                        return jax.jit(mapped, donate_argnums=(0,))
+
+                    r0 = 0
+                    while r0 < ns:
+                        rows = min(per, ns - r0)
+                        buf = make_update(rows, r0)(
+                            buf, self.data, self.scales)
+                        r0 += rows
+                    cbp = jax.block_until_ready(buf)
             self._prepared[key] = (self.data, cbp)
             return self._prepared[key]
 
@@ -501,18 +563,15 @@ def distributed_topk(
     )
     m_args = ()
     masked = mask is not None or synth_mask
-    if masked:
-        import jax.numpy as jnp
-
+    if mask is not None:
         from ..kernels.fused_topk import pad_mask_row
 
-        if mask is not None:
-            mk = pad_mask_row(mask, corpus.shape[0]).reshape(-1)
-            if synth_mask:
-                mk = mk & (jnp.arange(corpus.shape[0]) < n_true)
-        else:
-            mk = jnp.arange(corpus.shape[0]) < n_true
-        m_args = (mk,)
+        # pad_mask_row pads the tail with False, so a user mask already
+        # excludes every padding row — no live-row combine needed.
+        m_args = (pad_mask_row(mask, corpus.shape[0]).reshape(-1),)
+    elif synth_mask:
+        # Cached on the corpus: depends only on (shape, n_true).
+        m_args = (corpus.live_mask(mesh, cfg),)
     if use_prepared:
         cp, cbp = corpus.prepared_for(metric, mesh, cfg, k_local)
         fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg,

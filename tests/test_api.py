@@ -1148,3 +1148,51 @@ class TestArrowCorpusHandle:
         assert h.dtype == np.float64
         out = pmt.topk_arrow(pa.array([[1.0, 0.0]]), h, k=1)
         assert out.to_pylist()[0][0]["index"] == 0
+
+
+class TestSeventhReviewRegressions:
+    def test_int8_mutation_after_two_k_regimes(self):
+        """k=10 and k=100 share ONE bias-rows array across prepared keys;
+        add/update must donate it exactly once and re-point every key
+        (it used to be donated per key -> deleted-array poison)."""
+        rng = np.random.default_rng(181)
+        q = rng.standard_normal((4, 32)).astype(np.float32)
+        c = rng.standard_normal((300, 32)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8", capacity=400)
+        h.topk(q, 5)                     # tn regime 1
+        h.topk(q, 40)                    # tn regime 2, shared bias rows
+        assert len(h._prepared) == 2
+        h.update([7], q[:1] * 3.0)       # must not touch a deleted array
+        i, _ = h.topk(q[:1], 1)
+        assert i[0, 0] == 7
+        h.add(q[1:2] * 3.0)
+        i2, _ = h.topk(q[1:2], 1)
+        assert i2[0, 0] == 300
+        # both regimes still serve correctly and share one bias array
+        i3, _ = h.topk(q, 40)
+        assert i3.shape == (4, 40)
+        cbs = [cb for _, cb in h._prepared.values()]
+        assert cbs[0] is cbs[1]
+
+    def test_update_duplicate_indices_rejected(self):
+        c = np.eye(8, dtype=np.float32)
+        h = pmt.Corpus(c)
+        with pytest.raises(ValueError, match="unique"):
+            h.update([2, 2], np.ones((2, 8), np.float32))
+
+    def test_matmul_arrow_handle_empty_dtype_promotion(self):
+        c = np.eye(4, dtype=np.float32)
+        h = pmt.Corpus(c)
+        empty64 = pa.array([], type=pa.list_(pa.float64()))
+        out_h = pmt.matmul_arrow(empty64, h)
+        out_a = pmt.matmul_arrow(empty64, fsl(c, np.float32))
+        assert out_h.type == out_a.type  # both promote to f64
+
+    def test_config_with_handle_rejected(self):
+        c = np.eye(4, dtype=np.float32)
+        h = pmt.Corpus(c)
+        q = pa.array([[1.0, 0.0, 0.0, 0.0]])
+        with pytest.raises(ValueError, match="handle's own config"):
+            pmt.topk_arrow(q, h, k=1, config=pmt.SearchConfig())
+        with pytest.raises(ValueError, match="handle's own config"):
+            pmt.matmul_arrow(q, h, config=pmt.SearchConfig())
