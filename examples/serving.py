@@ -56,6 +56,35 @@ def main():
     print(f"steady-state: {qps:,.0f} queries/s per batch-call "
           f"(transport-bound off-chip; see bench.py for device rates)")
 
+    # --- live index mutation: upsert / append / delete ---------------------
+    # All in-place (donated row writes into the cached prepared forms);
+    # the compiled search program never recompiles.
+    fresh = rng.standard_normal((64, dim)).astype(np.float32)
+    corpus2 = pmt.Corpus(corpus_emb[:5000], capacity=8000, storage="int8")
+    corpus2.topk(fresh[:1], 1)                  # build the prepared form
+    t0 = time.perf_counter()
+    corpus2.add(fresh)                          # new docs: ids 5000..5063
+    corpus2.update([17, 123], fresh[:2])        # re-embedded docs
+    corpus2.delete([44])                        # retired doc
+    print(f"mutations (add 64 / update 2 / delete 1) in "
+          f"{(time.perf_counter() - t0)*1e3:.1f} ms (first mutation "
+          f"compiles the splice programs; the SEARCH program never "
+          f"recompiles)")
+    idx, _ = corpus2.topk(fresh[:2], 1)
+    assert idx[0, 0] == 17 and idx[1, 0] == 123  # upserts serve instantly
+
+    # --- persistence: storage-native save / load ---------------------------
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(), "corpus.npz")
+    corpus2.save(path)                          # int8: quarter-size file
+    restored = pmt.Corpus.load(path)
+    idx2, _ = restored.topk(fresh[:2], 1)
+    assert (idx2 == idx).all()
+    print(f"saved + reloaded {restored.n} rows "
+          f"({os.path.getsize(path)/1e6:.1f} MB int8 file); "
+          f"results identical")
+
 
 if __name__ == "__main__":
     main()
