@@ -28,6 +28,12 @@ _config.ensure_x64()
 from .config import SearchConfig, default_config, set_default_config  # noqa: E402
 from .ops.metrics import Metric  # noqa: E402
 from .api.search import Corpus, matmul, topk  # noqa: E402
+# Traceable device-level ops: jax arrays in, jax arrays out, fully
+# jittable — compose search into larger jit programs (e.g. an embedding
+# model's output feeding straight into top-k with no host round-trip).
+# topk_jax returns ((m, k) f32 scores best-first, (m, k) i32 indices).
+from .kernels.fused_topk import fused_topk as topk_jax  # noqa: E402
+from .kernels.matmul import pairwise_matmul as matmul_jax  # noqa: E402
 from .api.arrow_ops import matmul_arrow, topk_arrow  # noqa: E402
 from .parallel.mesh import init_distributed, make_mesh  # noqa: E402
 from .utils.autotune import autotune  # noqa: E402
@@ -51,10 +57,12 @@ __all__ = [
     "make_mesh",
     "matmul",
     "matmul_arrow",
+    "matmul_jax",
     "set_default_config",
     "shard_corpus",
     "topk",
     "topk_arrow",
+    "topk_jax",
 ]
 
 # Register the Polars .pmm expression namespace when polars is available.

@@ -1196,3 +1196,46 @@ class TestSeventhReviewRegressions:
             pmt.topk_arrow(q, h, k=1, config=pmt.SearchConfig())
         with pytest.raises(ValueError, match="handle's own config"):
             pmt.matmul_arrow(q, h, config=pmt.SearchConfig())
+
+
+class TestTraceableOps:
+    """topk_jax / matmul_jax: device arrays in and out, fully jittable —
+    search composed into a larger jit program (embed -> search) with no
+    host round-trip."""
+
+    def test_topk_jax_inside_user_jit(self):
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(191)
+        W = jnp.asarray(rng.standard_normal((12, 32)).astype(np.float32))
+        c = jnp.asarray(rng.standard_normal((300, 32)).astype(np.float32))
+
+        @jax.jit
+        def embed_and_search(x, c):
+            emb = jnp.tanh(x @ W)             # a tiny "embedding model"
+            v, i = pmt.topk_jax(emb, c, 5, "cosine")
+            return v, i
+
+        x = jnp.asarray(rng.standard_normal((7, 12)).astype(np.float32))
+        v, i = embed_and_search(x, c)
+        assert v.shape == (7, 5) and i.shape == (7, 5)
+        emb = np.tanh(np.asarray(x) @ np.asarray(W))
+        i0, v0 = pmt.topk(emb, np.asarray(c), 5)
+        np.testing.assert_array_equal(np.asarray(i), i0)
+
+    def test_matmul_jax_grad_flows(self):
+        # the dense op is differentiable — usable inside training losses
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(192)
+        q = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+        c = jnp.asarray(rng.standard_normal((9, 16)).astype(np.float32))
+
+        def loss(q):
+            return jnp.sum(pmt.matmul_jax(q, c) ** 2)
+
+        g = jax.grad(loss)(q)
+        g0 = 2.0 * (np.asarray(q) @ np.asarray(c).T) @ np.asarray(c)
+        np.testing.assert_allclose(np.asarray(g), g0, rtol=1e-3, atol=1e-3)
