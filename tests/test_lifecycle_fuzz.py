@@ -1,0 +1,99 @@
+"""Stateful lifecycle fuzz: random add/update/delete/save/load sequences
+against a shadow NumPy model.
+
+The mutation machinery is the subtlest code in the package (donated
+in-place writes, aliased prepared forms, identity-deduped bias rows,
+capacity growth) — randomized interleavings catch ordering bugs that
+handpicked sequences miss.  Small sizes keep it CPU-cheap.
+"""
+
+import numpy as np
+import pytest
+
+import polars_matmul_tpu as pmt
+
+
+def _oracle_topk(q, c, k, alive, metric):
+    """(idx, full score matrix in maximize orientation)."""
+    if metric == "euclidean":
+        d = np.sqrt(np.maximum(
+            (q * q).sum(1)[:, None] + (c * c).sum(1)[None, :]
+            - 2.0 * q @ c.T, 0.0))
+        s = np.where(alive[None, :], -d, -np.inf)
+    else:
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-30)
+        s = qn @ cn.T if metric == "cosine" else q @ c.T
+        s = np.where(alive[None, :], s, -np.inf)
+    idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    return idx, s
+
+
+@pytest.mark.parametrize("storage", ["f32", "bf16", "int8"])
+def test_lifecycle_fuzz(storage, tmp_path):
+    rng = np.random.default_rng(hash(storage) % (2**31))
+    dim, k = 24, 4
+    c = rng.standard_normal((60, dim)).astype(np.float32)
+    h = pmt.Corpus(c, storage=storage, capacity=100)
+    shadow = c.copy()
+    alive = np.ones(60, bool)
+    metrics = ["cosine", "dot", "euclidean"]
+
+    for step in range(30):
+        op = rng.integers(0, 6)
+        n = shadow.shape[0]
+        if op == 0 and n < 400:                       # add
+            m = int(rng.integers(1, 8))
+            rows = rng.standard_normal((m, dim)).astype(np.float32)
+            assert h.add(rows) == n + m
+            shadow = np.vstack([shadow, rows])
+            alive = np.concatenate([alive, np.ones(m, bool)])
+        elif op == 1:                                 # update (unique idx)
+            m = int(rng.integers(1, min(6, n)))
+            idx = rng.choice(n, size=m, replace=False)
+            rows = rng.standard_normal((m, dim)).astype(np.float32)
+            h.update(idx, rows)
+            shadow[idx] = rows
+            alive[idx] = True                         # upsert revives
+        elif op == 2 and alive.sum() > k + 2:         # delete
+            m = int(rng.integers(1, 3))
+            idx = rng.choice(np.nonzero(alive)[0], size=m, replace=False)
+            h.delete(idx)
+            alive[idx] = False
+        elif op == 3:                                 # save/load round-trip
+            p = tmp_path / f"fz_{storage}_{step}.npz"
+            h.save(p)
+            h = pmt.Corpus.load(p, capacity=max(400, n))
+        # op 4/5: plain queries (checked below every step)
+
+        q = rng.standard_normal((3, dim)).astype(np.float32)
+        metric = metrics[step % 3]
+        i, v = h.topk(q, k, metric)
+        # quantized storages rank the quantized values; compare against
+        # the oracle on the handle's own served values
+        if storage == "f32":
+            ref = shadow
+        elif storage == "bf16":
+            import ml_dtypes
+
+            ref = shadow.astype(ml_dtypes.bfloat16).astype(np.float32)
+        else:
+            from polars_matmul_tpu.api.search import _quantize_rows_np
+
+            codes, scales = _quantize_rows_np(shadow)
+            ref = codes.astype(np.float32) * scales[:, None]
+        i0, smat = _oracle_topk(q, ref, k, alive, metric)
+        # index mismatches are acceptable only between near-tied scores
+        # (quantized storages rank bf16x-split scores that differ from
+        # the host oracle in the last bits)
+        mism = i != i0
+        if mism.any():
+            r, col = np.nonzero(mism)
+            sa = smat[r, i[r, col]]
+            sb = smat[r, i0[r, col]]
+            assert np.allclose(sa, sb, rtol=1e-2, atol=1e-2), (
+                f"step {step} op {op} metric {metric} n={n} "
+                f"alive={alive.sum()}: non-tied index mismatch\n{i}\nvs\n{i0}"
+            )
+        # deleted rows must never surface
+        assert alive[i.reshape(-1)].all() or not (~alive).any()
