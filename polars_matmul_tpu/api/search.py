@@ -273,19 +273,47 @@ def _scatter_fns():
     return rows, cols
 
 
-@functools.lru_cache(maxsize=16)
-def _int8_bias_chunk_fn(metric_v: str):
-    """Jitted (2, m) scale|bias columns for freshly added int8 rows (all
-    valid), spliced into a shared-storage prepared form by Corpus.add."""
+@functools.lru_cache(maxsize=32)
+def _quant_bias_chunk_fn(metric_v: str, storage: str):
+    """Jitted (2, m) scale|bias columns for freshly written quantized rows
+    (all valid), spliced into a shared-storage prepared form by
+    Corpus.add/update."""
     import jax
 
-    from ..kernels.fused_topk import prepare_int8_bias
+    from ..kernels.fused_topk import prepare_int4_bias, prepare_int8_bias
+
+    bias_fn = prepare_int4_bias if storage == "int4" else prepare_int8_bias
 
     def run(codes, scales):
-        return prepare_int8_bias(codes, scales, Metric.parse(metric_v),
-                                 codes.shape[0])
+        return bias_fn(codes, scales, Metric.parse(metric_v),
+                       codes.shape[0])
 
     return jax.jit(run)
+
+
+def _quantize_rows_int4_np(c: np.ndarray, ck: int, dpp: int):
+    """Host-side per-row symmetric int4 quantization, nibble-packed per
+    K-chunk (layout contract: kernels.fused_topk.quantize_int4).  The
+    int4 corpus uploads at an eighth of the f32 bytes."""
+    n, dim = c.shape
+    c32 = np.asarray(c, np.float32)
+    amax = np.abs(c32).max(axis=1)
+    scales = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+    codes = np.clip(np.rint(c32 / scales[:, None]), -7, 7).astype(np.int32)
+    codes = np.pad(codes, ((0, 0), (0, dpp - dim)))
+    ch = codes.reshape(n, dpp // ck, ck)
+    packed = ((ch[:, :, : ck // 2] & 0xF)
+              | ((ch[:, :, ck // 2:] & 0xF) << 4)).astype(np.int8)
+    return packed.reshape(n, dpp // 2), scales
+
+
+def _unpack_int4_np(packed: np.ndarray, ck: int, dim: int) -> np.ndarray:
+    """Host-side inverse of the pack layout -> int codes (n, dim)."""
+    n = packed.shape[0]
+    p32 = packed.astype(np.int32).reshape(n, -1, ck // 2)
+    lo = ((p32 & 0xF) ^ 8) - 8
+    hi = (((p32 >> 4) & 0xF) ^ 8) - 8
+    return np.concatenate([lo, hi], axis=2).reshape(n, -1)[:, :dim]
 
 
 def _round_up_rows(n: int, m: int = 4096) -> int:
@@ -418,8 +446,13 @@ class Corpus:
             raise ValueError("Empty series")
         if c.shape[1] == 0:
             raise ValueError("Zero-dimensional vectors")
-        if storage not in ("f32", "bf16", "int8"):
+        if storage not in ("f32", "bf16", "int8", "int4"):
             raise ValueError(f"Unknown storage mode: {storage!r}")
+        if storage == "int4" and mesh is not None:
+            raise ValueError(
+                "storage='int4' is single-device for now; use 'int8' "
+                "for mesh-sharded quantized storage"
+            )
         if capacity is not None and mesh is not None:
             raise ValueError("capacity/add() are single-device only")
         if np.dtype(c.dtype) == np.int8 and storage != "int8":
@@ -458,6 +491,7 @@ class Corpus:
         # divert every query onto the f64 fallback path).
         self.dtype = (np.dtype(np.float32) if storage != "f32"
                       else np.dtype(c.dtype))
+        self._quantized = storage in ("int8", "int4")
         dt = self.dtype if self.dtype == np.float32 else np.dtype(np.float64)
         self._scales = None  # int8 storage: (cap,) f32 per-row dequant scale
 
@@ -482,30 +516,37 @@ class Corpus:
                 import jax.numpy as jnp
 
                 dev = _to_jax(c, np.dtype(np.float32)).astype(jnp.bfloat16)
-            elif storage == "int8":
-                # Quantize on host so the upload moves int8 bytes, not f32
-                # (pre-quantized codes pass straight through).  The code
-                # buffer is allocated directly in prepared-cp geometry
-                # (rows padded to a 4096 multiple — every standard tile
-                # height divides it — features padded to the kernel
-                # width): int8 prep never changes the codes, so the
-                # prepared form ALIASES this buffer instead of copying it.
-                # int8 residency = one code buffer, not two.
+            elif storage in ("int8", "int4"):
+                # Quantize on host so the upload moves quantized bytes,
+                # not f32 (pre-quantized int8 codes pass straight
+                # through).  The code buffer is allocated directly in
+                # prepared-cp geometry (rows padded to a 4096 multiple —
+                # every standard tile height divides it — features padded
+                # to the kernel width; int4 nibble-packs two features per
+                # byte): quantized prep never changes the codes, so the
+                # prepared form ALIASES this buffer instead of copying
+                # it.  Residency = one code buffer, not two.
                 from ..kernels.fused_topk import feature_geometry
 
-                if np.dtype(c.dtype) != np.int8:
+                ck, dpp, _ = feature_geometry(self.dim)
+                if storage == "int4":
+                    c, scales = _quantize_rows_int4_np(c, ck, dpp)
+                    width = dpp // 2
+                elif np.dtype(c.dtype) != np.int8:
                     c, scales = _quantize_rows_np(c)
-                _, dpp, _ = feature_geometry(self.dim)
+                    width = dpp
+                else:
+                    width = dpp
                 rows_pad = _round_up_rows(self._cap)
-                codes_p = np.zeros((rows_pad, dpp), np.int8)
-                codes_p[: self.n, : self.dim] = c
+                codes_p = np.zeros((rows_pad, width), np.int8)
+                codes_p[: self.n, : c.shape[1]] = c
                 scales_p = np.ones(rows_pad, np.float32)
                 scales_p[: self.n] = scales
                 dev = _to_jax(codes_p, np.dtype(np.int8))
                 self._scales = _to_jax(scales_p, np.dtype(np.float32))
             else:
                 dev = _to_jax(c, dt)
-            if storage != "int8" and self._cap > self.n:
+            if storage not in ("int8", "int4") and self._cap > self.n:
                 import jax.numpy as jnp
 
                 dev = jnp.pad(dev, ((0, self._cap - self.n), (0, 0)))
@@ -537,13 +578,19 @@ class Corpus:
 
         m = r.shape[0]
         buf_dt = self._device.dtype
-        if self.storage == "int8":
-            codes_np, scales_np = _quantize_rows_np(r)
+        if self._quantized:
+            if self.storage == "int4":
+                from ..kernels.fused_topk import feature_geometry
+
+                ck, dpp, _ = feature_geometry(self.dim)
+                codes_np, scales_np = _quantize_rows_int4_np(r, ck, dpp)
+            else:
+                codes_np, scales_np = _quantize_rows_np(r)
             # full-width rows: the shared buffer carries 128-padded
             # features (the pad columns are zeros)
             codes_np = np.pad(
                 codes_np,
-                ((0, 0), (0, self._device.shape[1] - self.dim)))
+                ((0, 0), (0, self._device.shape[1] - codes_np.shape[1])))
             rj = _to_jax(codes_np, np.dtype(np.int8))
             scales_j = _to_jax(scales_np, np.dtype(np.float32))
             self._scales = put_vec(self._scales, scales_j, pos)
@@ -569,7 +616,8 @@ class Corpus:
             self._f32_view = None
             with jax.enable_x64(False):
                 for cbp, keys in list(shared.values()):
-                    cbc = _int8_bias_chunk_fn(keys[0][0])(rj, scales_j)
+                    cbc = _quant_bias_chunk_fn(
+                        keys[0][0], self.storage)(rj, scales_j)
                     new_cbp = put_cols(cbp, cbc, pos)
                     for key in keys:
                         self._prepared[key] = (self._device, new_cbp)
@@ -738,9 +786,12 @@ class Corpus:
         host and can be re-sharded at load with ``mesh=``.
         """
         if self.mesh is None:
-            # Trim storage padding (int8 shared-storage buffers carry
-            # tile-padded rows and 128-padded features).
-            data = np.asarray(self._device[: self.n, : self.dim])
+            # Trim storage padding (shared-storage buffers carry
+            # tile-padded rows and 128-padded features).  int4 keeps its
+            # packed width (dim is in the metadata for the unpack).
+            width = (self._device.shape[1] if self.storage == "int4"
+                     else self.dim)
+            data = np.asarray(self._device[: self.n, : width])
             scales = self._scales
         else:
             # ShardedCorpus: gather the (zero-padded) shards and trim
@@ -781,6 +832,16 @@ class Corpus:
                 data = z["data"]
             scales = z["scales"] if "scales" in z else None
             tomb = z["tombstones"] if "tombstones" in z else None
+            if storage == "int4":
+                # host dequant -> constructor requantizes EXACTLY
+                # (dequant of 4-bit codes round-trips: amax = 7*scale)
+                from ..kernels.fused_topk import feature_geometry
+
+                dim = int(z["dim"])
+                ck, _, _ = feature_geometry(dim)
+                codes = _unpack_int4_np(data, ck, dim)
+                data = codes.astype(np.float32) * scales[:, None]
+                scales = None
         obj = cls(data, mesh=mesh, storage=storage, scales=scales,
                   capacity=capacity, config=config)
         if tomb is not None and tomb.any():
@@ -851,6 +912,8 @@ class Corpus:
             return "bf16c"
         if self.storage == "int8":
             return "int8c"
+        if self.storage == "int4":
+            return "int4c"
         return self.config.precision
 
     def _dense_device(self):
@@ -867,6 +930,18 @@ class Corpus:
                 dense = (
                     self._device[: self.n, : self.dim].astype(jnp.float32)
                     * self._scales[: self.n, None])
+            elif self.storage == "int4":
+                from ..kernels.fused_topk import (_unpack_int4_i32,
+                                                  feature_geometry)
+
+                ck, dpp, nk = feature_geometry(self.dim)
+                p32 = self._device[: self.n].astype(jnp.int32)
+                p32 = p32.reshape(self.n, nk, ck // 2)
+                lo, hi = _unpack_int4_i32(p32)
+                codes = jnp.concatenate([lo, hi], axis=2).reshape(
+                    self.n, dpp)[:, : self.dim]
+                dense = (codes.astype(jnp.float32)
+                         * self._scales[: self.n, None])
             else:
                 dense = self._device[: self.n].astype(jnp.float32)
             self._f32_view = jax.block_until_ready(dense)
@@ -894,7 +969,7 @@ class Corpus:
 
         import jax
 
-        if (self.storage == "int8" and self.mesh is None
+        if (self._quantized and self.mesh is None
                 and self._device.shape[0] % tn == 0):
             # Shared-storage fast path: the code buffer IS the prepared
             # cp (allocated in cp geometry at construction; int8 prep
@@ -990,6 +1065,10 @@ class Corpus:
 
         from ..kernels.fused_topk import prepare_int8_bias
 
+        from ..kernels.fused_topk import prepare_int4_bias
+
+        bias_fn = (prepare_int4_bias if self.storage == "int4"
+                   else prepare_int8_bias)
         rows = self._device.shape[0]
         row_bytes = self._device.shape[1] * 4  # f32 upcast dominates
         per_chunk = max(
@@ -997,7 +1076,7 @@ class Corpus:
         )
         with jax.enable_x64(False):
             if rows <= per_chunk:
-                fn = jax.jit(_ft.partial(prepare_int8_bias, metric=metric))
+                fn = jax.jit(_ft.partial(bias_fn, metric=metric))
                 return jax.block_until_ready(
                     fn(self._device, self._scales, n_valid=jnp.int32(self.n)))
 
@@ -1005,8 +1084,7 @@ class Corpus:
 
             @_ft.partial(jax.jit, donate_argnums=(0,))
             def update(buf, codes_c, scales_c, row0, n_valid_local):
-                cbc = prepare_int8_bias(codes_c, scales_c, metric,
-                                        n_valid_local)
+                cbc = bias_fn(codes_c, scales_c, metric, n_valid_local)
                 return jax.lax.dynamic_update_slice(
                     buf, cbc, (jnp.int32(0), row0))
 
@@ -1087,7 +1165,7 @@ class Corpus:
                 np.dtype(self._device.dtype) == np.float32
                 or (self.storage == "bf16"
                     and str(self._device.dtype) == "bfloat16")
-                or (self.storage == "int8"
+                or (self._quantized
                     and np.dtype(self._device.dtype) == np.int8)
             )
             sup = supports(q.shape, (self.n, self.dim), dt, kk,

@@ -109,7 +109,7 @@ class SearchConfig:
             ("selection", ("extract", "bucket")),
             ("merge", ("allgather", "ring")),
             ("precision", ("default", "high", "highest",
-                           "bf16x3", "bf16c", "int8c")),
+                           "bf16x3", "bf16c", "int8c", "int4c")),
         ):
             v = getattr(self, field)
             if v not in allowed:

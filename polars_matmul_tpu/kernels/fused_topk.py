@@ -365,7 +365,7 @@ def _kernel(
         cl = c_ref[:, dsplit:]
         p = jax.lax.Precision.DEFAULT
         d = _dot_nt(qh, ch, p) + (_dot_nt(qh, cl, p) + _dot_nt(ql, ch, p))
-    elif precision in ("bf16c", "int8c"):
+    elif precision in ("bf16c", "int8c", "int4c"):
         # Quantized-STORAGE corpus: "bf16c" (Corpus(storage="bf16"), half
         # the HBM) carries only the hi half; "int8c" (storage="int8", a
         # quarter of the HBM) carries per-row int8 codes converted to bf16
@@ -379,6 +379,13 @@ def _kernel(
         ch = c_ref[:]
         if precision == "int8c":
             ch = ch.astype(jnp.bfloat16)
+        elif precision == "int4c":
+            # int4 STORAGE (an eighth of the f32 HBM): each byte packs
+            # two signed nibbles — feature j low, feature j + ck/2 high —
+            # so the unpack is bit math in i32 (Mosaic has no i8 shifts)
+            # plus one concat, and features come back in original order.
+            lo, hi = _unpack_int4_i32(ch.astype(jnp.int32))
+            ch = jnp.concatenate([lo, hi], axis=1).astype(jnp.bfloat16)
         p = jax.lax.Precision.DEFAULT
         d = _dot_nt(qh, ch, p) + _dot_nt(ql, ch, p)
     else:
@@ -388,7 +395,7 @@ def _kernel(
         # --- VPU epilogue: one fused pass covers the int8 per-row dequant
         # scale (multiplicative), the euclidean -|c|^2 term, and the
         # padding-tail mask (both additive) ----------------------------------
-        if precision == "int8c":
+        if precision in ("int8c", "int4c"):
             s = d * cb_ref[0:1, :] + cb_ref[1:2, :]
         elif use_bias:
             s = d + cb_ref[:]
@@ -569,6 +576,65 @@ def pad_mask_row(mask, width: int):
     )
 
 
+def _unpack_int4_i32(p32):
+    """Sign-extended nibble pair from an int32-widened packed byte.
+    Mosaic cannot shift i8 vectors, so all bit math runs in i32."""
+    lo = ((p32 & 0xF) ^ 8) - 8
+    hi = (((p32 >> 4) & 0xF) ^ 8) - 8
+    return lo, hi
+
+
+def quantize_int4(c: jax.Array, ck: int):
+    """Per-row symmetric int4 quantization, nibble-packed per K-chunk.
+
+    Packing layout (per ck-wide feature chunk): byte j holds feature j in
+    its LOW nibble and feature j + ck/2 in its HIGH nibble, so the kernel
+    unpacks with two shifts and one concat — features come back in
+    original order, and the hi|lo-split queries need no permutation.
+    Codes are in [-7, 7] (the -8 slot unused, symmetric);
+    row ~= codes * scale with scale = max|row| / 7.
+    Returns (packed (n, dpp//2) int8, scales (n,) f32).
+    """
+    c = c.astype(jnp.float32)
+    n, dim = c.shape
+    dpp = _round_up(_round_up(dim, 128), ck)
+    amax = jnp.max(jnp.abs(c), axis=1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    codes = jnp.clip(jnp.rint(c / scale), -7, 7).astype(jnp.int32)
+    codes = jnp.pad(codes, ((0, 0), (0, dpp - dim)))
+    nk = dpp // ck
+    ch = codes.reshape(n, nk, ck)
+    lo = ch[:, :, : ck // 2]
+    hi = ch[:, :, ck // 2:]
+    packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(jnp.int8)
+    return packed.reshape(n, dpp // 2), scale[:, 0]
+
+
+def prepare_int4_bias(packed: jax.Array, scales: jax.Array, metric,
+                      n_valid) -> jax.Array:
+    """The (2, rows) scale|bias operand for an int4 shared-storage corpus
+    (the packed buffer IS the prepared cp) — int4 analog of
+    prepare_int8_bias.  Norms are computed straight from the nibbles
+    (feature order is irrelevant to a sum of squares)."""
+    metric = Metric.parse(metric)
+    rows = packed.shape[0]
+    lo, hi = _unpack_int4_i32(packed.astype(jnp.int32))
+    sumsq = jnp.sum((lo * lo + hi * hi).astype(jnp.float32), axis=1)
+    code_norm = jnp.sqrt(sumsq)
+    if metric is Metric.COSINE:
+        cs = jnp.where(code_norm > 0, 1.0 / code_norm, 0.0)
+        cb = jnp.zeros((rows,), jnp.float32)
+    elif metric is Metric.EUCLIDEAN:
+        cs = scales.astype(jnp.float32)
+        cb = -(cs * code_norm) ** 2
+    else:
+        cs = scales.astype(jnp.float32)
+        cb = jnp.zeros((rows,), jnp.float32)
+    live = jnp.arange(rows) < n_valid
+    cb = jnp.where(live, cb, -np.inf)
+    return jnp.stack([cs, cb], axis=0)
+
+
 def quantize_int8(c: jax.Array):
     """Per-row symmetric int8 quantization: codes * scale[:, None] ~= c.
 
@@ -627,6 +693,20 @@ def prepare_corpus(c: jax.Array, metric, *, tn: int, precision: str,
     """
     metric = Metric.parse(metric)
     n, dim = c.shape
+    if precision == "int4c":
+        # int4: nibble-packed codes (n, dpp//2) + per-row scales; floats
+        # are quantized+packed here (one-shot path).  The packed buffer
+        # is returned unchanged as cp; only the (2, rows) scale|bias is
+        # computed (same shared-storage shape contract as int8c).
+        if c.dtype != jnp.int8:
+            ck_real, _, _ = feature_geometry(dim)
+            c, scales = quantize_int4(c, ck_real)
+        np_ = _round_up(n, tn)
+        cp = jnp.pad(c, ((0, np_ - n), (0, 0)))
+        scales_p = jnp.pad(scales.astype(jnp.float32), (0, np_ - n),
+                           constant_values=1.0)
+        cbp = prepare_int4_bias(cp, scales_p, metric, n)
+        return cp, cbp
     if precision == "int8c":
         if c.dtype != jnp.int8:
             c, scales = quantize_int8(c)
@@ -725,10 +805,11 @@ def _run_prepared(
     np_ = cbp.shape[1]
 
     qp = jnp.pad(q, ((0, mp - m), (0, dpp - dim)))
-    if precision in ("bf16x3", "bf16c", "int8c"):
+    if precision in ("bf16x3", "bf16c", "int8c", "int4c"):
         qp = _split_hi_lo(qp, ck)
         dk_q = 2 * ck  # each query grid block carries [hi_i | lo_i]
-        dk_c = 2 * ck if precision == "bf16x3" else ck
+        # corpus block width: hi|lo for bf16x3, nibble-packed for int4c
+        dk_c = {"bf16x3": 2 * ck, "int4c": ck // 2}.get(precision, ck)
         kern_precision = precision
     else:
         dk_q = dk_c = ck

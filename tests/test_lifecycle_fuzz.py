@@ -29,7 +29,7 @@ def _oracle_topk(q, c, k, alive, metric):
     return idx, s
 
 
-@pytest.mark.parametrize("storage", ["f32", "bf16", "int8"])
+@pytest.mark.parametrize("storage", ["f32", "bf16", "int8", "int4"])
 def test_lifecycle_fuzz(storage, tmp_path):
     rng = np.random.default_rng(hash(storage) % (2**31))
     dim, k = 24, 4
@@ -77,10 +77,20 @@ def test_lifecycle_fuzz(storage, tmp_path):
             import ml_dtypes
 
             ref = shadow.astype(ml_dtypes.bfloat16).astype(np.float32)
-        else:
+        elif storage == "int8":
             from polars_matmul_tpu.api.search import _quantize_rows_np
 
             codes, scales = _quantize_rows_np(shadow)
+            ref = codes.astype(np.float32) * scales[:, None]
+        else:
+            from polars_matmul_tpu.api.search import (
+                _quantize_rows_int4_np, _unpack_int4_np)
+            from polars_matmul_tpu.kernels.fused_topk import (
+                feature_geometry)
+
+            ck, dpp, _ = feature_geometry(dim)
+            packed, scales = _quantize_rows_int4_np(shadow, ck, dpp)
+            codes = _unpack_int4_np(packed, ck, dim)
             ref = codes.astype(np.float32) * scales[:, None]
         i0, smat = _oracle_topk(q, ref, k, alive, metric)
         # index mismatches are acceptable only between near-tied scores
