@@ -448,11 +448,7 @@ class Corpus:
             raise ValueError("Zero-dimensional vectors")
         if storage not in ("f32", "bf16", "int8", "int4"):
             raise ValueError(f"Unknown storage mode: {storage!r}")
-        if storage == "int4" and mesh is not None:
-            raise ValueError(
-                "storage='int4' is single-device for now; use 'int8' "
-                "for mesh-sharded quantized storage"
-            )
+
         if capacity is not None and mesh is not None:
             raise ValueError("capacity/add() are single-device only")
         if np.dtype(c.dtype) == np.int8 and storage != "int8":
@@ -498,12 +494,18 @@ class Corpus:
         if mesh is not None:
             from ..parallel.sharded import shard_corpus
 
-            if storage == "int8":
-                if np.dtype(c.dtype) != np.int8:
+            if storage in ("int8", "int4"):
+                if storage == "int4":
+                    from ..kernels.fused_topk import feature_geometry
+
+                    ck, dpp, _ = feature_geometry(self.dim)
+                    c, scales = _quantize_rows_int4_np(c, ck, dpp)
+                elif np.dtype(c.dtype) != np.int8:
                     c, scales = _quantize_rows_np(c)
                 # Host arrays go straight to the shards (device_put with a
                 # sharding) — no single-device staging copy.
-                self._device = shard_corpus(c, mesh, cfg, scales=scales)
+                self._device = shard_corpus(c, mesh, cfg, scales=scales,
+                                            storage=storage, dim=self.dim)
             else:
                 dev = _to_jax(c, dt)
                 if storage == "bf16":
@@ -795,8 +797,11 @@ class Corpus:
             scales = self._scales
         else:
             # ShardedCorpus: gather the (zero-padded) shards and trim
-            # (int8 shared-storage shards also carry feature padding).
-            data = np.asarray(self._device.data[: self.n, : self.dim])
+            # (quantized shards carry feature padding; int4 keeps its
+            # packed width — dim is in the metadata for the unpack).
+            width = (self._device.data.shape[1]
+                     if self.storage == "int4" else self.dim)
+            data = np.asarray(self._device.data[: self.n, : width])
             scales = self._device.scales
         arrays = {"n": np.int64(self.n), "dim": np.int64(self.dim),
                   "storage": np.array(self.storage)}

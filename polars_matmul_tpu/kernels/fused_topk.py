@@ -1009,7 +1009,8 @@ def fused_topk(
         interpret = jax.default_backend() != "tpu"
 
     if not cfg.use_pallas or not supports(q.shape, c.shape, q.dtype, k, cfg):
-        fb = ("highest" if cfg.precision in ("bf16x3", "bf16c", "int8c")
+        fb = ("highest"
+              if cfg.precision in ("bf16x3", "bf16c", "int8c", "int4c")
               else cfg.precision)
         mk = None if mask is None else jnp.asarray(mask).astype(bool)
         return reference.topk_search(q, c, k, metric, mask=mk, precision=fb)

@@ -43,9 +43,12 @@ class ShardedCorpus:
     # int8 storage: (n_padded,) f32 per-row dequant scales, sharded with
     # the rows (pad rows get scale 1.0 so they dequantize to exact zero).
     scales: "Optional[jax.Array]" = None  # noqa: F821
-    # Original (unpadded) feature width; int8 shared-storage shards carry
-    # 128-padded features, which dense views must trim.
+    # Original (unpadded) feature width; quantized shared-storage shards
+    # carry 128-padded (int8) or nibble-packed (int4) features.
     dim: Optional[int] = None
+    # Quantized storage mode for the shards: "int8" or "int4" when
+    # ``scales`` is set.
+    storage: str = "f32"
     # Lazily-built per-(metric, precision) prepared forms (pre-scaled,
     # padded, precision-split per shard) so steady-state distributed
     # queries do zero per-call corpus work — the sharded analog of
@@ -89,9 +92,24 @@ class ShardedCorpus:
 
             c_axis = cfg.mesh_axes[1]
             if self.scales is not None:
-                def dequant(c_, s_):
-                    return (c_[:, :dim].astype(jnp.float32)
-                            * s_[:, None])
+                if self.storage == "int4":
+                    from ..kernels.fused_topk import (_unpack_int4_i32,
+                                                      feature_geometry)
+
+                    ck, dpp, nk = feature_geometry(dim)
+
+                    def dequant(c_, s_):
+                        rows = c_.shape[0]
+                        p32 = c_.astype(jnp.int32).reshape(
+                            rows, nk, ck // 2)
+                        lo, hi = _unpack_int4_i32(p32)
+                        codes = jnp.concatenate(
+                            [lo, hi], axis=2).reshape(rows, dpp)[:, :dim]
+                        return codes.astype(jnp.float32) * s_[:, None]
+                else:
+                    def dequant(c_, s_):
+                        return (c_[:, :dim].astype(jnp.float32)
+                                * s_[:, None])
 
                 mapped = _shard_map(
                     dequant, mesh,
@@ -149,7 +167,11 @@ class ShardedCorpus:
             # >= n_true, which the merge already discards.  The bias rows
             # are tile-height-independent, so a different k-regime reuses
             # them as-is (mirrors Corpus._prepared_for).
-            from ..kernels.fused_topk import prepare_int8_bias
+            from ..kernels.fused_topk import (prepare_int4_bias,
+                                              prepare_int8_bias)
+
+            bias_fn = (prepare_int4_bias if self.storage == "int4"
+                       else prepare_int8_bias)
 
             for (mv, pv, _t), (cp_o, cbp_o) in self._prepared.items():
                 if ((mv, pv) == (metric.value, cfg.precision)
@@ -163,8 +185,8 @@ class ShardedCorpus:
                 if ns * dim * 4 <= cfg.prep_chunk_bytes:
                     def bias_local(codes_, scales_):
                         off = jax.lax.axis_index(c_axis) * ns
-                        return prepare_int8_bias(codes_, scales_, metric,
-                                                 n_true - off)
+                        return bias_fn(codes_, scales_, metric,
+                                       n_true - off)
 
                     mapped = _shard_map(
                         bias_local, mesh,
@@ -192,7 +214,7 @@ class ShardedCorpus:
                                 codes_, r0, rows, 0)
                             s_ = jax.lax.dynamic_slice_in_dim(
                                 scales_, r0, rows, 0)
-                            cbc = prepare_int8_bias(
+                            cbc = bias_fn(
                                 c_, s_, metric, n_true - off - r0)
                             return jax.lax.dynamic_update_slice(
                                 buf_, cbc, (jnp.int32(0), jnp.int32(r0)))
@@ -297,7 +319,8 @@ class ShardedCorpus:
 
 
 def shard_corpus(c, mesh, config: Optional[SearchConfig] = None,
-                 scales=None) -> ShardedCorpus:
+                 scales=None, storage: str = "int8",
+                 dim: Optional[int] = None) -> ShardedCorpus:
     """Block-partition a corpus (optionally int8 codes + per-row scales)
     over the corpus mesh axis.
 
@@ -320,16 +343,23 @@ def shard_corpus(c, mesh, config: Optional[SearchConfig] = None,
     if scales is not None:
         from ..kernels.fused_topk import feature_geometry
 
-        _, dpp, _ = feature_geometry(c.shape[1])
+        if storage == "int4":
+            # caller already nibble-packed; width is final
+            width = c.shape[1]
+            orig_dim = dim if dim is not None else c.shape[1] * 2
+        else:
+            _, width, _ = feature_geometry(c.shape[1])
+            orig_dim = c.shape[1]
         ns = _round_up(-(-n // n_shards), 4096)
-        codes_p = np.zeros((ns * n_shards, dpp), np.int8)
+        codes_p = np.zeros((ns * n_shards, width), np.int8)
         codes_p[:n, : c.shape[1]] = np.asarray(c)
         scales_p = np.ones(ns * n_shards, np.float32)
         scales_p[:n] = np.asarray(scales)
         data = jax.device_put(codes_p, NamedSharding(mesh, P(axis, None)))
         sh_scales = jax.device_put(
             scales_p, NamedSharding(mesh, P(axis)))
-        return ShardedCorpus(data, n, scales=sh_scales, dim=c.shape[1])
+        return ShardedCorpus(data, n, scales=sh_scales, dim=orig_dim,
+                             storage=storage)
     n_pad = _round_up(n, n_shards)
     if n_pad != n:
         c = jnp.pad(c, ((0, n_pad - n), (0, 0)))
@@ -521,9 +551,11 @@ def distributed_topk(
         # "bf16c" — a higher-precision request could only spend memory.
         cfg = cfg.with_updates(precision="bf16c")
     quant = corpus.scales is not None
-    if quant and cfg.precision != "int8c":
-        # int8-STORAGE policy: same reasoning as bf16c above.
-        cfg = cfg.with_updates(precision="int8c")
+    if quant:
+        want = "int4c" if corpus.storage == "int4" else "int8c"
+        if cfg.precision != want:
+            # quantized-STORAGE policy: same reasoning as bf16c above.
+            cfg = cfg.with_updates(precision=want)
     c_axis = cfg.mesh_axes[1]
     n_shards = mesh.shape[c_axis]
     ns = corpus.shape[0] // n_shards
@@ -550,7 +582,7 @@ def distributed_topk(
 
     dim = corpus.data.shape[1]
     if quant:
-        dev_ok = cfg.precision == "int8c"
+        dev_ok = cfg.precision in ("int8c", "int4c")
     elif str(corpus.data.dtype) == "bfloat16":
         dev_ok = cfg.precision == "bf16c"
     else:
@@ -593,7 +625,7 @@ def _matmul_callable(mesh, n_true, cfg: SearchConfig):
 
     d_axis, c_axis = cfg.mesh_axes
     shards_data = mesh.shape[d_axis] > 1
-    precision = ("bf16x3" if cfg.precision in ("int8c", "bf16c")
+    precision = ("bf16x3" if cfg.precision in ("int8c", "int4c", "bf16c")
                  else cfg.precision)
 
     def local_fn(q_, c_):

@@ -1328,7 +1328,5 @@ class TestInt4Storage:
         i0, _ = pmt.topk(q, self._dequant(c), 4)
         assert (i == i0).mean() > 0.9
 
-    def test_mesh_rejected(self):
-        c = np.eye(8, dtype=np.float32)
-        with pytest.raises(ValueError, match="single-device"):
-            pmt.Corpus(c, storage="int4", mesh=object())
+    # (mesh + int4 storage is covered in test_parallel.py: nibble-packed
+    # shards + sharded scales, searched with the same int4c kernel mode)

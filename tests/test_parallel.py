@@ -442,3 +442,40 @@ def test_sharded_int8_shared_storage(mesh8):
     mask[:6] = True
     i2, _ = h.topk(q, 4, "euclidean", mask=mask)
     assert mask[i2.reshape(-1)].all()
+
+
+def test_sharded_int4_storage(mesh8, tmp_path):
+    """Corpus(storage="int4", mesh=...): nibble-packed shards + sharded
+    scales, int4c kernel mode — 8x the corpus rows per chip."""
+    from polars_matmul_tpu.api.search import (_quantize_rows_int4_np,
+                                              _unpack_int4_np)
+    from polars_matmul_tpu.kernels.fused_topk import feature_geometry
+
+    rng = np.random.default_rng(107)
+    q = rng.standard_normal((6, 48)).astype(np.float32)
+    c = rng.standard_normal((333, 48)).astype(np.float32)
+    h = pmt.Corpus(c, storage="int4", mesh=mesh8)
+    assert h._device.data.shape[1] == 64           # packed width dpp/2
+    ck, dpp, _ = feature_geometry(48)
+    packed, sc = _quantize_rows_int4_np(c, ck, dpp)
+    cdeq = _unpack_int4_np(packed, ck, 48).astype(np.float32) * sc[:, None]
+    for metric in ("cosine", "dot", "euclidean"):
+        i, v = h.topk(q, 5, metric)
+        i0, v0 = pmt.topk(q, cdeq, 5, metric)
+        np.testing.assert_array_equal(i, i0, err_msg=metric)
+        assert (i < 333).all()
+    for cp, cb in h._device._prepared.values():
+        assert cp is h._device.data                # aliased shards
+    # fallback (k > k_pad) + matmul dequantize per shard
+    i2, _ = h.topk(q, 200)
+    i3, _ = pmt.topk(q, cdeq, 200)
+    np.testing.assert_array_equal(i2, i3)
+    out = h.matmul(q[:2])
+    np.testing.assert_allclose(out, q[:2] @ cdeq.T, rtol=1e-4, atol=1e-4)
+    # mesh save -> single-device reload
+    p = tmp_path / "mesh_i4.npz"
+    h.save(p)
+    h2 = pmt.Corpus.load(p)
+    ia, _ = h2.topk(q, 5)
+    ib, _ = h.topk(q, 5)
+    np.testing.assert_array_equal(ia, ib)
