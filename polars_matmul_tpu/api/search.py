@@ -293,18 +293,26 @@ def _quant_bias_chunk_fn(metric_v: str, storage: str):
 
 def _quantize_rows_int4_np(c: np.ndarray, ck: int, dpp: int):
     """Host-side per-row symmetric int4 quantization, nibble-packed per
-    K-chunk (layout contract: kernels.fused_topk.quantize_int4).  The
-    int4 corpus uploads at an eighth of the f32 bytes."""
+    K-chunk (layout contract: kernels.fused_topk.quantize_int4),
+    row-chunked so the f32/int32 temporaries stay bounded — this is the
+    capacity tier, aimed at corpora too big to hold twice."""
     n, dim = c.shape
-    c32 = np.asarray(c, np.float32)
-    amax = np.abs(c32).max(axis=1)
-    scales = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
-    codes = np.clip(np.rint(c32 / scales[:, None]), -7, 7).astype(np.int32)
-    codes = np.pad(codes, ((0, 0), (0, dpp - dim)))
-    ch = codes.reshape(n, dpp // ck, ck)
-    packed = ((ch[:, :, : ck // 2] & 0xF)
-              | ((ch[:, :, ck // 2:] & 0xF) << 4)).astype(np.int8)
-    return packed.reshape(n, dpp // 2), scales
+    packed = np.empty((n, dpp // 2), np.int8)
+    scales = np.empty(n, np.float32)
+    step = max(1, (64 << 20) // max(dpp * 4, 1))
+    for r0 in range(0, n, step):
+        blk = np.asarray(c[r0:r0 + step], dtype=np.float32)
+        amax = np.abs(blk).max(axis=1)
+        sc = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+        codes = np.clip(np.rint(blk / sc[:, None]), -7, 7).astype(np.int32)
+        codes = np.pad(codes, ((0, 0), (0, dpp - dim)))
+        ch = codes.reshape(codes.shape[0], dpp // ck, ck)
+        packed[r0:r0 + step] = ((ch[:, :, : ck // 2] & 0xF)
+                                | ((ch[:, :, ck // 2:] & 0xF) << 4)
+                                ).astype(np.int8).reshape(
+                                    codes.shape[0], dpp // 2)
+        scales[r0:r0 + step] = sc
+    return packed, scales
 
 
 def _unpack_int4_np(packed: np.ndarray, ck: int, dim: int) -> np.ndarray:
@@ -411,6 +419,7 @@ class Corpus:
         mesh=None,
         storage: str = "f32",
         scales: Optional[ArrayLike] = None,
+        dim: Optional[int] = None,
         capacity: Optional[int] = None,
         config: Optional[SearchConfig] = None,
     ):
@@ -451,10 +460,38 @@ class Corpus:
 
         if capacity is not None and mesh is not None:
             raise ValueError("capacity/add() are single-device only")
-        if np.dtype(c.dtype) == np.int8 and storage != "int8":
+        if np.dtype(c.dtype) == np.int8 and storage not in ("int8",
+                                                             "int4"):
             raise ValueError(
                 "int8 embeddings (pre-quantized codes) require "
-                "storage='int8'"
+                "storage='int8' (or storage='int4' for nibble-packed "
+                "codes with dim=)"
+            )
+        prepacked_int4 = (storage == "int4"
+                          and np.dtype(c.dtype) == np.int8)
+        if prepacked_int4:
+            from ..kernels.fused_topk import feature_geometry
+
+            if scales is None or dim is None:
+                raise ValueError(
+                    "pre-packed int4 codes require scales=(n,) and the "
+                    "original dim= (the packed width is ambiguous)"
+                )
+            _, dpp_chk, _ = feature_geometry(int(dim))
+            if c.shape[1] * 2 != dpp_chk:
+                raise ValueError(
+                    f"packed width {c.shape[1]} does not match dim={dim} "
+                    f"(expected {dpp_chk // 2})"
+                )
+            scales = np.asarray(scales, dtype=np.float32).reshape(-1)
+            if scales.shape[0] != c.shape[0]:
+                raise ValueError(
+                    f"scales must have shape ({c.shape[0]},), "
+                    f"got {scales.shape}"
+                )
+        elif dim is not None:
+            raise ValueError(
+                "dim= is only meaningful with pre-packed int4 codes"
             )
         if storage == "int8" and np.dtype(c.dtype) == np.int8:
             if scales is None:
@@ -468,15 +505,17 @@ class Corpus:
                     f"scales must have shape ({c.shape[0]},), "
                     f"got {scales.shape}"
                 )
-        elif scales is not None:
+        elif scales is not None and not prepacked_int4:
             raise ValueError(
                 "scales= is only meaningful with pre-quantized int8 "
-                "embeddings"
+                "or pre-packed int4 embeddings"
             )
         self.config = cfg
         self.mesh = mesh
         self.storage = storage
         self.n, self.dim = c.shape
+        if prepacked_int4:
+            self.dim = int(dim)
         # Device buffers are allocated at `_cap` rows; rows in [n, _cap)
         # are zeros whose prepared bias is -inf (never selectable).
         self._cap = (self.n if capacity is None
@@ -498,8 +537,9 @@ class Corpus:
                 if storage == "int4":
                     from ..kernels.fused_topk import feature_geometry
 
-                    ck, dpp, _ = feature_geometry(self.dim)
-                    c, scales = _quantize_rows_int4_np(c, ck, dpp)
+                    if not prepacked_int4:
+                        ck, dpp, _ = feature_geometry(self.dim)
+                        c, scales = _quantize_rows_int4_np(c, ck, dpp)
                 elif np.dtype(c.dtype) != np.int8:
                     c, scales = _quantize_rows_np(c)
                 # Host arrays go straight to the shards (device_put with a
@@ -532,7 +572,8 @@ class Corpus:
 
                 ck, dpp, _ = feature_geometry(self.dim)
                 if storage == "int4":
-                    c, scales = _quantize_rows_int4_np(c, ck, dpp)
+                    if not prepacked_int4:
+                        c, scales = _quantize_rows_int4_np(c, ck, dpp)
                     width = dpp // 2
                 elif np.dtype(c.dtype) != np.int8:
                     c, scales = _quantize_rows_np(c)
@@ -686,7 +727,7 @@ class Corpus:
             # aliased prepared form valid — only a real reallocation
             # invalidates them.
             new_cap = max(2 * self._cap, new_n)
-            grow = ((_round_up_rows(new_cap) if self.storage == "int8"
+            grow = ((_round_up_rows(new_cap) if self._quantized
                      else new_cap) - self._device.shape[0])
             if grow > 0:
                 self._device = jnp.pad(
@@ -837,18 +878,9 @@ class Corpus:
                 data = z["data"]
             scales = z["scales"] if "scales" in z else None
             tomb = z["tombstones"] if "tombstones" in z else None
-            if storage == "int4":
-                # host dequant -> constructor requantizes EXACTLY
-                # (dequant of 4-bit codes round-trips: amax = 7*scale)
-                from ..kernels.fused_topk import feature_geometry
-
-                dim = int(z["dim"])
-                ck, _, _ = feature_geometry(dim)
-                codes = _unpack_int4_np(data, ck, dim)
-                data = codes.astype(np.float32) * scales[:, None]
-                scales = None
+            dim4 = int(z["dim"]) if storage == "int4" else None
         obj = cls(data, mesh=mesh, storage=storage, scales=scales,
-                  capacity=capacity, config=config)
+                  dim=dim4, capacity=capacity, config=config)
         if tomb is not None and tomb.any():
             obj._tombstones = tomb.astype(bool)
             obj._alive_dev = None
@@ -936,17 +968,10 @@ class Corpus:
                     self._device[: self.n, : self.dim].astype(jnp.float32)
                     * self._scales[: self.n, None])
             elif self.storage == "int4":
-                from ..kernels.fused_topk import (_unpack_int4_i32,
-                                                  feature_geometry)
+                from ..kernels.fused_topk import dequant_int4
 
-                ck, dpp, nk = feature_geometry(self.dim)
-                p32 = self._device[: self.n].astype(jnp.int32)
-                p32 = p32.reshape(self.n, nk, ck // 2)
-                lo, hi = _unpack_int4_i32(p32)
-                codes = jnp.concatenate([lo, hi], axis=2).reshape(
-                    self.n, dpp)[:, : self.dim]
-                dense = (codes.astype(jnp.float32)
-                         * self._scales[: self.n, None])
+                dense = dequant_int4(self._device[: self.n],
+                                     self._scales[: self.n], self.dim)
             else:
                 dense = self._device[: self.n].astype(jnp.float32)
             self._f32_view = jax.block_until_ready(dense)
@@ -989,7 +1014,7 @@ class Corpus:
                     self._prepared[key] = (self._device, cbp_o)
                     return self._prepared[key] + (tn,)
             self._prepared[key] = (
-                self._device, self._int8_bias_rows(metric))
+                self._device, self._quant_bias_rows(metric))
             return self._prepared[key] + (tn,)
 
         def prep(chunk, *rest):  # rest = (scales_chunk,) on the int8 path
@@ -1059,18 +1084,17 @@ class Corpus:
                 self._mask_capacity_tail(buf_cp, buf_cb))
         return self._prepared[key] + (tn,)
 
-    def _int8_bias_rows(self, metric):
-        """(2, rows) scale|bias for the shared int8 code buffer, computed
-        in row chunks (the transient f32 code upcast inside the norm is
-        bounded by one chunk)."""
+    def _quant_bias_rows(self, metric):
+        """(2, rows) scale|bias for a shared quantized (int8/int4) code
+        buffer, computed in row chunks (the transient f32 upcast inside
+        the norm is bounded by one chunk)."""
         import functools as _ft
 
         import jax
         import jax.numpy as jnp
 
-        from ..kernels.fused_topk import prepare_int8_bias
-
-        from ..kernels.fused_topk import prepare_int4_bias
+        from ..kernels.fused_topk import (prepare_int4_bias,
+                                          prepare_int8_bias)
 
         bias_fn = (prepare_int4_bias if self.storage == "int4"
                    else prepare_int8_bias)

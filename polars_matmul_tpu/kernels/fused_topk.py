@@ -584,6 +584,17 @@ def _unpack_int4_i32(p32):
     return lo, hi
 
 
+def dequant_int4(packed: jax.Array, scales: jax.Array, dim: int):
+    """Dense f32 rows from nibble-packed codes (the single inverse of
+    quantize_int4's layout — change the layout here and everywhere)."""
+    ck, dpp, nk = feature_geometry(dim)
+    rows = packed.shape[0]
+    p32 = packed.astype(jnp.int32).reshape(rows, nk, ck // 2)
+    lo, hi = _unpack_int4_i32(p32)
+    codes = jnp.concatenate([lo, hi], axis=2).reshape(rows, dpp)[:, :dim]
+    return codes.astype(jnp.float32) * scales[:, None]
+
+
 def quantize_int4(c: jax.Array, ck: int):
     """Per-row symmetric int4 quantization, nibble-packed per K-chunk.
 

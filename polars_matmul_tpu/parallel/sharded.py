@@ -93,19 +93,10 @@ class ShardedCorpus:
             c_axis = cfg.mesh_axes[1]
             if self.scales is not None:
                 if self.storage == "int4":
-                    from ..kernels.fused_topk import (_unpack_int4_i32,
-                                                      feature_geometry)
-
-                    ck, dpp, nk = feature_geometry(dim)
+                    from ..kernels.fused_topk import dequant_int4
 
                     def dequant(c_, s_):
-                        rows = c_.shape[0]
-                        p32 = c_.astype(jnp.int32).reshape(
-                            rows, nk, ck // 2)
-                        lo, hi = _unpack_int4_i32(p32)
-                        codes = jnp.concatenate(
-                            [lo, hi], axis=2).reshape(rows, dpp)[:, :dim]
-                        return codes.astype(jnp.float32) * s_[:, None]
+                        return dequant_int4(c_, s_, dim)
                 else:
                     def dequant(c_, s_):
                         return (c_[:, :dim].astype(jnp.float32)
@@ -345,8 +336,13 @@ def shard_corpus(c, mesh, config: Optional[SearchConfig] = None,
 
         if storage == "int4":
             # caller already nibble-packed; width is final
+            if dim is None:
+                raise ValueError(
+                    "shard_corpus(storage='int4') requires dim= (the "
+                    "packed width is ambiguous)"
+                )
             width = c.shape[1]
-            orig_dim = dim if dim is not None else c.shape[1] * 2
+            orig_dim = dim
         else:
             _, width, _ = feature_geometry(c.shape[1])
             orig_dim = c.shape[1]
@@ -580,18 +576,24 @@ def distributed_topk(
 
     from ..kernels.fused_topk import supports
 
-    dim = corpus.data.shape[1]
+    dim = corpus.dim or corpus.data.shape[1]
     if quant:
         dev_ok = cfg.precision in ("int8c", "int4c")
     elif str(corpus.data.dtype) == "bfloat16":
         dev_ok = cfg.precision == "bf16c"
     else:
         dev_ok = _np.dtype(corpus.data.dtype) == _np.float32
+    sup = supports((q.shape[0], dim), (ns, dim), _np.float32, k_local, cfg)
+    if not sup and quant and k_local <= cfg.k_pad:
+        # Quantized storage above max_fused_dim: never materialize dense
+        # f32 shards just for the high-dim speed policy (mirrors the
+        # single-device carve-out in Corpus.topk).
+        sup = True
     use_prepared = (
         cfg.use_pallas
         and dev_ok
         and _np.dtype(q.dtype) == _np.float32
-        and supports((q.shape[0], dim), (ns, dim), _np.float32, k_local, cfg)
+        and sup
     )
     m_args = ()
     masked = mask is not None or synth_mask

@@ -1330,3 +1330,60 @@ class TestInt4Storage:
 
     # (mesh + int4 storage is covered in test_parallel.py: nibble-packed
     # shards + sharded scales, searched with the same int4c kernel mode)
+
+
+class TestEighthReviewRegressions:
+    def test_int4_growth_keeps_shared_invariant(self):
+        """Growth past capacity must keep the buffer a 4096-row multiple
+        (it used to round only for int8, silently demoting int4 to the
+        copy path forever and re-prepping O(n) per mutation)."""
+        rng = np.random.default_rng(211)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        c = rng.standard_normal((100, 16)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int4", capacity=100)
+        h.topk(q, 3)
+        h.add(rng.standard_normal((200, 16)).astype(np.float32))
+        assert h._device.shape[0] % 4096 == 0
+        h.topk(q, 3)                          # rebuild prep
+        (cp, _), = list(h._prepared.values())
+        assert cp is h._device                # shared path regained
+        h.add(q * 5.0)                        # splice, not rebuild
+        (cp2, _), = list(h._prepared.values())
+        assert cp2 is h._device
+        i, _ = h.topk(q, 1)
+        np.testing.assert_array_equal(i[:, 0], [300, 301, 302])
+
+    def test_prepacked_int4_constructor(self):
+        from polars_matmul_tpu.api.search import _quantize_rows_int4_np
+        from polars_matmul_tpu.kernels.fused_topk import feature_geometry
+
+        rng = np.random.default_rng(212)
+        q = rng.standard_normal((3, 24)).astype(np.float32)
+        c = rng.standard_normal((80, 24)).astype(np.float32)
+        ck, dpp, _ = feature_geometry(24)
+        packed, scales = _quantize_rows_int4_np(c, ck, dpp)
+        h = pmt.Corpus(packed, storage="int4", scales=scales, dim=24)
+        h0 = pmt.Corpus(c, storage="int4")
+        i, v = h.topk(q, 4)
+        i0, v0 = h0.topk(q, 4)
+        np.testing.assert_array_equal(i, i0)
+        np.testing.assert_allclose(v, v0, rtol=0, atol=0)
+        with pytest.raises(ValueError, match="require scales"):
+            pmt.Corpus(packed, storage="int4", dim=24)
+        with pytest.raises(ValueError, match="packed width"):
+            # dim=200 pads to 256 (width 128), not this buffer's 64
+            pmt.Corpus(packed, storage="int4", scales=scales, dim=200)
+        with pytest.raises(ValueError, match="only meaningful"):
+            pmt.Corpus(c, dim=24)
+
+    def test_shard_corpus_int4_requires_dim(self):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the CPU mesh")
+        mesh = pmt.make_mesh(n_data=1, n_corpus=8)
+        packed = np.zeros((16, 8), np.int8)
+        with pytest.raises(ValueError, match="requires dim"):
+            pmt.shard_corpus(packed, mesh, scales=np.ones(16, np.float32),
+                             storage="int4")

@@ -31,7 +31,9 @@ def _oracle_topk(q, c, k, alive, metric):
 
 @pytest.mark.parametrize("storage", ["f32", "bf16", "int8", "int4"])
 def test_lifecycle_fuzz(storage, tmp_path):
-    rng = np.random.default_rng(hash(storage) % (2**31))
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(storage.encode()))
     dim, k = 24, 4
     c = rng.standard_normal((60, dim)).astype(np.float32)
     h = pmt.Corpus(c, storage=storage, capacity=100)
