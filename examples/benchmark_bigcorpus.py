@@ -9,8 +9,9 @@ govern the cost here:
   k extraction passes unless some row's tile-max strictly beats that
   row's current k-th best.  Selection collapses toward O(N).
 - Storage tier: f32 (bf16x3 hi|lo split: f32 bytes), bf16 (half),
-  int8 (quarter).  Once pruning removes the selection cost, a
-  small-batch search is HBM-bandwidth-bound, so bytes == time.
+  int8 (quarter), int4 (eighth).  Once pruning removes the selection
+  cost, a small-batch search is HBM-bandwidth-bound, so bytes == time
+  (until the unpack/convert VPU floor takes over for int8/int4).
 
 The corpus is generated ON DEVICE (jax.random) so the benchmark is not
 gated on host->device upload bandwidth.  Timing is chain-differenced
@@ -45,7 +46,8 @@ def main():
 
     from polars_matmul_tpu.config import SearchConfig
     from polars_matmul_tpu.kernels.fused_topk import (
-        corpus_tile_rows, fused_topk_prepared, prepare_corpus, quantize_int8)
+        corpus_tile_rows, fused_topk_prepared, prepare_corpus,
+        quantize_int4, quantize_int8, feature_geometry)
     from polars_matmul_tpu.ops.metrics import Metric
 
     n, dim, k = args.rows, args.dim, args.k
@@ -68,8 +70,14 @@ def main():
             lambda co, sc: prepare_corpus(co, Metric.COSINE, tn=tn,
                                           precision="int8c", scales=sc))(
             codes, scales))
+        ck, _, _ = feature_geometry(dim)
+        p4, s4 = jax.jit(lambda c: quantize_int4(c, ck))(c)
+        tiers["int4"] = ("int4c", jax.jit(
+            lambda co, sc: prepare_corpus(co, Metric.COSINE, tn=tn,
+                                          precision="int4c", scales=sc))(
+            p4, s4))
         jax.block_until_ready(tiers)
-        del c, codes, scales
+        del c, codes, scales, p4, s4
 
     @functools.partial(jax.jit, static_argnames=("precision", "prune",
                                                  "iters"))
