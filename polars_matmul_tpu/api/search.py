@@ -690,6 +690,20 @@ class Corpus:
                 cbp = put_cols(cbp, cbc[:, :m], pos)
                 self._prepared[key] = (cp, cbp)
 
+    def __len__(self) -> int:
+        return self.n
+
+    def __repr__(self) -> str:
+        where = "mesh" if self.mesh is not None else "device"
+        extras = []
+        if self._cap > self.n:
+            extras.append(f"capacity={self._cap}")
+        if self.deleted_count:
+            extras.append(f"deleted={self.deleted_count}")
+        extra = (", " + ", ".join(extras)) if extras else ""
+        return (f"Corpus({self.n}x{self.dim}, storage={self.storage!r}, "
+                f"{where}{extra})")
+
     def add(self, rows: ArrayLike) -> int:
         """Append corpus rows; returns the new row count.
 
