@@ -73,6 +73,15 @@ _PRECISION = {
 
 _LANES = 128
 
+# Row-group granularity for tile pruning.  Smaller groups fire less often
+# under lockstep (P ~ 1-exp(-G*k*TN/n_seen)) but every gated region costs
+# ~0.5us of Mosaic predication overhead per corpus tile, so fine groups
+# drown in region entries (measured on 2M x 256d k=10 batch-256 v5e:
+# g8 21-22 ms, g16 14-15.5, g32 10-11.7, g64 7.8-9.1, whole-tile 12-13.6,
+# prune-off 10.8-12.1 — same shape across f32/bf16/int8 tiers).  64 rows
+# (4 regions per 256-row tile) is the measured optimum.
+_PRUNE_GROUP = 64
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -433,13 +442,41 @@ def _kernel(
             # the right test.  One max pass decides; later tiles of a
             # large corpus mostly skip the k extraction passes entirely,
             # collapsing selection cost from O(k*N) toward O(N).
-            kth = carry_vals[:, k - 1]
-            ms = jnp.max(s, axis=1)
-            upd = jnp.max(jnp.where(ms > kth, 1, 0).astype(jnp.int32))
+            ms2 = jnp.max(s, axis=1, keepdims=True)           # (TM, 1)
+            kth2 = carry_vals[:, k - 1:k]
+            need = jnp.where(ms2 > kth2, 1, 0).astype(jnp.int32)
+            gsz = _PRUNE_GROUP
 
-            @pl.when(upd == 1)
-            def _():
-                run_selection()
+            if selection != "bucket" and tm > gsz:
+                # Row-GROUP pruning: a big query tile fires almost every
+                # corpus tile (any of TM rows updating re-runs all k
+                # extraction passes for the whole tile — lockstep
+                # amplification: P(fire) ~ 1-exp(-TM*k*TN/n_seen)).  Gate
+                # extraction per _PRUNE_GROUP-row group instead, cutting
+                # P(fire) per gated region while keeping region-entry
+                # overhead bounded (see _PRUNE_GROUP above for the
+                # measured granularity trade-off).  The skip test is
+                # per-row either way, so exactness is unchanged.
+                for r0 in range(0, tm, gsz):
+                    g = min(gsz, tm - r0)  # tm is a multiple of 8, not gsz
+                    lane_g = jax.lax.broadcasted_iota(
+                        jnp.int32, (g, block_n), 1)
+
+                    @pl.when(jnp.max(need[r0:r0 + g, :]) == 1)
+                    def _(r0=r0, g=g, lane_g=lane_g):
+                        new_v, new_i = _select_extract(
+                            s[r0:r0 + g], carry_vals[r0:r0 + g, :],
+                            carry_idx[r0:r0 + g, :], lane_g, n_base,
+                            k, kp, g,
+                        )
+                        carry_vals[r0:r0 + g, :] = new_v
+                        carry_idx[r0:r0 + g, :] = new_i
+            else:
+                upd = jnp.max(need)
+
+                @pl.when(upd == 1)
+                def _():
+                    run_selection()
         else:
             run_selection()
 

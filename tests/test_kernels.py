@@ -319,3 +319,30 @@ class TestTilePruning:
         q = rng.standard_normal((6, 32)).astype(np.float32)
         c = rng.standard_normal((500, 32)).astype(np.float32)
         self._check(q, c, 5, "cosine", SearchConfig())
+
+    @pytest.mark.parametrize("m", [72, 200])
+    def test_group_prune_many_query_rows(self, m):
+        # m > _PRUNE_GROUP query rows take the per-row-group gating path
+        # (each group's extraction fires independently, incl. a ragged
+        # tail group — tm is a multiple of 8, not of the group size);
+        # exactness must hold through both the unrolled (k<=16) and
+        # fori_loop (k>16) bodies
+        rng = np.random.default_rng(75)
+        q = rng.standard_normal((m, 32)).astype(np.float32)
+        c = rng.standard_normal((40000, 32)).astype(np.float32)
+        self._check(q, c, 7, "cosine", SearchConfig(prune="on"))
+        self._check(q, c, 40, "dot", SearchConfig(prune="on"))
+
+    def test_group_prune_ties_across_tiles(self):
+        # duplicate rows tiles apart: per-group gating must preserve
+        # lowest-index-wins for every row of every group
+        rng = np.random.default_rng(76)
+        base = rng.standard_normal((3000, 16)).astype(np.float32)
+        c = np.vstack([base] * 3)
+        q = rng.standard_normal((72, 16)).astype(np.float32)
+        v, i = fused_topk(q, c, 6, "cosine", config=SearchConfig(prune="on"))
+        _, i0 = topk_search(q, c, 6, "cosine")
+        i = np.asarray(i)
+        np.testing.assert_array_equal(i, np.asarray(i0))
+        np.testing.assert_array_equal(i[:, 1], i[:, 0] + 3000)
+        np.testing.assert_array_equal(i[:, 2], i[:, 0] + 6000)
