@@ -447,7 +447,13 @@ def _kernel(
             need = jnp.where(ms2 > kth2, 1, 0).astype(jnp.int32)
             gsz = _PRUNE_GROUP
 
-            if selection != "bucket" and tm > gsz:
+            if selection != "bucket" and tm > gsz and k <= 16:
+                # k <= 16 only: at larger k nothing skips on big corpora
+                # anyway (a row's top-100 keeps updating for ~k·ln(T/k)
+                # of T tiles, so every 64-row group fires ~always) and
+                # splitting the fori_loop extraction across groups costs
+                # real time — measured 2M×256d k=100 batch-256: grouped
+                # 163 ms vs whole-tile-gated 140 ms.
                 # Row-GROUP pruning: a big query tile fires almost every
                 # corpus tile (any of TM rows updating re-runs all k
                 # extraction passes for the whole tile — lockstep

@@ -322,11 +322,11 @@ class TestTilePruning:
 
     @pytest.mark.parametrize("m", [72, 200])
     def test_group_prune_many_query_rows(self, m):
-        # m > _PRUNE_GROUP query rows take the per-row-group gating path
-        # (each group's extraction fires independently, incl. a ragged
-        # tail group — tm is a multiple of 8, not of the group size);
-        # exactness must hold through both the unrolled (k<=16) and
-        # fori_loop (k>16) bodies
+        # m > _PRUNE_GROUP query rows with k <= 16 take the per-row-group
+        # gating path (each group's extraction fires independently, incl.
+        # a ragged tail group — tm is a multiple of 8, not of the group
+        # size); k=40 covers the whole-tile gate on the fori_loop body,
+        # which stays tile-level at k > 16
         rng = np.random.default_rng(75)
         q = rng.standard_normal((m, 32)).astype(np.float32)
         c = rng.standard_normal((40000, 32)).astype(np.float32)
