@@ -417,6 +417,17 @@ def _kernel(
 
         n_base = j * block_n
 
+        def extract_rows(r0, g):
+            # top-k of (carry u tile) for query rows [r0, r0+g) — rows are
+            # independent, so any row-disjoint gating composes with this.
+            lane = jax.lax.broadcasted_iota(jnp.int32, (g, block_n), 1)
+            new_v, new_i = _select_extract(
+                s[r0:r0 + g], carry_vals[r0:r0 + g, :],
+                carry_idx[r0:r0 + g, :], lane, n_base, k, kp, g,
+            )
+            carry_vals[r0:r0 + g, :] = new_v
+            carry_idx[r0:r0 + g, :] = new_i
+
         def run_selection():
             if selection == "bucket":
                 lane = jax.lax.broadcasted_iota(jnp.int32, (tm, _LANES), 1)
@@ -424,16 +435,10 @@ def _kernel(
                     s, carry_vals[:], carry_idx[:], lane, n_base, k, kp, tm,
                     groups
                 )
+                carry_vals[:] = new_v
+                carry_idx[:] = new_i
             else:
-                lane_n = jax.lax.broadcasted_iota(
-                    jnp.int32, (tm, block_n), 1)
-                new_v, new_i = _select_extract(
-                    s, carry_vals[:], carry_idx[:], lane_n, n_base, k, kp,
-                    tm
-                )
-
-            carry_vals[:] = new_v
-            carry_idx[:] = new_i
+                extract_rows(0, tm)
 
         if prune:
             # Tile pruning (exact): this tile can only change the carry if
@@ -448,12 +453,6 @@ def _kernel(
             gsz = _PRUNE_GROUP
 
             if selection != "bucket" and tm > gsz and k <= 16:
-                # k <= 16 only: at larger k nothing skips on big corpora
-                # anyway (a row's top-100 keeps updating for ~k·ln(T/k)
-                # of T tiles, so every 64-row group fires ~always) and
-                # splitting the fori_loop extraction across groups costs
-                # real time — measured 2M×256d k=100 batch-256: grouped
-                # 163 ms vs whole-tile-gated 140 ms.
                 # Row-GROUP pruning: a big query tile fires almost every
                 # corpus tile (any of TM rows updating re-runs all k
                 # extraction passes for the whole tile — lockstep
@@ -463,20 +462,18 @@ def _kernel(
                 # overhead bounded (see _PRUNE_GROUP above for the
                 # measured granularity trade-off).  The skip test is
                 # per-row either way, so exactness is unchanged.
+                # k <= 16 only: at larger k nothing skips on big corpora
+                # anyway (a row's top-100 keeps updating for ~k·ln(T/k)
+                # of T tiles, so every 64-row group fires ~always) and
+                # splitting the fori_loop extraction across groups costs
+                # real time — measured 2M×256d k=100 batch-256: grouped
+                # 163 ms vs whole-tile-gated 140 ms.
                 for r0 in range(0, tm, gsz):
                     g = min(gsz, tm - r0)  # tm is a multiple of 8, not gsz
-                    lane_g = jax.lax.broadcasted_iota(
-                        jnp.int32, (g, block_n), 1)
 
                     @pl.when(jnp.max(need[r0:r0 + g, :]) == 1)
-                    def _(r0=r0, g=g, lane_g=lane_g):
-                        new_v, new_i = _select_extract(
-                            s[r0:r0 + g], carry_vals[r0:r0 + g, :],
-                            carry_idx[r0:r0 + g, :], lane_g, n_base,
-                            k, kp, g,
-                        )
-                        carry_vals[r0:r0 + g, :] = new_v
-                        carry_idx[r0:r0 + g, :] = new_i
+                    def _(r0=r0, g=g):
+                        extract_rows(r0, g)
             else:
                 upd = jnp.max(need)
 
