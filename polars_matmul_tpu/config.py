@@ -54,7 +54,11 @@ class SearchConfig:
     # Padded width of the top-k carry (lane dimension); k is clamped to this.
     k_pad: int = 128
     # Fused-kernel selection strategy: "extract" (k full-width argmax
-    # extraction steps) or "bucket" (lane-class reduce + narrow merge).
+    # extraction steps), "insert" (candidate-count-bounded dynamic loop
+    # merge-inserting into the sorted carry — extraction work scales with
+    # how many tile values actually beat the running k-th best, not with
+    # k; subsumes tile pruning), or "bucket" (lane-class reduce + narrow
+    # merge).
     selection: str = "extract"
     # Allow the dispatcher to retile for the problem (e.g. large k gets
     # fewer, bigger corpus tiles).  Set False to pin block_q/block_n.
@@ -106,7 +110,7 @@ class SearchConfig:
         # every one of these silently selected a default behavior before.
         for field, allowed in (
             ("prune", ("auto", "on", "off")),
-            ("selection", ("extract", "bucket")),
+            ("selection", ("extract", "insert", "bucket")),
             ("merge", ("allgather", "ring")),
             ("precision", ("default", "high", "highest",
                            "bf16x3", "bf16c", "int8c", "int4c")),

@@ -179,6 +179,64 @@ def _select_extract(s, carry_vals, carry_idx, lane_n, n_base, k, kp, tm):
     return state[2], state[3]
 
 
+def _select_insert(s, carry_vals, carry_idx, lane_n, n_base, k, kp, tm):
+    """carry <- top_k(carry u tile) by candidate-count-bounded insertion.
+
+    The rebuild strategy (_select_extract) pays k full-width passes on
+    every tile that fires; but a tile can only contribute
+    cnt_row = |{s_row > kth_row}| entries to row r's top-k, and on the
+    late tiles of a big corpus E[cnt] ~ k*TN/n_seen is tiny.  So: one
+    count pass bounds a DYNAMIC fori_loop that extracts the tile's
+    candidates in descending order and merge-inserts each into the
+    sorted carry.  Total extraction work collapses from
+    O(k * tiles_fired) to O(sum_t min(k, max_row cnt_t)) ~ O(k log T)
+    plus one count pass per tile — the loop is skipped entirely when no
+    row has a candidate, subsuming tile pruning.
+
+    Correctness:
+      - values > kth_old are extracted before any others (descending
+        order), so min(max_row cnt, k) iterations exhaust every row's
+        possible contributions; rows finished early fail the per-row
+        insert predicate (v > current kth) and become no-ops;
+      - insertion keeps the carry sorted descending (induction: starts
+        all -inf), with pos = |{carry >= v}| placing v AFTER equal carry
+        values — lowest-global-index-wins is preserved exactly as in
+        _select_extract (equal carry entries come from earlier tiles or
+        lower lanes, hence smaller global indices; inserting past them
+        keeps index order within ties);
+      - a tie with the k-th value is dropped (strict >), matching the
+        rebuild strategy's carry-wins-ties rule.
+    """
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
+    kth = carry_vals[:, k - 1:k]                            # (TM, 1)
+    cnt = jnp.sum(jnp.where(s > kth, 1, 0), axis=1)         # full pass
+    t_tile = jnp.minimum(jnp.max(cnt), k)                   # dynamic bound
+
+    def body(_, st):
+        cv, ci, s = st
+        ms = jnp.max(s, axis=1)                             # full pass
+        eq = s == ms[:, None]
+        ps = jnp.min(jnp.where(eq, lane_n, _BIG_I32), axis=1)
+        gi = n_base + ps
+        s = jnp.where(lane_n == ps[:, None], _NEG_INF, s)   # consume
+        # merge-insert (ms, gi) into the sorted carry, rows that improve
+        ins = ms > cv[:, k - 1]                             # (TM,)
+        pos = jnp.sum(jnp.where(cv >= ms[:, None], 1, 0), axis=1)
+        keep = lane_k < pos[:, None]
+        place = lane_k == pos[:, None]
+        sh_v = jnp.concatenate([cv[:, :1], cv[:, :-1]], axis=1)
+        sh_i = jnp.concatenate([ci[:, :1], ci[:, :-1]], axis=1)
+        new_v = jnp.where(keep, cv, jnp.where(place, ms[:, None], sh_v))
+        new_i = jnp.where(keep, ci, jnp.where(place, gi[:, None], sh_i))
+        cv = jnp.where(ins[:, None], new_v, cv)
+        ci = jnp.where(ins[:, None], new_i, ci)
+        return cv, ci, s
+
+    cv, ci, _ = jax.lax.fori_loop(
+        0, t_tile, body, (carry_vals, carry_idx, s))
+    return cv, ci
+
+
 # ---------------------------------------------------------------------------
 # Strategy "bucket": lane-class top-3 reduce + narrow lexicographic merge.
 # ---------------------------------------------------------------------------
@@ -437,10 +495,24 @@ def _kernel(
                 )
                 carry_vals[:] = new_v
                 carry_idx[:] = new_i
+            elif selection == "insert":
+                lane_n = jax.lax.broadcasted_iota(
+                    jnp.int32, (tm, block_n), 1)
+                new_v, new_i = _select_insert(
+                    s, carry_vals[:], carry_idx[:], lane_n, n_base, k, kp,
+                    tm
+                )
+                carry_vals[:] = new_v
+                carry_idx[:] = new_i
             else:
                 extract_rows(0, tm)
 
-        if prune:
+        if selection == "insert":
+            # The candidate-count bound already skips tiles with nothing
+            # to contribute (its count pass costs what the prune gate's
+            # max pass would), so the prune gate is redundant here.
+            run_selection()
+        elif prune:
             # Tile pruning (exact): this tile can only change the carry if
             # some row's tile-max BEATS that row's current k-th best — a
             # tie loses to the carry by lowest-index-wins, so strict > is

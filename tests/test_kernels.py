@@ -56,6 +56,35 @@ def test_fused_topk_multi_tile():
     )
 
 
+def test_fused_topk_insert_multi_tile():
+    """selection="insert" across several corpus tiles: the candidate-count
+    bounded merge-insertion must agree exactly with the oracle."""
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal((13, 32)).astype(np.float32)
+    c = rng.standard_normal((700, 32)).astype(np.float32)
+    cfg = SearchConfig(selection="insert", block_q=8, block_n=128)
+    for k in (1, 7, 24):
+        v0, i0 = topk_search(q, c, k, "cosine")
+        v1, i1 = fused_topk(q, c, k, "cosine", config=cfg, interpret=True)
+        assert_topk_equivalent(
+            np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+        )
+
+
+def test_fused_topk_insert_tie_break():
+    """Duplicate corpus rows under selection="insert": lowest index wins,
+    both within a tile and across the carry (earlier tiles win ties)."""
+    rng = np.random.default_rng(12)
+    base = rng.standard_normal((4, 16)).astype(np.float32)
+    c = np.concatenate([base] * 5)  # duplicates 16 apart span tiles
+    q = base[:1]
+    cfg = SearchConfig(selection="insert", block_q=8, block_n=8)
+    _, idx = fused_topk(q, c, 5, "dot", config=cfg, interpret=True)
+    idx = np.asarray(idx)[0]
+    assert idx[0] < 4
+    np.testing.assert_array_equal(idx, idx[0] + 4 * np.arange(5))
+
+
 def test_fused_topk_zero_norm_rows():
     q = np.zeros((3, 8), dtype=np.float32)
     q[1, 0] = 1.0
@@ -142,7 +171,7 @@ def test_fused_topk_fuzz_shapes_and_tilings():
         k_hi = min(n, 60) if trial % 6 == 5 else min(n, 24)
         k = int(rng.integers(1, k_hi + 1))
         metric = metrics[trial % 3]
-        sel = ("extract", "bucket")[trial % 2]
+        sel = ("extract", "bucket", "insert", "insert")[trial % 4]
         bq = int(rng.choice([8, 16, 64, 256]))
         bn = int(rng.choice([128, 256, 1024]))
         prec = ("bf16x3", "highest")[trial % 2]
@@ -210,6 +239,20 @@ class TestHighDimKChunking:
             v, i = fused_topk(q, c, 7, metric, config=cfg)
             assert_topk_equivalent(np.asarray(i), np.asarray(v),
                                    np.asarray(i0), np.asarray(v0))
+
+    def test_chunked_insert_selection(self):
+        """selection="insert" runs on the final K-chunk like the other
+        strategies; the candidate-count loop must see the fully
+        accumulated scores."""
+        rng = np.random.default_rng(64)
+        dim = 8600
+        q = (rng.standard_normal((7, dim)) / 90).astype(np.float32)
+        c = (rng.standard_normal((60, dim)) / 90).astype(np.float32)
+        cfg = self.CFG.with_updates(selection="insert")
+        v, i = fused_topk(q, c, 6, "cosine", config=cfg)
+        v0, i0 = topk_search(q, c, 6, "cosine")
+        assert_topk_equivalent(np.asarray(i), np.asarray(v),
+                               np.asarray(i0), np.asarray(v0))
 
     def test_geometry(self):
         from polars_matmul_tpu.kernels.fused_topk import feature_geometry
