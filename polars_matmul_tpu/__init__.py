@@ -28,6 +28,7 @@ _config.ensure_x64()
 from .config import SearchConfig, default_config, set_default_config  # noqa: E402
 from .ops.metrics import Metric  # noqa: E402
 from .api.search import Corpus, matmul, topk  # noqa: E402
+from .api.clustered import ClusteredCorpus  # noqa: E402
 # Traceable device-level ops: jax arrays in, jax arrays out, fully
 # jittable — compose search into larger jit programs (e.g. an embedding
 # model's output feeding straight into top-k with no host round-trip).
@@ -45,6 +46,7 @@ from .parallel.sharded import (  # noqa: E402
 )
 
 __all__ = [
+    "ClusteredCorpus",
     "Corpus",
     "autotune",
     "Metric",

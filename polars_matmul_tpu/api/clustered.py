@@ -1,0 +1,422 @@
+"""ClusteredCorpus: device-resident clustered corpus for probed search.
+
+The scaling story past the fused kernel: big-corpus serving is HBM-
+bandwidth-bound (every query batch streams all N*dim corpus bytes), so
+the remaining lever is reading fewer bytes.  Quantized storage
+(``Corpus(storage=...)``) shrinks the bytes; this handle skips most of
+them — IVF-style: rows are k-means clustered at ingestion and laid out
+cluster-contiguous in whole corpus tiles, and each query batch visits
+only the ``probe=`` fraction of tiles ranked best by a tiny centroid
+matmul (kernels/fused_topk.py scalar-prefetch tile lists; unvisited
+tiles never leave HBM).
+
+Search is EXACT over the visited rows; recall vs an exhaustive scan is
+controlled by ``probe`` and the clusterability of the data.
+``probe=None`` (default) scans everything — identical results to
+``Corpus``, same kernel, and the clustered layout costs nothing but the
+cluster-tail padding.
+
+The reference has no analog (single-process exhaustive scan only,
+reference src/metrics.rs:40-255); this is new construction in the same
+spirit as the resident ``Corpus`` handle (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from ..config import SearchConfig, resolve
+from ..ops.metrics import Metric
+from ..ops.cluster import (
+    ClusterLayout,
+    assign_rows,
+    cluster_layout,
+    kmeans,
+    permute_rows,
+    probe_tiles,
+    resolve_probe,
+)
+from ..utils.profiling import annotate
+from .search import (
+    ArrayLike,
+    _cached_fn,
+    _pack_pair,
+    _to_jax,
+    _unpack_pair,
+    _validate_mask,
+    _quantize_rows_int4_np,
+    _quantize_rows_np,
+)
+
+_BIG_U32 = np.uint32(np.iinfo(np.int32).max)
+
+
+def _probed_fn(kk: int, metric: Metric, cfg: SearchConfig, tn: int,
+               p: Optional[int], tm: int, masked: bool):
+    """One jitted dispatch: centroid probe -> fused kernel over the listed
+    tiles -> permuted-position -> original-id map-back -> packed result.
+    ``p=None`` compiles the exhaustive dense-scan variant (no probe
+    stage; the slack rows are already -inf-biased in the prep)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.fused_topk import fused_topk_prepared
+
+    big = jnp.int32(np.iinfo(np.int32).max)
+
+    @jax.jit
+    def run(qj, cp, cbp, cent, tile_cluster, perm, *m):
+        tiles = None
+        if p is not None:
+            tiles = probe_tiles(qj.astype(jnp.float32), cent, tile_cluster,
+                                p=p, tm=tm, metric_v=metric.value)
+        vals, idx = fused_topk_prepared(
+            qj, cp, cbp, kk, metric, tn=tn, config=cfg, tiles=tiles,
+            mask=m[0] if m else None,
+        )
+        safe = jnp.clip(idx, 0, perm.shape[0] - 1)
+        gidx = jnp.take(perm, safe)
+        # Sentinel-preserving: unfilled carry slots arrive as int32-max and
+        # must not round-trip through the permutation (slack rows can never
+        # be selected — their bias is -inf — but an unfilled slot's index
+        # is the sentinel itself).
+        gidx = jnp.where((idx == big) | (gidx < 0), big, gidx)
+        return _pack_pair(vals, gidx)
+
+    return run
+
+
+class ClusteredCorpus:
+    """K-means clustered, device-resident corpus for probed top-k search.
+
+    ``clusters`` defaults to ~one cluster per 4 corpus tiles (cluster-tail
+    padding then costs ~n/8 extra rows).  ``storage`` composes exactly as
+    on ``Corpus``: "bf16" (half HBM), "int8" (quarter), "int4" (eighth).
+
+    ``topk(..., probe=0.05)`` visits the best ~5% of corpus tiles per
+    query block; ``probe=None`` is an exhaustive (exact) scan.  Probed
+    results may contain fewer than k real matches for adversarial
+    probes/masks — unfilled slots carry the same sentinels as filtered
+    search (index int32-max, score -inf similarity / +inf distance).
+    """
+
+    def __init__(
+        self,
+        embeddings: ArrayLike,
+        *,
+        clusters: Optional[int] = None,
+        storage: str = "f32",
+        config: Optional[SearchConfig] = None,
+        seed: int = 0,
+        kmeans_iters: int = 8,
+        sample_rows: int = 131072,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from ..kernels.fused_topk import corpus_tile_rows
+
+        cfg = resolve(config)
+        c = np.asarray(embeddings)
+        if c.ndim != 2:
+            raise ValueError("Embeddings must be 2-D (n_rows, dim) matrices")
+        if c.shape[0] == 0:
+            raise ValueError("Empty series")
+        if c.shape[1] == 0:
+            raise ValueError("Zero-dimensional vectors")
+        if storage not in ("f32", "bf16", "int8", "int4"):
+            raise ValueError(f"Unknown storage mode: {storage!r}")
+        if not np.issubdtype(c.dtype, np.floating):
+            raise ValueError(
+                "ClusteredCorpus requires float embeddings (clustering "
+                "needs the values; pre-quantized codes belong on Corpus)"
+            )
+
+        self.config = cfg
+        self.storage = storage
+        self.n, self.dim = c.shape
+        self.dtype = np.dtype(np.float32)  # quantized-or-f32 kernel path
+        self._tn = corpus_tile_rows(self.dim, cfg, 1)
+
+        if clusters is None:
+            clusters = max(1, -(-self.n // (4 * self._tn)))
+        self.clusters = int(min(clusters, self.n))
+
+        # --- cluster (sampled k-means, then full chunked assignment) ----
+        cf = np.ascontiguousarray(c, dtype=np.float32)
+        rng = np.random.default_rng(seed)
+        if self.n > sample_rows:
+            sample = cf[rng.choice(self.n, sample_rows, replace=False)]
+        else:
+            sample = cf
+        with jax.enable_x64(False):
+            cent, _ = kmeans(sample, self.clusters, iters=kmeans_iters,
+                             seed=seed)
+            cent = jax.block_until_ready(cent)
+            assign = assign_rows(cf, cent)
+        self.centroids = cent  # (clusters, dim) f32, device
+        self.layout: ClusterLayout = cluster_layout(
+            assign, self.clusters, self._tn)
+
+        # --- permuted device base in storage-native form ----------------
+        perm = self.layout.perm
+        self._perm_dev = _to_jax(perm, np.dtype(np.int32))
+        self._tile_cluster_dev = _to_jax(self.layout.tile_cluster,
+                                         np.dtype(np.int32))
+        self._scales = None
+        with jax.enable_x64(False):
+            if storage in ("int8", "int4"):
+                # Quantize on host (the upload then moves quantized bytes)
+                # and permute the small code rows on device.
+                if storage == "int8":
+                    codes, scales = _quantize_rows_np(cf)
+                else:
+                    from ..kernels.fused_topk import feature_geometry
+
+                    ck, dpp, _ = feature_geometry(self.dim)
+                    codes, scales = _quantize_rows_int4_np(cf, ck, dpp)
+                codes_d = _to_jax(codes, np.dtype(np.int8))
+                scales_d = _to_jax(scales, np.dtype(np.float32))
+                pj = self._perm_dev
+                self._base = jax.block_until_ready(
+                    permute_rows(codes_d, pj))
+                safe = jnp.clip(pj, 0, self.n - 1)
+                self._scales = jax.block_until_ready(jnp.where(
+                    pj >= 0, jnp.take(scales_d, safe), 1.0
+                ).astype(jnp.float32))
+            else:
+                base = permute_rows(_to_jax(cf, np.dtype(np.float32)),
+                                    self._perm_dev)
+                if storage == "bf16":
+                    base = base.astype(jnp.bfloat16)
+                self._base = jax.block_until_ready(base)
+        self._live_dev = self._perm_dev >= 0
+
+        self._prepared = {}   # (metric, precision) -> (cp, cbp)
+        self._packed_fns = {}
+        self._tombstones: Optional[np.ndarray] = None
+
+    # -- introspection ----------------------------------------------------
+    def __len__(self) -> int:
+        return self.n
+
+    def __repr__(self) -> str:
+        return (
+            f"ClusteredCorpus(n={self.n}, dim={self.dim}, "
+            f"clusters={self.clusters}, tiles={self.layout.n_tiles}, "
+            f"storage={self.storage!r})"
+        )
+
+    @property
+    def n_tiles(self) -> int:
+        return self.layout.n_tiles
+
+    def _effective_precision(self) -> str:
+        return {"bf16": "bf16c", "int8": "int8c", "int4": "int4c"}.get(
+            self.storage, self.config.precision)
+
+    def _prepared_for(self, metric: Metric):
+        """(cp, cbp) for this metric with slack rows dead (-inf bias)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..kernels.fused_topk import prepare_corpus
+
+        precision = self._effective_precision()
+        key = (metric.value, precision)
+        if key in self._prepared:
+            return self._prepared[key]
+
+        def prep(base, live, *rest):
+            cp, cbp = prepare_corpus(
+                base, metric, tn=self._tn, precision=precision,
+                scales=rest[0] if rest else None,
+            )
+            # Cluster-tail slack rows are interior (not a suffix), so the
+            # prep's own tail masking does not cover them: kill them in
+            # the (last) bias row.  Any finite value elsewhere is fine —
+            # slack rows are zero, their dot products are exactly 0.
+            bias = jnp.where(live, cbp[-1], -np.inf)[None, :]
+            return cp, jnp.concatenate([cbp[:-1], bias], axis=0)
+
+        args = (self._base, self._live_dev)
+        if self._scales is not None:
+            args += (self._scales,)
+        with jax.enable_x64(False):
+            self._prepared[key] = jax.block_until_ready(
+                jax.jit(prep)(*args))
+        return self._prepared[key]
+
+    # -- mutation ---------------------------------------------------------
+    def delete(self, indices: ArrayLike) -> int:
+        """Tombstone rows by ORIGINAL id; they stop matching immediately
+        (mask path — no re-clustering, no re-prep).  Returns the number
+        newly deleted."""
+        idx = np.asarray(indices, dtype=np.int64).reshape(-1)
+        if idx.size and (idx.min() < 0 or idx.max() >= self.n):
+            raise IndexError(
+                f"delete index out of range for corpus of {self.n} rows"
+            )
+        if self._tombstones is None:
+            self._tombstones = np.zeros(self.n, bool)
+        before = int(self._tombstones.sum())
+        self._tombstones[idx] = True
+        self._perm_mask_dev = None
+        return int(self._tombstones.sum()) - before
+
+    def deleted_count(self) -> int:
+        return 0 if self._tombstones is None else int(self._tombstones.sum())
+
+    _perm_mask_dev = None
+
+    def _permuted_mask(self, user_mk: Optional[np.ndarray]):
+        """(n_padded,) device bool in permuted space, or None.  Slack rows
+        False (harmless — their bias is already -inf)."""
+        if user_mk is None and self._tombstones is None:
+            return None
+        combined = (np.ones(self.n, bool) if user_mk is None
+                    else user_mk.astype(bool))
+        if self._tombstones is not None:
+            combined = combined & ~self._tombstones
+        if user_mk is None and self._perm_mask_dev is not None:
+            return self._perm_mask_dev
+        perm = self.layout.perm
+        pm = np.zeros(self.layout.n_padded, bool)
+        live = perm >= 0
+        pm[live] = combined[perm[live]]
+        dev = _to_jax(pm, np.dtype(bool))
+        if user_mk is None:
+            import jax
+
+            self._perm_mask_dev = jax.block_until_ready(dev)
+        return dev
+
+    def _dense_view(self):
+        """(n_padded, dim) f32 dense values in PERMUTED space (slack rows
+        zero), built lazily for the non-Pallas fallback (k > k_pad,
+        use_pallas=False).  Costs the f32 bytes once."""
+        import jax
+        import jax.numpy as jnp
+
+        if self._dense is None:
+            from ..kernels.fused_topk import dequant_int4
+
+            base = self._base
+            if self.storage == "int8":
+                d = base.astype(jnp.float32) * self._scales[:, None]
+            elif self.storage == "int4":
+                d = dequant_int4(base, self._scales, self.dim)
+            elif self.storage == "bf16":
+                d = base.astype(jnp.float32)
+            else:
+                d = base
+            self._dense = jax.block_until_ready(jax.jit(lambda x: x)(d)) \
+                if d is not base else base
+        return self._dense
+
+    _dense = None
+
+    def _fallback_topk(self, qj, kk: int, metric: Metric,
+                       user_mk) -> Tuple[np.ndarray, np.ndarray]:
+        """Exhaustive XLA path for problems the fused kernel declines
+        (k > k_pad, use_pallas=False).  probe= is ignored here — the
+        result is exact, strictly better recall than any probe."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import reference
+
+        dense = self._dense_view()
+        mkj = self._permuted_mask(user_mk)
+        live = self._live_dev
+        mk = live if mkj is None else (mkj & live)
+        big = jnp.int32(np.iinfo(np.int32).max)
+
+        @jax.jit
+        def run(qj, dense, mk, perm):
+            vals, idx = reference.topk_search(
+                qj.astype(jnp.float32), dense, kk, metric, mask=mk,
+                precision="highest")
+            safe = jnp.clip(idx, 0, perm.shape[0] - 1)
+            gidx = jnp.take(perm, safe)
+            gidx = jnp.where(gidx < 0, big, gidx)
+            return _pack_pair(vals.astype(jnp.float32), gidx)
+
+        packed = np.asarray(run(qj, dense, mk, self._perm_dev))
+        v, i = _unpack_pair(packed, kk)
+        return i.astype(np.uint32), v.astype(np.float64)
+
+    # -- search -----------------------------------------------------------
+    def topk(
+        self,
+        queries: ArrayLike,
+        k: int,
+        metric: Union[str, Metric] = "cosine",
+        *,
+        probe: Union[float, int, None] = None,
+        mask: Optional[ArrayLike] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k over the clustered corpus.  ``probe`` bounds the corpus
+        tiles visited per 256-query block: a float is a fraction of all
+        tiles (the bytes-read budget), an int a tile count, None an
+        exhaustive scan.  Returns (indices u32, scores f64) in ORIGINAL
+        row ids, exactly like ``Corpus.topk``."""
+        from ..kernels.fused_topk import query_tile_rows, supports
+
+        metric = Metric.parse(metric)
+        q = np.asarray(queries)
+        if q.shape[0] == 0:
+            return (np.empty((0, 0), np.uint32), np.empty((0, 0), np.float64))
+        if q.ndim != 2 or q.shape[1] != self.dim:
+            raise ValueError(
+                f"Dimension mismatch: left has "
+                f"{q.shape[1] if q.ndim == 2 else q.shape} dimensional "
+                f"vectors, right has {self.dim} dimensional vectors"
+            )
+        user_mk = _validate_mask(mask, self.n)
+        kk = min(int(k), self.n)
+        if kk <= 0:
+            return (
+                np.empty((q.shape[0], 0), np.uint32),
+                np.empty((q.shape[0], 0), np.float64),
+            )
+        p, exhaustive = resolve_probe(probe, self.layout.n_tiles)
+        sup = supports(q.shape, (self.n, self.dim),
+                       np.dtype(np.float32), kk, self.config)
+        if not sup and self.storage != "f32" and kk <= self.config.k_pad:
+            # Quantized storage above max_fused_dim: same override as
+            # Corpus.topk — the XLA path would materialize a dense f32
+            # copy, defeating the storage tier; the K-chunked kernel
+            # serves any dim from the codes directly.
+            sup = True
+        if not (self.config.use_pallas and sup):
+            # Fused kernel declines (k > k_pad, use_pallas=False, or
+            # high-dim XLA crossover on f32 storage): exhaustive exact
+            # scan — probe= is ignored (strictly better recall).
+            qj = _to_jax(q, np.dtype(np.float32))
+            with annotate(f"pmm.clustered.topk.{metric.value}"):
+                return self._fallback_topk(qj, kk, metric, user_mk)
+        half_q = (q.dtype.itemsize == 2
+                  and np.issubdtype(q.dtype, np.floating)
+                  or str(q.dtype) == "bfloat16")
+        qj = _to_jax(q, q.dtype if half_q else np.dtype(np.float32))
+        cp, cbp = self._prepared_for(metric)
+        tm = query_tile_rows(q.shape[0], self.dim, self.config, kk)
+        mkj = self._permuted_mask(user_mk)
+        masked = mkj is not None
+
+        run_cfg = self.config
+        eff = self._effective_precision()
+        if eff != run_cfg.precision:
+            run_cfg = run_cfg.with_updates(precision=eff)
+        p_key = None if exhaustive else p
+        key = (kk, metric, run_cfg, self._tn, p_key, tm, masked)
+        fn = _cached_fn(self._packed_fns, key, _probed_fn)
+        args = (qj, cp, cbp, self.centroids, self._tile_cluster_dev,
+                self._perm_dev) + (() if mkj is None else (mkj,))
+        with annotate(f"pmm.clustered.topk.{metric.value}"):
+            packed = np.asarray(fn(*args))
+        v, i = _unpack_pair(packed, kk)
+        return i.astype(np.uint32), v.astype(np.float64)

@@ -379,13 +379,14 @@ def _dot_nt(a, b, precision):
 
 
 def _kernel(
-    q_ref,      # (TM, D)    queries tile (pre-scaled per metric); bf16x3
-                #            mode passes (TM, 2D): hi | lo halves
-    c_ref,      # (TN, D)    corpus tile (pre-scaled per metric); idem.
-                #            int8c mode passes int8 quantization codes
-    cb_ref,     # (1, TN)    per-corpus epilogue bias (euclid -|c|^2, pad -inf)
-                #            int8c mode passes (2, TN): scale row | bias row
-    *rest,      # [mb_ref (1, TN) f32 0/1 if use_mask] + outputs + scratch:
+    *args,      # [tiles_ref (QB, P) i32 SMEM if use_tiles] then:
+                # q_ref  (TM, D)  queries tile (pre-scaled per metric);
+                #                 bf16x3 mode passes (TM, 2D): hi | lo
+                # c_ref  (TN, D)  corpus tile (pre-scaled per metric); idem.
+                #                 int8c mode passes int8 quantization codes
+                # cb_ref (1, TN)  per-corpus epilogue bias (euclid -|c|^2,
+                #                 pad -inf); int8c: (2, TN) scale | bias
+                # [mb_ref (1, TN) f32 0/1 if use_mask] + outputs + scratch:
                 # vals_ref (TM, KP), idx_ref (TM, KP), carry_vals,
                 # carry_idx [, acc (TM, TN) f32 partial-dot tile if nk > 1]
     k: int,
@@ -397,7 +398,17 @@ def _kernel(
     precision,
     nk: int = 1,
     prune: bool = False,
+    use_tiles: bool = False,
 ):
+    if use_tiles:
+        # Probed search (clustered corpus): grid axis 1 walks a per-query-
+        # block LIST of corpus-tile ids (scalar-prefetched, so only listed
+        # tiles are ever DMA'd from HBM); global indices come from the
+        # listed tile id, not the grid position.
+        tiles_ref, q_ref, c_ref, cb_ref, *rest = args
+    else:
+        tiles_ref = None
+        q_ref, c_ref, cb_ref, *rest = args
     if use_mask:
         mb_ref, *rest = rest
     else:
@@ -473,7 +484,10 @@ def _kernel(
             # whose dot product is NaN/inf would poison the whole selection.
             s = jnp.where(mb_ref[:] > 0, s, _NEG_INF)
 
-        n_base = j * block_n
+        if use_tiles:
+            n_base = tiles_ref[pl.program_id(0), j] * block_n
+        else:
+            n_base = j * block_n
 
         def extract_rows(r0, g):
             # top-k of (carry u tile) for query rows [r0, r0+g) — rows are
@@ -677,6 +691,18 @@ def corpus_tile_rows(dim: int, cfg: SearchConfig, k: int = 1) -> int:
     """The corpus tile height the kernel will use (prep must pad to it)."""
     bq, bn = effective_tiles(cfg, k)
     return _pick_block_n(_round_up(dim, 128), bq, bn, cfg.k_pad)
+
+
+def query_tile_rows(m: int, dim: int, cfg: SearchConfig, k: int = 1) -> int:
+    """The query tile height the kernel will use for an m-query batch —
+    the probed path needs it to shape its (n_query_blocks, P) tile list
+    (n_query_blocks = round_up(m, this) // this).  Must mirror
+    _run_prepared's tm computation exactly."""
+    bq, _ = effective_tiles(cfg, k)
+    _, _, nk = feature_geometry(dim)
+    if nk > 1:
+        bq = min(bq, 128)
+    return min(bq, _round_up(m, 8))
 
 
 def pad_mask_row(mask, width: int):
@@ -903,11 +929,17 @@ def _run_prepared(
     interpret: bool,
     prune: str = "auto",
     mask_p: "Optional[jax.Array]" = None,
+    tiles: "Optional[jax.Array]" = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Query-side prep + the pallas call, against a prepared corpus.
 
     ``mask_p`` (1, n_padded) bool folds a per-row corpus filter into the
     epilogue bias: excluded rows score -inf in maximize orientation.
+
+    ``tiles`` (n_query_blocks, P) int32 — probed search: each query block
+    visits only its listed corpus-tile ids (ascending, distinct), and only
+    those tiles leave HBM (scalar-prefetch index maps).  Exact over the
+    visited rows; the caller owns recall (which tiles to list).
     """
     m, dim = q.shape
 
@@ -941,7 +973,8 @@ def _run_prepared(
 
     # Tile pruning: "auto" pays its extra per-tile max pass only when the
     # corpus spans enough tiles for skips to dominate.
-    n_tiles = np_ // tn
+    use_tiles = tiles is not None
+    n_tiles = tiles.shape[1] if use_tiles else np_ // tn
     prune_eff = (n_tiles >= 16) if prune == "auto" else (prune == "on")
 
     use_mask = mask_p is not None
@@ -956,23 +989,40 @@ def _run_prepared(
         precision=kern_precision,
         nk=nk,
         prune=prune_eff,
+        use_tiles=use_tiles,
     )
 
+    # Probed search: index maps pull each visited corpus block's id from
+    # the scalar-prefetched tile list instead of the grid position, so
+    # unlisted tiles never leave HBM.  The prefetch ref arrives as the
+    # TRAILING index-map argument and the LEADING kernel operand.
     if nk == 1:
-        grid = (mp // tm, np_ // tn)
-        q_map = lambda i, j: (i, 0)  # noqa: E731
-        c_map = lambda i, j: (j, 0)  # noqa: E731
-        b_map = lambda i, j: (0, j)  # noqa: E731
-        o_map = lambda i, j: (i, 0)  # noqa: E731
+        grid = (mp // tm, n_tiles)
+        if use_tiles:
+            q_map = lambda i, j, t: (i, 0)        # noqa: E731
+            c_map = lambda i, j, t: (t[i, j], 0)  # noqa: E731
+            b_map = lambda i, j, t: (0, t[i, j])  # noqa: E731
+            o_map = lambda i, j, t: (i, 0)        # noqa: E731
+        else:
+            q_map = lambda i, j: (i, 0)  # noqa: E731
+            c_map = lambda i, j: (j, 0)  # noqa: E731
+            b_map = lambda i, j: (0, j)  # noqa: E731
+            o_map = lambda i, j: (i, 0)  # noqa: E731
     else:
         # Third (minor, sequential) grid axis over feature chunks:
         # partial dots accumulate in a VMEM scratch tile; selection runs
         # on the final chunk.  Removes the old dim <= 8192 limit.
-        grid = (mp // tm, np_ // tn, nk)
-        q_map = lambda i, j, kf: (i, kf)  # noqa: E731
-        c_map = lambda i, j, kf: (j, kf)  # noqa: E731
-        b_map = lambda i, j, kf: (0, j)  # noqa: E731
-        o_map = lambda i, j, kf: (i, 0)  # noqa: E731
+        grid = (mp // tm, n_tiles, nk)
+        if use_tiles:
+            q_map = lambda i, j, kf, t: (i, kf)        # noqa: E731
+            c_map = lambda i, j, kf, t: (t[i, j], kf)  # noqa: E731
+            b_map = lambda i, j, kf, t: (0, t[i, j])   # noqa: E731
+            o_map = lambda i, j, kf, t: (i, 0)         # noqa: E731
+        else:
+            q_map = lambda i, j, kf: (i, kf)  # noqa: E731
+            c_map = lambda i, j, kf: (j, kf)  # noqa: E731
+            b_map = lambda i, j, kf: (0, j)  # noqa: E731
+            o_map = lambda i, j, kf: (i, 0)  # noqa: E731
 
     in_specs = [
         pl.BlockSpec((tm, dk_q), q_map),
@@ -984,30 +1034,58 @@ def _run_prepared(
         in_specs.append(pl.BlockSpec((1, tn), b_map))
         operands.append(mask_p.astype(jnp.float32))
 
-    flops = 2 * mp * np_ * dpp
-    vals, idx = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((tm, k_pad), o_map),
-            pl.BlockSpec((tm, k_pad), o_map),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((mp, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((mp, k_pad), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tm, k_pad), jnp.float32),
-            pltpu.VMEM((tm, k_pad), jnp.int32),
-        ] + ([pltpu.VMEM((tm, tn), jnp.float32)] if nk > 1 else []),
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=(mp * dpp + np_ * dpp + mp * k_pad * 2) * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(*operands)
+    out_specs = [
+        pl.BlockSpec((tm, k_pad), o_map),
+        pl.BlockSpec((tm, k_pad), o_map),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((mp, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((mp, k_pad), jnp.int32),
+    ]
+    scratch = [
+        pltpu.VMEM((tm, k_pad), jnp.float32),
+        pltpu.VMEM((tm, k_pad), jnp.int32),
+    ] + ([pltpu.VMEM((tm, tn), jnp.float32)] if nk > 1 else [])
+    # Probed search scores n_tiles*tn corpus rows per query block (and
+    # each block DMAs its own tile list); the dense scan scores all np_.
+    rows_per_block = n_tiles * tn
+    corpus_bytes_rows = (mp // tm) * rows_per_block if use_tiles else np_
+    cost = pl.CostEstimate(
+        flops=2 * mp * rows_per_block * dpp,
+        bytes_accessed=(mp * dpp + corpus_bytes_rows * dpp
+                        + mp * k_pad * 2) * 4,
+        transcendentals=0,
+    )
+    if use_tiles:
+        if tiles.shape[0] != mp // tm:
+            raise ValueError(
+                f"tiles has {tiles.shape[0]} rows; this problem runs "
+                f"{mp // tm} query blocks of {tm} rows"
+            )
+        vals, idx = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(tiles.astype(jnp.int32), *operands)
+    else:
+        vals, idx = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*operands)
 
     return vals[:m, :k], idx[:m, :k]
 
@@ -1071,6 +1149,7 @@ def fused_topk_prepared(
     tn: Optional[int] = None,
     config: Optional[SearchConfig] = None,
     interpret: Optional[bool] = None,
+    tiles: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the fused kernel against a corpus prepared by prepare_corpus.
 
@@ -1078,6 +1157,14 @@ def fused_topk_prepared(
     here exactly as in fused_topk.  ``mask`` (n,) bool filters corpus rows.
     ``tn`` must be the tile height the prep was padded for; defaults to
     this config's choice for (dim, k).
+
+    ``tiles`` (n_query_blocks, P) int32 opts into probed search: each
+    query block scans only its listed corpus-tile ids (ascending,
+    distinct, each < n_padded/tn), and unlisted tiles never leave HBM.
+    n_query_blocks must match query_tile_rows(m, dim, cfg, k).  Exact
+    over the visited rows; recall is the tile-list builder's contract
+    (see ops.cluster).  Carry slots a query cannot fill from its listed
+    tiles come back as (-inf, int32-max) sentinels.
     """
     cfg = resolve(config)
     metric = Metric.parse(metric)
@@ -1094,6 +1181,12 @@ def fused_topk_prepared(
     # The prepared cbp always carries the pad mask, so keep the bias pass.
     use_bias = True
     mask_p = None if mask is None else pad_mask_row(mask, cbp.shape[1])
+    if tiles is not None and tiles.shape[1] > cbp.shape[1] // tn:
+        raise ValueError(
+            f"tiles lists {tiles.shape[1]} tiles per query block; the "
+            f"prepared corpus only has {cbp.shape[1] // tn} (repeating a "
+            "tile would duplicate its rows in the result)"
+        )
     with jax.enable_x64(False):
         vals, idx = _run_prepared_jit(
             q, cp, cbp,
@@ -1101,6 +1194,7 @@ def fused_topk_prepared(
             k_pad=cfg.k_pad, precision=cfg.precision,
             selection=cfg.selection, use_bias=use_bias,
             interpret=interpret, prune=cfg.prune, mask_p=mask_p,
+            tiles=tiles,
         )
     if metric is Metric.EUCLIDEAN:
         qsq = jnp.sum(q * q, axis=1, keepdims=True).astype(jnp.float32)

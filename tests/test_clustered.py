@@ -1,0 +1,325 @@
+"""ClusteredCorpus + probed-search kernel path.
+
+The probed path must be EXACT over the visited rows (the kernel change
+is only WHICH tiles are visited), so every test either pins
+exhaustive-scan equality against Corpus/the oracle, or checks recall on
+clusterable data where the centroid probe has signal.
+"""
+
+import numpy as np
+import pytest
+
+import polars_matmul_tpu as pmt
+from polars_matmul_tpu.config import SearchConfig
+from polars_matmul_tpu.ops.cluster import (
+    assign_rows,
+    cluster_layout,
+    kmeans,
+    resolve_probe,
+)
+
+CFG = SearchConfig(block_q=8, block_n=128)
+
+
+def blobs(rng, n, m, dim, n_centers=20, spread=4.0):
+    centers = rng.standard_normal((n_centers, dim)) * spread
+    c = (centers[rng.integers(0, n_centers, n)]
+         + rng.standard_normal((n, dim))).astype(np.float32)
+    q = (centers[rng.integers(0, n_centers, m)]
+         + rng.standard_normal((m, dim))).astype(np.float32)
+    return q, c
+
+
+def recall(approx_idx, exact_idx):
+    k = exact_idx.shape[1]
+    return np.mean([len(set(a) & set(b)) / k
+                    for a, b in zip(approx_idx, exact_idx)])
+
+
+# ---------------------------------------------------------------------------
+# layout + probe plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_layout_invariants():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 7, 900).astype(np.int32)
+    lay = cluster_layout(a, 7, 128)
+    assert lay.n_padded % 128 == 0
+    live = lay.perm >= 0
+    # a bijection over the real rows
+    assert np.array_equal(np.sort(lay.perm[live]), np.arange(900))
+    assert np.array_equal(lay.perm[lay.row_pos], np.arange(900))
+    # every tile is single-cluster
+    for t in range(lay.n_tiles):
+        seg = lay.perm[t * 128:(t + 1) * 128]
+        ids = a[seg[seg >= 0]]
+        assert (ids == lay.tile_cluster[t]).all()
+    # counts add up and empty clusters own no tiles
+    assert lay.counts.sum() == 900
+    assert np.array_equal(
+        np.bincount(lay.tile_cluster, minlength=7) * 128,
+        (lay.counts + 127) // 128 * 128,
+    )
+
+
+def test_kmeans_converges_on_blobs():
+    rng = np.random.default_rng(1)
+    centers = rng.standard_normal((5, 8)) * 10
+    x = (centers[np.repeat(np.arange(5), 60)]
+         + 0.05 * rng.standard_normal((300, 8))).astype(np.float32)
+    cent, a = kmeans(x, 5, iters=10, seed=0)
+    a = np.asarray(a)
+    # Lloyd's from random init may split a blob (local optimum), but each
+    # tight blob must be internally consistent: all 60 rows of a blob that
+    # share a cluster with any other blob's rows would mean centroids
+    # collapsed across blob boundaries — with 10-sigma separation the
+    # majority cluster of each blob must be pure.
+    for b in range(5):
+        blob = a[b * 60:(b + 1) * 60]
+        maj = np.bincount(blob).argmax()
+        outside = np.delete(a, np.s_[b * 60:(b + 1) * 60])
+        assert not (outside == maj).any()
+    # the chunked full-corpus assignment is exactly the kernel's own
+    full = assign_rows(x, cent, chunk_rows=128)
+    assert np.array_equal(full, a)
+
+
+def test_resolve_probe():
+    assert resolve_probe(None, 40) == (40, True)
+    assert resolve_probe(0.25, 40) == (10, False)
+    assert resolve_probe(1.0, 40) == (40, True)
+    assert resolve_probe(3, 40) == (3, False)
+    assert resolve_probe(100, 40) == (40, True)
+    with pytest.raises(ValueError):
+        resolve_probe(0.0, 40)
+    with pytest.raises(ValueError):
+        resolve_probe(-2, 40)
+    with pytest.raises(TypeError):
+        resolve_probe(True, 40)
+
+
+# ---------------------------------------------------------------------------
+# kernel probed path (tiles= on fused_topk_prepared)
+# ---------------------------------------------------------------------------
+
+
+class TestProbedKernel:
+    def _prep(self, q, c, metric="cosine", cfg=CFG):
+        import jax.numpy as jnp
+
+        from polars_matmul_tpu.kernels.fused_topk import (
+            corpus_tile_rows, prepare_corpus, query_tile_rows)
+
+        tn = corpus_tile_rows(q.shape[1], cfg, 5)
+        tm = query_tile_rows(q.shape[0], q.shape[1], cfg, 5)
+        cp, cbp = prepare_corpus(jnp.asarray(c), metric, tn=tn,
+                                 precision=cfg.precision)
+        return cp, cbp, tn, tm
+
+    def test_all_tiles_equals_dense(self):
+        from polars_matmul_tpu.kernels.fused_topk import fused_topk_prepared
+
+        rng = np.random.default_rng(2)
+        q = rng.standard_normal((20, 32)).astype(np.float32)
+        c = rng.standard_normal((1000, 32)).astype(np.float32)
+        cp, cbp, tn, tm = self._prep(q, c)
+        n_tiles = cbp.shape[1] // tn
+        qb = -(-20 // tm)
+        tiles = np.tile(np.arange(n_tiles, dtype=np.int32), (qb, 1))
+        v1, i1 = fused_topk_prepared(q, cp, cbp, 5, "cosine", tn=tn,
+                                     config=CFG, interpret=True,
+                                     tiles=tiles)
+        v0, i0 = fused_topk_prepared(q, cp, cbp, 5, "cosine", tn=tn,
+                                     config=CFG, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v0))
+
+    def test_subset_equals_restricted_oracle(self):
+        from polars_matmul_tpu.kernels.fused_topk import fused_topk_prepared
+
+        rng = np.random.default_rng(3)
+        q = rng.standard_normal((20, 32)).astype(np.float32)
+        c = rng.standard_normal((1000, 32)).astype(np.float32)
+        cp, cbp, tn, tm = self._prep(q, c)
+        qb = -(-20 // tm)
+        tiles = np.tile(np.array([0, 3], np.int32), (qb, 1))
+        v, i = fused_topk_prepared(q, cp, cbp, 5, "cosine", tn=tn,
+                                   config=CFG, interpret=True, tiles=tiles)
+        rows = np.r_[0:tn, 3 * tn:4 * tn]
+        rows = rows[rows < 1000]
+        qq = q / np.linalg.norm(q, axis=1, keepdims=True)
+        cc = c / np.linalg.norm(c, axis=1, keepdims=True)
+        s = (qq @ cc.T)[:, rows]
+        oi = np.argsort(-s, axis=1, kind="stable")[:, :5]
+        np.testing.assert_array_equal(np.asarray(i), rows[oi])
+
+    def test_per_block_tile_lists(self):
+        from polars_matmul_tpu.kernels.fused_topk import fused_topk_prepared
+
+        rng = np.random.default_rng(4)
+        q = rng.standard_normal((20, 32)).astype(np.float32)
+        c = rng.standard_normal((1000, 32)).astype(np.float32)
+        cp, cbp, tn, tm = self._prep(q, c)
+        qb = -(-20 // tm)
+        tiles = np.tile(np.array([2, 3], np.int32), (qb, 1))
+        tiles[0] = [0, 1]
+        _, i = fused_topk_prepared(q, cp, cbp, 5, "cosine", tn=tn,
+                                   config=CFG, interpret=True, tiles=tiles)
+        i = np.asarray(i)
+        assert i[:tm].max() < 2 * tn
+        assert i[tm:].min() >= 2 * tn
+
+    def test_too_many_tiles_rejected(self):
+        from polars_matmul_tpu.kernels.fused_topk import fused_topk_prepared
+
+        rng = np.random.default_rng(5)
+        q = rng.standard_normal((8, 32)).astype(np.float32)
+        c = rng.standard_normal((300, 32)).astype(np.float32)
+        cp, cbp, tn, tm = self._prep(q, c)
+        n_tiles = cbp.shape[1] // tn
+        tiles = np.zeros((1, n_tiles + 1), np.int32)
+        with pytest.raises(ValueError, match="tiles"):
+            fused_topk_prepared(q, cp, cbp, 5, "cosine", tn=tn,
+                                config=CFG, interpret=True, tiles=tiles)
+
+    def test_wrong_block_count_rejected(self):
+        from polars_matmul_tpu.kernels.fused_topk import fused_topk_prepared
+
+        rng = np.random.default_rng(6)
+        q = rng.standard_normal((20, 32)).astype(np.float32)
+        c = rng.standard_normal((1000, 32)).astype(np.float32)
+        cp, cbp, tn, tm = self._prep(q, c)
+        tiles = np.zeros((99, 2), np.int32)
+        with pytest.raises(ValueError, match="query blocks"):
+            fused_topk_prepared(q, cp, cbp, 5, "cosine", tn=tn,
+                                config=CFG, interpret=True, tiles=tiles)
+
+
+# ---------------------------------------------------------------------------
+# ClusteredCorpus end-to-end
+# ---------------------------------------------------------------------------
+
+
+class TestClusteredCorpus:
+    @pytest.mark.parametrize("metric", ["cosine", "dot", "euclidean"])
+    def test_exhaustive_matches_corpus(self, metric):
+        rng = np.random.default_rng(7)
+        q, c = blobs(rng, 3000, 25, 24)
+        cc = pmt.ClusteredCorpus(c, clusters=16, config=CFG)
+        ref = pmt.Corpus(c, config=CFG)
+        ei, ev = cc.topk(q, 10, metric, probe=None)
+        ri, rv = ref.topk(q, 10, metric)
+        np.testing.assert_array_equal(ei, ri)
+        np.testing.assert_allclose(ev, rv, rtol=1e-5, atol=1e-6)
+
+    def test_probed_recall_on_blobs(self):
+        rng = np.random.default_rng(8)
+        q, c = blobs(rng, 5000, 40, 32, n_centers=30)
+        cc = pmt.ClusteredCorpus(c, clusters=30, config=CFG)
+        ri, _ = pmt.Corpus(c, config=CFG).topk(q, 10, "cosine")
+        pi, _ = cc.topk(q, 10, "cosine", probe=0.25)
+        assert recall(pi, ri) > 0.9
+
+    def test_probed_subset_property(self):
+        """Whatever the probe visits, scores must be exact: every probed
+        (index, score) pair must appear in the full score matrix."""
+        rng = np.random.default_rng(9)
+        q, c = blobs(rng, 1200, 10, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=8, config=CFG)
+        pi, pv = cc.topk(q, 5, "cosine", probe=2)
+        qq = q / np.linalg.norm(q, axis=1, keepdims=True)
+        ccn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        s = qq @ ccn.T
+        for r in range(10):
+            for j in range(5):
+                if pi[r, j] >= c.shape[0]:
+                    continue  # sentinel
+                assert abs(s[r, pi[r, j]] - pv[r, j]) < 1e-4
+
+    @pytest.mark.parametrize("storage", ["bf16", "int8", "int4"])
+    def test_storage_agrees_with_quantized_corpus(self, storage):
+        rng = np.random.default_rng(10)
+        q, c = blobs(rng, 2000, 15, 24)
+        cc = pmt.ClusteredCorpus(c, clusters=12, storage=storage,
+                                 config=CFG)
+        qc = pmt.Corpus(c, storage=storage, config=CFG)
+        si, sv = cc.topk(q, 8, "cosine", probe=None)
+        qi, qv = qc.topk(q, 8, "cosine")
+        np.testing.assert_array_equal(si, qi)
+        np.testing.assert_allclose(sv, qv, rtol=1e-4, atol=1e-5)
+
+    def test_mask_and_delete(self):
+        rng = np.random.default_rng(11)
+        q, c = blobs(rng, 1500, 12, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=8, config=CFG)
+        ref = pmt.Corpus(c, config=CFG)
+        mask = rng.random(1500) > 0.5
+        mi, mv = cc.topk(q, 6, "cosine", probe=None, mask=mask)
+        ri, rv = ref.topk(q, 6, "cosine", mask=mask)
+        np.testing.assert_array_equal(mi, ri)
+        # probed + mask: only allowed ids can appear
+        pi, _ = cc.topk(q, 6, "cosine", probe=0.5, mask=mask)
+        real = pi[pi < 1500]
+        assert mask[real].all()
+        # delete composes (and is cached for the unmasked path)
+        victims = ri[:, 0]
+        assert cc.delete(victims) == len(set(victims.tolist()))
+        di, _ = cc.topk(q, 6, "cosine", probe=None)
+        assert not np.isin(victims, di).any()
+        di2, _ = cc.topk(q, 6, "cosine", probe=None)  # cached-mask path
+        np.testing.assert_array_equal(di, di2)
+
+    def test_edge_cases(self):
+        rng = np.random.default_rng(12)
+        q, c = blobs(rng, 600, 8, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=4, config=CFG)
+        i0, v0 = cc.topk(q[:0], 5)
+        assert i0.shape[0] == 0
+        iz, vz = cc.topk(q, 0)
+        assert iz.shape == (8, 0)
+        ic, _ = cc.topk(q, 10_000)  # k clamps to n
+        assert ic.shape == (8, 600)
+        with pytest.raises(ValueError, match="Dimension mismatch"):
+            cc.topk(q[:, :5], 3)
+        with pytest.raises(ValueError, match="Empty series"):
+            pmt.ClusteredCorpus(c[:0], config=CFG)
+        with pytest.raises(ValueError, match="Unknown storage"):
+            pmt.ClusteredCorpus(c, storage="fp8", config=CFG)
+        with pytest.raises(ValueError, match="float"):
+            pmt.ClusteredCorpus(np.zeros((4, 4), np.int8), config=CFG)
+
+    def test_half_precision_queries(self):
+        rng = np.random.default_rng(13)
+        q, c = blobs(rng, 900, 10, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=6, config=CFG)
+        fi, _ = cc.topk(q, 5, "cosine", probe=None)
+        hi, _ = cc.topk(q.astype(np.float16), 5, "cosine", probe=None)
+        assert recall(hi, fi) > 0.9
+
+    def test_large_k_retile_regime(self):
+        """k > 16 flips the kernel to the big-tile query geometry; the
+        probe's query-block count must follow."""
+        rng = np.random.default_rng(14)
+        q, c = blobs(rng, 2000, 20, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=10, config=CFG)
+        ref = pmt.Corpus(c, config=CFG)
+        ei, _ = cc.topk(q, 24, "cosine", probe=None)
+        ri, _ = ref.topk(q, 24, "cosine")
+        np.testing.assert_array_equal(ei, ri)
+        pi, _ = cc.topk(q, 24, "cosine", probe=0.5)
+        assert recall(pi, ri) > 0.8
+
+    def test_results_are_host_owned(self):
+        """np results must not alias recyclable jax buffers (the view
+        hazard every other surface guards against)."""
+        rng = np.random.default_rng(15)
+        q, c = blobs(rng, 800, 9, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=4, config=CFG)
+        i1, v1 = cc.topk(q, 5, "cosine", probe=2)
+        i1c, v1c = i1.copy(), v1.copy()
+        for _ in range(3):
+            cc.topk(rng.standard_normal((9, 16)).astype(np.float32),
+                    5, "dot", probe=2)
+        np.testing.assert_array_equal(i1, i1c)
+        np.testing.assert_array_equal(v1, v1c)
