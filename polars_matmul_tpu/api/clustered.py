@@ -266,6 +266,7 @@ class ClusteredCorpus:
         self._perm_mask_dev = None
         return int(self._tombstones.sum()) - before
 
+    @property
     def deleted_count(self) -> int:
         return 0 if self._tombstones is None else int(self._tombstones.sum())
 
@@ -347,6 +348,94 @@ class ClusteredCorpus:
         packed = np.asarray(run(qj, dense, mk, self._perm_dev))
         v, i = _unpack_pair(packed, kk)
         return i.astype(np.uint32), v.astype(np.float64)
+
+    # -- persistence ------------------------------------------------------
+    def save(self, path) -> None:
+        """Persist to ``path`` (.npz): storage-native permuted payload
+        plus the cluster layout and centroids.  Loading never re-clusters
+        and never requantizes — codes, layout, and centroids round-trip
+        bit-exact, so probed results match the saved handle's exactly.
+
+        Same contract family as ``Corpus.save`` (storage-native bytes,
+        tombstones preserved); the payload keeps its interior cluster-tail
+        slack rows (they are part of the tile layout).
+        """
+        arrays = {
+            "n": np.int64(self.n),
+            "dim": np.int64(self.dim),
+            "storage": np.array(self.storage),
+            "clusters": np.int64(self.clusters),
+            "tn": np.int64(self._tn),
+            "perm": self.layout.perm,
+            "tile_cluster": self.layout.tile_cluster,
+            "counts": self.layout.counts,
+            "centroids": np.asarray(self.centroids, np.float32),
+        }
+        base = np.asarray(self._base)
+        if self.storage == "bf16":
+            arrays["data_u16"] = base.view(np.uint16)
+        else:
+            arrays["data"] = base
+        if self._scales is not None:
+            arrays["scales"] = np.asarray(self._scales, np.float32)
+        if self._tombstones is not None:
+            arrays["tombstones"] = self._tombstones
+        with open(path, "wb") as f:
+            np.savez(f, **arrays)
+
+    @classmethod
+    def load(cls, path, *,
+             config: Optional[SearchConfig] = None) -> "ClusteredCorpus":
+        """Rebuild a saved clustered corpus: uploads exactly the saved
+        storage-native bytes and layout (no clustering, no quantization).
+        ``config`` only steers query-side tiling/precision policy — the
+        corpus tile geometry is pinned by the saved layout."""
+        import jax
+        import ml_dtypes
+
+        with np.load(path, allow_pickle=False) as z:
+            storage = str(z["storage"])
+            if storage == "bf16":
+                base = z["data_u16"].view(ml_dtypes.bfloat16)
+            else:
+                base = z["data"]
+            perm = z["perm"]
+            tile_cluster = z["tile_cluster"]
+            counts = z["counts"]
+            centroids = z["centroids"]
+            n = int(z["n"])
+            dim = int(z["dim"])
+            clusters = int(z["clusters"])
+            tn = int(z["tn"])
+            scales = z["scales"] if "scales" in z else None
+            tomb = z["tombstones"] if "tombstones" in z else None
+
+        self = cls.__new__(cls)
+        self.config = resolve(config)
+        self.storage = storage
+        self.n, self.dim = n, dim
+        self.dtype = np.dtype(np.float32)
+        self._tn = tn
+        self.clusters = clusters
+        row_pos = np.empty(n, np.int32)
+        live = perm >= 0
+        row_pos[perm[live]] = np.flatnonzero(live).astype(np.int32)
+        self.layout = ClusterLayout(perm, row_pos, tile_cluster, counts, tn)
+        with jax.enable_x64(False):
+            self.centroids = jax.block_until_ready(
+                _to_jax(centroids, np.dtype(np.float32)))
+            self._perm_dev = _to_jax(perm, np.dtype(np.int32))
+            self._tile_cluster_dev = _to_jax(tile_cluster, np.dtype(np.int32))
+            self._base = jax.block_until_ready(_to_jax(base, base.dtype))
+            self._scales = (None if scales is None else
+                            jax.block_until_ready(
+                                _to_jax(scales, np.dtype(np.float32))))
+        self._live_dev = self._perm_dev >= 0
+        self._prepared = {}
+        self._packed_fns = {}
+        self._tombstones = None if tomb is None or not tomb.any() \
+            else tomb.astype(bool)
+        return self
 
     # -- search -----------------------------------------------------------
     def topk(

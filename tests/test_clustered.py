@@ -323,3 +323,49 @@ class TestClusteredCorpus:
                     5, "dot", probe=2)
         np.testing.assert_array_equal(i1, i1c)
         np.testing.assert_array_equal(v1, v1c)
+
+
+class TestClusteredPersistence:
+    @pytest.mark.parametrize("storage", ["f32", "bf16", "int8", "int4"])
+    def test_save_load_roundtrip(self, tmp_path, storage):
+        rng = np.random.default_rng(20)
+        q, c = blobs(rng, 2000, 12, 24)
+        cc = pmt.ClusteredCorpus(c, clusters=10, storage=storage,
+                                 config=CFG)
+        p = tmp_path / "cc.npz"
+        cc.save(p)
+        cc2 = pmt.ClusteredCorpus.load(p, config=CFG)
+        assert (cc2.n, cc2.dim, cc2.storage, cc2.clusters) == \
+            (cc.n, cc.dim, cc.storage, cc.clusters)
+        np.testing.assert_array_equal(cc2.layout.perm, cc.layout.perm)
+        np.testing.assert_array_equal(cc2.layout.row_pos, cc.layout.row_pos)
+        # probed results are bit-identical: same layout, same centroids,
+        # same storage-native payload (never requantized)
+        for probe in (None, 3):
+            i1, v1 = cc.topk(q, 7, "cosine", probe=probe)
+            i2, v2 = cc2.topk(q, 7, "cosine", probe=probe)
+            np.testing.assert_array_equal(i1, i2)
+            np.testing.assert_array_equal(v1, v2)
+
+    def test_save_preserves_tombstones(self, tmp_path):
+        rng = np.random.default_rng(21)
+        q, c = blobs(rng, 900, 8, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=6, config=CFG)
+        i0, _ = cc.topk(q, 3, "cosine")
+        cc.delete(i0[:, 0])
+        p = tmp_path / "cc.npz"
+        cc.save(p)
+        cc2 = pmt.ClusteredCorpus.load(p)
+        assert cc2.deleted_count == cc.deleted_count
+        i1, _ = cc.topk(q, 3, "cosine")
+        i2, _ = cc2.topk(q, 3, "cosine")
+        np.testing.assert_array_equal(i1, i2)
+        assert not np.isin(i2, i0[:, 0]).any()
+
+    def test_deleted_count_is_property(self):
+        rng = np.random.default_rng(22)
+        _, c = blobs(rng, 600, 4, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=4, config=CFG)
+        assert cc.deleted_count == 0
+        assert cc.delete([1, 2]) == 2
+        assert cc.deleted_count == 2
