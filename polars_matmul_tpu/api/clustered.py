@@ -88,6 +88,27 @@ def _probed_fn(kk: int, metric: Metric, cfg: SearchConfig, tn: int,
     return run
 
 
+def _scatter_fn(_tag, ext: int, _no_scales: bool):
+    """Row scatter for ClusteredCorpus.add: optionally grow by ``ext``
+    padded rows, then write the new rows (and scales) at their permuted
+    positions.  Cached per (ext, has-scales) — jit handles shape retraces."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def scatter(base, pos_d, vals_d, *s):
+        if ext:
+            base = jnp.pad(base, ((0, ext), (0, 0)))
+        base = base.at[pos_d].set(vals_d.astype(base.dtype))
+        if s:
+            sc = (jnp.pad(s[0], (0, ext), constant_values=1.0)
+                  if ext else s[0])
+            return base, sc.at[pos_d].set(s[1])
+        return (base,)
+
+    return scatter
+
+
 class ClusteredCorpus:
     """K-means clustered, device-resident corpus for probed top-k search.
 
@@ -250,6 +271,117 @@ class ClusteredCorpus:
         return self._prepared[key]
 
     # -- mutation ---------------------------------------------------------
+    def add(self, rows: ArrayLike) -> int:
+        """Append rows; returns the new row count (ids ``n..n+r-1``,
+        matching ``Corpus.add``).
+
+        Each new row joins its nearest centroid's cluster: it first fills
+        that cluster's tile-tail slack positions; overflow appends whole
+        new tiles for the cluster at the end of the permuted layout (tile
+        ids only ever grow, so saved probed results stay meaningful).
+        Centroids are NOT refit — recall after heavy drift is the
+        caller's concern (rebuild the handle to re-cluster).  Prepared
+        forms rebuild lazily on the next query (one pass over the
+        corpus); the probe program retraces only when the layout grew.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        r = np.asarray(rows)
+        if r.ndim != 2 or r.shape[1] != self.dim:
+            raise ValueError(
+                f"Dimension mismatch: left has "
+                f"{r.shape[1] if r.ndim == 2 else r.shape} dimensional "
+                f"vectors, right has {self.dim} dimensional vectors"
+            )
+        if not np.issubdtype(r.dtype, np.floating):
+            raise ValueError("ClusteredCorpus requires float embeddings")
+        m = r.shape[0]
+        if m == 0:
+            return self.n
+        cf = np.ascontiguousarray(r, dtype=np.float32)
+        with jax.enable_x64(False):
+            assign = assign_rows(cf, self.centroids)
+
+        lay = self.layout
+        tn = self._tn
+        perm = lay.perm.copy()
+        counts = lay.counts.copy()
+        n_old_padded = perm.shape[0]
+        slack_pos = np.flatnonzero(perm < 0)
+        slack_cl = lay.tile_cluster[slack_pos // tn]
+
+        pos = np.full(m, -1, np.int64)
+        append_tiles = []   # cluster ids of tiles appended at the end
+        next_pos = n_old_padded
+        ext_perm = []
+        order = np.argsort(assign, kind="stable")
+        for cl in np.unique(assign):
+            ids = order[np.searchsorted(assign[order], cl):
+                        np.searchsorted(assign[order], cl, side="right")]
+            sl = slack_pos[slack_cl == cl]
+            take = min(sl.size, ids.size)
+            pos[ids[:take]] = sl[:take]
+            over = ids[take:]
+            if over.size:
+                nt = -(-over.size // tn)
+                append_tiles.extend([int(cl)] * nt)
+                block = np.arange(nt * tn, dtype=np.int64) + next_pos
+                pos[over] = block[: over.size]
+                ep = np.full(nt * tn, -1, np.int32)
+                ep[: over.size] = self.n + over
+                ext_perm.append(ep)
+                next_pos += nt * tn
+            counts[cl] += ids.size
+        perm[pos[pos < n_old_padded]] = (
+            self.n + np.flatnonzero(pos < n_old_padded)).astype(np.int32)
+        if ext_perm:
+            perm = np.concatenate([perm] + ext_perm)
+        tile_cluster = lay.tile_cluster
+        if append_tiles:
+            tile_cluster = np.concatenate(
+                [tile_cluster, np.array(append_tiles, np.int32)])
+        row_pos = np.concatenate(
+            [lay.row_pos, pos.astype(np.int32)])
+        self.layout = ClusterLayout(perm, row_pos, tile_cluster, counts, tn)
+
+        # -- storage-native device scatter (grow first if tiles appended)
+        ext = perm.shape[0] - n_old_padded
+        if self.storage == "int8":
+            vals, scales = _quantize_rows_np(cf)
+        elif self.storage == "int4":
+            from ..kernels.fused_topk import feature_geometry
+
+            ck, dpp, _ = feature_geometry(self.dim)
+            vals, scales = _quantize_rows_int4_np(cf, ck, dpp)
+        else:
+            vals, scales = cf, None
+            if self.storage == "bf16":
+                vals = vals.astype(jnp.bfloat16)
+
+        fn = _cached_fn(self._packed_fns, ("scatter", ext, scales is None),
+                        _scatter_fn)
+        pos_d = jnp.asarray(pos, jnp.int32)
+        with jax.enable_x64(False):
+            extra = () if scales is None else (
+                self._scales, jnp.asarray(scales, jnp.float32))
+            out = jax.block_until_ready(
+                fn(self._base, pos_d, jnp.asarray(vals), *extra))
+        self._base = out[0]
+        if scales is not None:
+            self._scales = out[1]
+        self._perm_dev = _to_jax(perm, np.dtype(np.int32))
+        self._tile_cluster_dev = _to_jax(tile_cluster, np.dtype(np.int32))
+        self._live_dev = self._perm_dev >= 0
+        self._prepared.clear()
+        self._perm_mask_dev = None
+        self._dense = None
+        if self._tombstones is not None:
+            self._tombstones = np.concatenate(
+                [self._tombstones, np.zeros(m, bool)])
+        self.n += m
+        return self.n
+
     def delete(self, indices: ArrayLike) -> int:
         """Tombstone rows by ORIGINAL id; they stop matching immediately
         (mask path — no re-clustering, no re-prep).  Returns the number

@@ -369,3 +369,88 @@ class TestClusteredPersistence:
         assert cc.deleted_count == 0
         assert cc.delete([1, 2]) == 2
         assert cc.deleted_count == 2
+
+
+class TestClusteredAdd:
+    @pytest.mark.parametrize("storage", ["f32", "int8"])
+    def test_add_matches_rebuilt_corpus(self, storage):
+        rng = np.random.default_rng(30)
+        q, c = blobs(rng, 1500, 12, 16)
+        _, extra = blobs(rng, 400, 1, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=8, storage=storage, config=CFG)
+        tiles_before = cc.n_tiles
+        assert cc.add(extra) == 1900
+        assert cc.n_tiles >= tiles_before
+        ref = pmt.Corpus(np.concatenate([c, extra]), storage=storage,
+                         config=CFG)
+        ei, ev = cc.topk(q, 8, "cosine", probe=None)
+        ri, rv = ref.topk(q, 8, "cosine")
+        np.testing.assert_array_equal(ei, ri)
+        np.testing.assert_allclose(ev, rv, rtol=1e-4, atol=1e-5)
+
+    def test_add_overflow_appends_whole_tiles(self):
+        rng = np.random.default_rng(31)
+        _, c = blobs(rng, 600, 1, 16, n_centers=3)
+        cc = pmt.ClusteredCorpus(c, clusters=3, config=CFG)
+        lay = cc.layout
+        # overflow every cluster: add more rows than total slack
+        slack = int((lay.perm < 0).sum())
+        _, extra = blobs(rng, slack + 3 * CFG.block_n, 1, 16, n_centers=3)
+        cc.add(extra)
+        lay2 = cc.layout
+        assert lay2.n_padded % CFG.block_n == 0
+        assert lay2.n_padded > lay.n_padded
+        live = lay2.perm >= 0
+        assert np.array_equal(np.sort(lay2.perm[live]), np.arange(cc.n))
+        assert np.array_equal(lay2.perm[lay2.row_pos], np.arange(cc.n))
+        # every tile still single-cluster: appended tiles carry their
+        # cluster id, and row_pos agrees with tile_cluster via assignment
+        assert lay2.counts.sum() == cc.n
+        assert np.array_equal(
+            np.bincount(lay2.tile_cluster, minlength=3) * CFG.block_n,
+            (lay2.counts + CFG.block_n - 1)
+            // CFG.block_n * CFG.block_n)
+
+    def test_added_rows_probe_to_their_cluster(self):
+        rng = np.random.default_rng(32)
+        centers = rng.standard_normal((6, 24)) * 10
+        c = (centers[np.repeat(np.arange(6), 200)]
+             + 0.1 * rng.standard_normal((1200, 24))).astype(np.float32)
+        cc = pmt.ClusteredCorpus(c, clusters=6, config=CFG)
+        # new rows near center 2; query near center 2 must find them
+        extra = (centers[2] + 0.05 * rng.standard_normal((40, 24))
+                 ).astype(np.float32)
+        cc.add(extra)
+        q = (centers[2] + 0.05 * rng.standard_normal((4, 24))
+             ).astype(np.float32)
+        pi, _ = cc.topk(q, 10, "euclidean", probe=2)
+        assert (pi >= 1200).any()
+        ri, _ = pmt.Corpus(np.concatenate([c, extra]),
+                           config=CFG).topk(q, 10, "euclidean")
+        assert recall(pi, ri) > 0.9
+
+    def test_add_then_save_load_and_delete(self, tmp_path):
+        rng = np.random.default_rng(33)
+        q, c = blobs(rng, 800, 6, 16)
+        _, extra = blobs(rng, 100, 1, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=4, config=CFG)
+        cc.delete([5, 7])
+        cc.add(extra)
+        assert cc.deleted_count == 2
+        p = tmp_path / "cc.npz"
+        cc.save(p)
+        cc2 = pmt.ClusteredCorpus.load(p)
+        i1, v1 = cc.topk(q, 5, "cosine")
+        i2, v2 = cc2.topk(q, 5, "cosine")
+        np.testing.assert_array_equal(i1, i2)
+        assert not np.isin(i1, [5, 7]).any()
+
+    def test_add_validation(self):
+        rng = np.random.default_rng(34)
+        _, c = blobs(rng, 500, 1, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=4, config=CFG)
+        with pytest.raises(ValueError, match="Dimension mismatch"):
+            cc.add(np.ones((3, 8), np.float32))
+        with pytest.raises(ValueError, match="float"):
+            cc.add(np.ones((3, 16), np.int32))
+        assert cc.add(np.empty((0, 16), np.float32)) == 500
