@@ -129,6 +129,7 @@ class ClusteredCorpus:
         *,
         clusters: Optional[int] = None,
         storage: str = "f32",
+        mesh=None,
         config: Optional[SearchConfig] = None,
         seed: int = 0,
         kmeans_iters: int = 8,
@@ -157,6 +158,7 @@ class ClusteredCorpus:
 
         self.config = cfg
         self.storage = storage
+        self.mesh = mesh
         self.n, self.dim = c.shape
         self.dtype = np.dtype(np.float32)  # quantized-or-f32 kernel path
         self._tn = corpus_tile_rows(self.dim, cfg, 1)
@@ -181,53 +183,155 @@ class ClusteredCorpus:
         self.layout: ClusterLayout = cluster_layout(
             assign, self.clusters, self._tn)
 
-        # --- permuted device base in storage-native form ----------------
-        perm = self.layout.perm
-        self._perm_dev = _to_jax(perm, np.dtype(np.int32))
-        self._tile_cluster_dev = _to_jax(self.layout.tile_cluster,
-                                         np.dtype(np.int32))
-        self._scales = None
-        with jax.enable_x64(False):
-            if storage in ("int8", "int4"):
-                # Quantize on host (the upload then moves quantized bytes)
-                # and permute the small code rows on device.
-                if storage == "int8":
-                    codes, scales = _quantize_rows_np(cf)
-                else:
-                    from ..kernels.fused_topk import feature_geometry
+        if mesh is not None:
+            self._align_layout_for_mesh()
+            self._install_mesh_base(cf)
+        else:
+            # --- permuted device base in storage-native form ------------
+            perm = self.layout.perm
+            self._perm_dev = _to_jax(perm, np.dtype(np.int32))
+            self._tile_cluster_dev = _to_jax(self.layout.tile_cluster,
+                                             np.dtype(np.int32))
+            self._scales = None
+            with jax.enable_x64(False):
+                if storage in ("int8", "int4"):
+                    # Quantize on host (the upload then moves quantized
+                    # bytes) and permute the small code rows on device.
+                    if storage == "int8":
+                        codes, scales = _quantize_rows_np(cf)
+                    else:
+                        from ..kernels.fused_topk import feature_geometry
 
-                    ck, dpp, _ = feature_geometry(self.dim)
-                    codes, scales = _quantize_rows_int4_np(cf, ck, dpp)
-                codes_d = _to_jax(codes, np.dtype(np.int8))
-                scales_d = _to_jax(scales, np.dtype(np.float32))
-                pj = self._perm_dev
-                self._base = jax.block_until_ready(
-                    permute_rows(codes_d, pj))
-                safe = jnp.clip(pj, 0, self.n - 1)
-                self._scales = jax.block_until_ready(jnp.where(
-                    pj >= 0, jnp.take(scales_d, safe), 1.0
-                ).astype(jnp.float32))
-            else:
-                base = permute_rows(_to_jax(cf, np.dtype(np.float32)),
-                                    self._perm_dev)
-                if storage == "bf16":
-                    base = base.astype(jnp.bfloat16)
-                self._base = jax.block_until_ready(base)
-        self._live_dev = self._perm_dev >= 0
+                        ck, dpp, _ = feature_geometry(self.dim)
+                        codes, scales = _quantize_rows_int4_np(cf, ck, dpp)
+                    codes_d = _to_jax(codes, np.dtype(np.int8))
+                    scales_d = _to_jax(scales, np.dtype(np.float32))
+                    pj = self._perm_dev
+                    self._base = jax.block_until_ready(
+                        permute_rows(codes_d, pj))
+                    safe = jnp.clip(pj, 0, self.n - 1)
+                    self._scales = jax.block_until_ready(jnp.where(
+                        pj >= 0, jnp.take(scales_d, safe), 1.0
+                    ).astype(jnp.float32))
+                else:
+                    base = permute_rows(_to_jax(cf, np.dtype(np.float32)),
+                                        self._perm_dev)
+                    if storage == "bf16":
+                        base = base.astype(jnp.bfloat16)
+                    self._base = jax.block_until_ready(base)
+            self._live_dev = self._perm_dev >= 0
 
         self._prepared = {}   # (metric, precision) -> (cp, cbp)
         self._packed_fns = {}
         self._tombstones: Optional[np.ndarray] = None
+
+    # -- mesh construction -------------------------------------------------
+    def _align_layout_for_mesh(self):
+        """Pad the layout with DEAD tiles (cluster id -1) so every shard
+        of the corpus mesh axis owns the same whole number of tiles —
+        shard boundaries then never split a tile, and each shard's local
+        tile ids map to its prepared block positions directly."""
+        lay = self.layout
+        n_shards = self.mesh.shape[self.config.mesh_axes[1]]
+        lt = max(1, -(-lay.n_tiles // n_shards))
+        total = lt * n_shards
+        self._lt = lt
+        if total > lay.n_tiles:
+            extra = total - lay.n_tiles
+            perm = np.concatenate(
+                [lay.perm, np.full(extra * self._tn, -1, np.int32)])
+            tcl = np.concatenate(
+                [lay.tile_cluster, np.full(extra, -1, np.int32)])
+            self.layout = ClusterLayout(perm, lay.row_pos, tcl,
+                                        lay.counts, self._tn)
+
+    def _install_mesh_base(self, cf: np.ndarray):
+        """Host-permute into the clustered layout, storage-native
+        (quantization runs on host, so the upload moves quantized
+        bytes), then install."""
+        perm = self.layout.perm
+        live = perm >= 0
+        src = perm[live]
+        n_padded = perm.shape[0]
+        scales_np = None
+        if self.storage in ("int8", "int4"):
+            from ..kernels.fused_topk import feature_geometry
+
+            ck, dpp, _ = feature_geometry(self.dim)
+            if self.storage == "int8":
+                codes, scales = _quantize_rows_np(cf)
+            else:
+                codes, scales = _quantize_rows_int4_np(cf, ck, dpp)
+            base = np.zeros((n_padded, codes.shape[1]), np.int8)
+            base[live] = codes[src]
+            scales_np = np.ones(n_padded, np.float32)
+            scales_np[live] = scales[src]
+        else:
+            base = np.zeros((n_padded, self.dim), np.float32)
+            base[live] = cf[src]
+            if self.storage == "bf16":
+                import ml_dtypes
+
+                base = base.astype(ml_dtypes.bfloat16)
+        self._install_mesh_payload(base, scales_np)
+
+    def _install_mesh_payload(self, base: np.ndarray,
+                              scales_np: "Optional[np.ndarray]"):
+        """Shard a PERMUTED host payload straight to the mesh (device_put
+        with a NamedSharding — the full corpus is never resident on one
+        chip).  Pads rows when the layout was re-aligned for a bigger
+        mesh than the payload was built for, and features to the kernel
+        width on the int8 path (where the shard data IS the prepared cp)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharded import ShardedCorpus
+
+        c_axis = self.config.mesh_axes[1]
+        n_padded = self.layout.perm.shape[0]
+        quant = self.storage in ("int8", "int4")
+        width = base.shape[1]
+        if self.storage == "int8":
+            from ..kernels.fused_topk import feature_geometry
+
+            _, width, _ = feature_geometry(self.dim)
+        if base.shape[0] < n_padded or base.shape[1] < width:
+            grown = np.zeros((n_padded, width), base.dtype)
+            grown[: base.shape[0], : base.shape[1]] = base
+            base = grown
+        if scales_np is not None and scales_np.shape[0] < n_padded:
+            scales_np = np.concatenate([
+                scales_np,
+                np.ones(n_padded - scales_np.shape[0], np.float32)])
+        data = jax.device_put(base, NamedSharding(self.mesh,
+                                                  P(c_axis, None)))
+        sh_scales = None
+        if scales_np is not None:
+            sh_scales = jax.device_put(
+                scales_np, NamedSharding(self.mesh, P(c_axis)))
+        self._sharded = ShardedCorpus(
+            data, n_padded, scales=sh_scales,
+            dim=self.dim if quant else None,
+            storage=self.storage if quant else "f32")
+        self._tc_sharded = jax.device_put(
+            self.layout.tile_cluster.astype(np.int32),
+            NamedSharding(self.mesh, P(c_axis)))
+        self._cent_repl = jax.device_put(
+            np.asarray(self.centroids, np.float32),
+            NamedSharding(self.mesh, P(None, None)))
+        self._mesh_mask_dev = None
 
     # -- introspection ----------------------------------------------------
     def __len__(self) -> int:
         return self.n
 
     def __repr__(self) -> str:
+        sh = ("" if self.mesh is None else
+              f", shards={self.mesh.shape[self.config.mesh_axes[1]]}")
         return (
             f"ClusteredCorpus(n={self.n}, dim={self.dim}, "
             f"clusters={self.clusters}, tiles={self.layout.n_tiles}, "
-            f"storage={self.storage!r})"
+            f"storage={self.storage!r}{sh})"
         )
 
     @property
@@ -270,6 +374,61 @@ class ClusteredCorpus:
                 jax.jit(prep)(*args))
         return self._prepared[key]
 
+    def _mesh_mask(self, user_mk):
+        """(n_padded,) sharded device bool in permuted space for the
+        distributed path: live rows ∧ ~tombstones ∧ user mask.  Slack and
+        dead-tile rows are always False — on the mesh the prepared bias
+        cannot see interior slack, so the mask operand is what kills it.
+        The user-mask-free case (the common serving loop) caches one
+        sharded device array."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if user_mk is None and self._mesh_mask_dev is not None:
+            return self._mesh_mask_dev
+        perm = self.layout.perm
+        live = perm >= 0
+        if user_mk is None and self._tombstones is None:
+            keep = live
+        else:
+            combined = (np.ones(self.n, bool) if user_mk is None
+                        else user_mk.astype(bool))
+            if self._tombstones is not None:
+                combined = combined & ~self._tombstones
+            keep = np.zeros(perm.shape[0], bool)
+            keep[live] = combined[perm[live]]
+        dev = jax.device_put(keep, NamedSharding(
+            self.mesh, P(self.config.mesh_axes[1])))
+        if user_mk is None:
+            self._mesh_mask_dev = jax.block_until_ready(dev)
+        return dev
+
+    def _mesh_topk(self, q: np.ndarray, kk: int, metric: Metric,
+                   probe, user_mk) -> Tuple[np.ndarray, np.ndarray]:
+        """Distributed probed/exhaustive top-k: per-shard probe budget
+        (``probe`` resolves against each shard's tile count), merge in
+        permuted space, then one host map-back to original row ids."""
+        from ..parallel.sharded import distributed_topk
+        from .search import _fetch_topk
+
+        p_local, exhaustive = resolve_probe(probe, self._lt)
+        pr = (None if exhaustive else
+              (self._cent_repl, self._tc_sharded, int(p_local)))
+        qj = _to_jax(np.ascontiguousarray(q, np.float32),
+                     np.dtype(np.float32))
+        mk = self._mesh_mask(user_mk)
+        with annotate(f"pmm.clustered.topk.{metric.value}"):
+            vals, idx = distributed_topk(
+                qj, self._sharded, kk, metric, self.mesh, self.config,
+                mask=mk, probe=pr)
+            v, i = _fetch_topk(vals, idx, kk)
+        big = np.iinfo(np.int32).max
+        perm = self.layout.perm
+        safe = np.clip(i, 0, perm.shape[0] - 1).astype(np.int64)
+        g = perm[safe]
+        g = np.where((i == big) | (g < 0), big, g)
+        return g.astype(np.uint32), v.astype(np.float64)
+
     # -- mutation ---------------------------------------------------------
     def add(self, rows: ArrayLike) -> int:
         """Append rows; returns the new row count (ids ``n..n+r-1``,
@@ -287,6 +446,8 @@ class ClusteredCorpus:
         import jax
         import jax.numpy as jnp
 
+        if self.mesh is not None:
+            raise ValueError("add() is single-device only")
         r = np.asarray(rows)
         if r.ndim != 2 or r.shape[1] != self.dim:
             raise ValueError(
@@ -396,6 +557,8 @@ class ClusteredCorpus:
         before = int(self._tombstones.sum())
         self._tombstones[idx] = True
         self._perm_mask_dev = None
+        if self.mesh is not None:
+            self._mesh_mask_dev = None
         return int(self._tombstones.sum()) - before
 
     @property
@@ -503,25 +666,37 @@ class ClusteredCorpus:
             "counts": self.layout.counts,
             "centroids": np.asarray(self.centroids, np.float32),
         }
-        base = np.asarray(self._base)
+        if self.mesh is None:
+            base = np.asarray(self._base)
+            scales = self._scales
+        else:
+            # Gather the shards; int8 shards carry kernel feature padding
+            # — trim to the code width so the file is mesh-agnostic (the
+            # single-device base and any re-shard re-derive the padding).
+            base = np.asarray(self._sharded.data)
+            if self.storage == "int8":
+                base = base[:, : self.dim]
+            scales = self._sharded.scales
         if self.storage == "bf16":
             arrays["data_u16"] = base.view(np.uint16)
         else:
             arrays["data"] = base
-        if self._scales is not None:
-            arrays["scales"] = np.asarray(self._scales, np.float32)
+        if scales is not None:
+            arrays["scales"] = np.asarray(scales, np.float32)
         if self._tombstones is not None:
             arrays["tombstones"] = self._tombstones
         with open(path, "wb") as f:
             np.savez(f, **arrays)
 
     @classmethod
-    def load(cls, path, *,
+    def load(cls, path, *, mesh=None,
              config: Optional[SearchConfig] = None) -> "ClusteredCorpus":
         """Rebuild a saved clustered corpus: uploads exactly the saved
         storage-native bytes and layout (no clustering, no quantization).
         ``config`` only steers query-side tiling/precision policy — the
-        corpus tile geometry is pinned by the saved layout."""
+        corpus tile geometry is pinned by the saved layout.  ``mesh=``
+        re-shards at load (the layout gains dead alignment tiles if the
+        mesh needs them; results are unchanged — dead rows are masked)."""
         import jax
         import ml_dtypes
 
@@ -545,6 +720,7 @@ class ClusteredCorpus:
         self = cls.__new__(cls)
         self.config = resolve(config)
         self.storage = storage
+        self.mesh = mesh
         self.n, self.dim = n, dim
         self.dtype = np.dtype(np.float32)
         self._tn = tn
@@ -556,13 +732,23 @@ class ClusteredCorpus:
         with jax.enable_x64(False):
             self.centroids = jax.block_until_ready(
                 _to_jax(centroids, np.dtype(np.float32)))
-            self._perm_dev = _to_jax(perm, np.dtype(np.int32))
-            self._tile_cluster_dev = _to_jax(tile_cluster, np.dtype(np.int32))
-            self._base = jax.block_until_ready(_to_jax(base, base.dtype))
-            self._scales = (None if scales is None else
-                            jax.block_until_ready(
-                                _to_jax(scales, np.dtype(np.float32))))
-        self._live_dev = self._perm_dev >= 0
+            if mesh is not None:
+                self._align_layout_for_mesh()
+                self._install_mesh_payload(
+                    np.ascontiguousarray(base),
+                    None if scales is None
+                    else np.asarray(scales, np.float32))
+            else:
+                self._perm_dev = _to_jax(perm, np.dtype(np.int32))
+                self._tile_cluster_dev = _to_jax(tile_cluster,
+                                                 np.dtype(np.int32))
+                self._base = jax.block_until_ready(
+                    _to_jax(base, base.dtype))
+                self._scales = (None if scales is None else
+                                jax.block_until_ready(
+                                    _to_jax(scales,
+                                            np.dtype(np.float32))))
+                self._live_dev = self._perm_dev >= 0
         self._prepared = {}
         self._packed_fns = {}
         self._tombstones = None if tomb is None or not tomb.any() \
@@ -603,6 +789,8 @@ class ClusteredCorpus:
                 np.empty((q.shape[0], 0), np.uint32),
                 np.empty((q.shape[0], 0), np.float64),
             )
+        if self.mesh is not None:
+            return self._mesh_topk(q, kk, metric, probe, user_mk)
         p, exhaustive = resolve_probe(probe, self.layout.n_tiles)
         sup = supports(q.shape, (self.n, self.dim),
                        np.dtype(np.float32), kk, self.config)

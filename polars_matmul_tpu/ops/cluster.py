@@ -219,6 +219,11 @@ def probe_tiles(q, centroids, tile_cluster, *, p: int, tm: int,
     takes the best ``p`` tiles.  jax.lax.top_k breaks score ties toward
     lower tile ids; the final ascending sort restores the kernel's
     lowest-global-index-wins tie contract.
+
+    Tiles with cluster id -1 are DEAD (mesh shard-alignment padding):
+    they rank -inf and are only listed once live tiles run out — their
+    rows are slack, masked -inf by the caller, so visiting them is
+    harmless, just wasted bytes.
     """
     m = q.shape[0]
     mp = (m + tm - 1) // tm * tm
@@ -226,7 +231,9 @@ def probe_tiles(q, centroids, tile_cluster, *, p: int, tm: int,
     s = jnp.pad(s, ((0, mp - m), (0, 0)),
                 constant_values=-np.inf)                 # pad rows inert
     sb = jnp.max(s.reshape(mp // tm, tm, -1), axis=1)    # (QB, C)
-    ts = sb[:, jnp.asarray(tile_cluster)]                # (QB, n_tiles)
+    tcl = jnp.asarray(tile_cluster)
+    ts = sb[:, jnp.clip(tcl, 0, None)]                   # (QB, n_tiles)
+    ts = jnp.where(tcl[None, :] >= 0, ts, -np.inf)
     _, tid = jax.lax.top_k(ts, p)
     return jnp.sort(tid, axis=1).astype(jnp.int32)
 

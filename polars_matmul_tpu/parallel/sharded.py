@@ -403,12 +403,18 @@ def _merge_sorted_2key(vals, idx, k: int, hib: bool):
 @lru_cache(maxsize=64)
 def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
                    cfg: SearchConfig, prepared: bool = False,
-                   masked: bool = False):
+                   masked: bool = False, probed=None):
+    """``probed=(p_local, tm)`` (prepared path only) adds two operands —
+    replicated centroids and the shard's tile-cluster slice — and each
+    shard probe-ranks its own corpus tiles before the fused kernel visits
+    only the listed ones (distributed IVF: equal per-shard probe budget,
+    load-balanced by construction)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
     from ..kernels.fused_topk import fused_topk, fused_topk_prepared
+    from ..ops.cluster import probe_tiles
 
     d_axis, c_axis = cfg.mesh_axes
     n_shards = mesh.shape[c_axis]
@@ -429,7 +435,21 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
         vals = jnp.where(sent | (gidx >= n_true), worst, vals)
         return vals, gidx
 
-    if prepared:
+    if prepared and probed is not None:
+        p_local, tm = probed
+
+        def local_topk(q_, cp_, cb_, cent_, tc_, *m_):
+            tiles = probe_tiles(q_, cent_, tc_, p=p_local, tm=tm,
+                                metric_v=metric.value)
+            mk = m_[0] if m_ else None
+            return finish(*fused_topk_prepared(
+                q_, cp_, cb_, k_local, metric, mask=mk, config=cfg,
+                tiles=tiles,
+            ))
+
+        corpus_in_specs = (P(c_axis, None), P(None, c_axis), P(None, None),
+                           P(c_axis))
+    elif prepared:
         def local_topk(q_, cp_, cb_, *m_):
             mk = m_[0] if m_ else None
             return finish(*fused_topk_prepared(
@@ -517,8 +537,17 @@ def distributed_topk(
     config: Optional[SearchConfig] = None,
     *,
     mask=None,
+    probe=None,
 ) -> Tuple["jax.Array", "jax.Array"]:  # noqa: F821
     """Top-k over a sharded corpus.
+
+    ``probe=(centroids, tile_cluster_sharded, p_local)`` opts into probed
+    (clustered) search: each shard ranks its OWN corpus tiles against the
+    replicated centroids and visits only its best ``p_local`` (equal
+    per-shard budget — distributed IVF).  Requires the corpus rows to be
+    laid out cluster-contiguous (see api.clustered); indices come back in
+    the sharded (permuted) space, the caller owns the map-back.  Ignored
+    on the dense fallback path (exhaustive is strictly better recall).
 
     Phase 1 (shard_map): per-shard fused top-k with global index offsets,
     padding rows masked to worst-score.  Phase 2 merge, per
@@ -608,6 +637,18 @@ def distributed_topk(
         m_args = (corpus.live_mask(mesh, cfg),)
     if use_prepared:
         cp, cbp = corpus.prepared_for(metric, mesh, cfg, k_local)
+        if probe is not None:
+            from ..kernels.fused_topk import query_tile_rows
+
+            cent, tc, p_local = probe
+            d_shards = mesh.shape[cfg.mesh_axes[0]]
+            m_local = (q.shape[0] // d_shards if d_shards > 1
+                       else q.shape[0])
+            tm = query_tile_rows(max(1, m_local), dim, cfg, k_local)
+            fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg,
+                                prepared=True, masked=masked,
+                                probed=(int(p_local), tm))
+            return fn(q, cp, cbp, cent, tc, *m_args)
         fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg,
                             prepared=True, masked=masked)
         return fn(q, cp, cbp, *m_args)

@@ -454,3 +454,106 @@ class TestClusteredAdd:
         with pytest.raises(ValueError, match="float"):
             cc.add(np.ones((3, 16), np.int32))
         assert cc.add(np.empty((0, 16), np.float32)) == 500
+
+
+# ---------------------------------------------------------------------------
+# mesh composition (fake 8-device CPU mesh)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return pmt.make_mesh(1, 8)
+
+
+class TestClusteredMesh:
+    @pytest.mark.parametrize("metric", ["cosine", "dot", "euclidean"])
+    def test_exhaustive_matches_single_device(self, mesh8, metric):
+        rng = np.random.default_rng(40)
+        q, c = blobs(rng, 4000, 20, 24)
+        cm = pmt.ClusteredCorpus(c, clusters=12, mesh=mesh8, config=CFG)
+        cs = pmt.ClusteredCorpus(c, clusters=12, config=CFG)
+        mi, mv = cm.topk(q, 9, metric)
+        si, sv = cs.topk(q, 9, metric)
+        np.testing.assert_array_equal(mi, si)
+        np.testing.assert_allclose(mv, sv, rtol=1e-5, atol=1e-6)
+
+    def test_probed_recall_on_blobs(self, mesh8):
+        rng = np.random.default_rng(41)
+        q, c = blobs(rng, 6000, 32, 32, n_centers=30)
+        cm = pmt.ClusteredCorpus(c, clusters=30, mesh=mesh8, config=CFG)
+        ri, _ = pmt.Corpus(c, config=CFG).topk(q, 10, "cosine")
+        pi, _ = cm.topk(q, 10, "cosine", probe=0.5)
+        assert recall(pi, ri) > 0.85
+        # probed scores are exact over visited rows
+        pi2, pv2 = cm.topk(q, 10, "cosine", probe=0.5)
+        np.testing.assert_array_equal(pi, pi2)
+
+    @pytest.mark.parametrize("storage", ["bf16", "int8", "int4"])
+    def test_storage_tiers_match_single_device(self, mesh8, storage):
+        rng = np.random.default_rng(42)
+        q, c = blobs(rng, 3000, 12, 24)
+        cm = pmt.ClusteredCorpus(c, clusters=8, storage=storage,
+                                 mesh=mesh8, config=CFG)
+        cs = pmt.ClusteredCorpus(c, clusters=8, storage=storage,
+                                 config=CFG)
+        mi, mv = cm.topk(q, 7, "cosine")
+        si, sv = cs.topk(q, 7, "cosine")
+        np.testing.assert_array_equal(mi, si)
+        np.testing.assert_allclose(mv, sv, rtol=1e-4, atol=1e-5)
+
+    def test_mask_delete_and_probe(self, mesh8):
+        rng = np.random.default_rng(43)
+        q, c = blobs(rng, 2500, 10, 16)
+        cm = pmt.ClusteredCorpus(c, clusters=8, mesh=mesh8, config=CFG)
+        ref = pmt.Corpus(c, config=CFG)
+        mask = rng.random(2500) > 0.4
+        mi, _ = cm.topk(q, 5, "cosine", mask=mask)
+        ri, _ = ref.topk(q, 5, "cosine", mask=mask)
+        np.testing.assert_array_equal(mi, ri)
+        victims = mi[:, 0].astype(np.int64)
+        cm.delete(victims)
+        mi2, _ = cm.topk(q, 5, "cosine", mask=mask)
+        assert not np.isin(mi2, victims).any()
+        # probed search excludes them too (mask rides the probe path)
+        mp, _ = cm.topk(q, 5, "cosine", probe=1, mask=mask)
+        assert not np.isin(mp, victims).any()
+
+    def test_save_load_reshard(self, mesh8, tmp_path):
+        rng = np.random.default_rng(44)
+        q, c = blobs(rng, 2000, 8, 16)
+        cs = pmt.ClusteredCorpus(c, clusters=6, storage="int8", config=CFG)
+        p = tmp_path / "cc.npz"
+        cs.save(p)
+        cm = pmt.ClusteredCorpus.load(p, mesh=mesh8, config=CFG)
+        i1, v1 = cs.topk(q, 6, "cosine")
+        i2, v2 = cm.topk(q, 6, "cosine")
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)
+        # and back: mesh-saved loads single-device
+        p2 = tmp_path / "cc2.npz"
+        cm.save(p2)
+        c3 = pmt.ClusteredCorpus.load(p2)
+        i3, v3 = c3.topk(q, 6, "cosine")
+        np.testing.assert_array_equal(i1, i3)
+
+    def test_add_rejected_on_mesh(self, mesh8):
+        rng = np.random.default_rng(45)
+        _, c = blobs(rng, 900, 1, 16)
+        cm = pmt.ClusteredCorpus(c, clusters=4, mesh=mesh8, config=CFG)
+        with pytest.raises(ValueError, match="single-device"):
+            cm.add(np.ones((2, 16), np.float32))
+
+    def test_large_k_fallback_on_mesh(self, mesh8):
+        rng = np.random.default_rng(46)
+        q, c = blobs(rng, 1200, 6, 16)
+        cfg = SearchConfig(block_q=8, block_n=128, k_pad=16)
+        cm = pmt.ClusteredCorpus(c, clusters=4, mesh=mesh8, config=cfg)
+        ref = pmt.Corpus(c, config=cfg)
+        mi, mv = cm.topk(q, 50, "cosine", probe=1)  # probe ignored: exact
+        ri, rv = ref.topk(q, 50, "cosine")
+        np.testing.assert_array_equal(mi, ri)
