@@ -463,47 +463,119 @@ class ClusteredCorpus:
         cf = np.ascontiguousarray(r, dtype=np.float32)
         with jax.enable_x64(False):
             assign = assign_rows(cf, self.centroids)
+        ids = np.arange(self.n, self.n + m, dtype=np.int64)
+        self._place_and_scatter(ids, cf, assign)
+        if self._tombstones is not None:
+            self._tombstones = np.concatenate(
+                [self._tombstones, np.zeros(m, bool)])
+        self.n += m
+        return self.n
+
+    def update(self, indices: ArrayLike, rows: ArrayLike) -> None:
+        """Overwrite rows in place by ORIGINAL id (upsert).
+
+        Rows keep their ids but MOVE to their new nearest-centroid
+        cluster (the values changed, so the old placement may no longer
+        probe well); the vacated slots become slack holes that future
+        ``add``/``update`` calls refill.  Updating a tombstoned row
+        revives it, matching ``Corpus.update``.  Single-device only.
+        """
+        import jax
+
+        if self.mesh is not None:
+            raise ValueError("update() is single-device only")
+        idx = np.asarray(indices).reshape(-1)
+        r = np.asarray(rows)
+        if r.ndim != 2 or r.shape[1] != self.dim:
+            raise ValueError(
+                f"Dimension mismatch: left has "
+                f"{r.shape[1] if r.ndim == 2 else r.shape} dimensional "
+                f"vectors, right has {self.dim} dimensional vectors"
+            )
+        if idx.size != r.shape[0]:
+            raise ValueError(f"got {idx.size} indices for {r.shape[0]} rows")
+        if idx.size == 0:
+            return
+        if not np.issubdtype(idx.dtype, np.integer):
+            raise ValueError(
+                f"update indices must be integers, got dtype {idx.dtype}")
+        if idx.min() < 0 or idx.max() >= self.n:
+            raise ValueError(
+                f"update indices must be in [0, {self.n}); got "
+                f"[{idx.min()}, {idx.max()}]")
+        if np.unique(idx).size != idx.size:
+            raise ValueError("update indices must be unique")
+        if not np.issubdtype(r.dtype, np.floating):
+            raise ValueError("ClusteredCorpus requires float embeddings")
+        cf = np.ascontiguousarray(r, dtype=np.float32)
+        with jax.enable_x64(False):
+            assign = assign_rows(cf, self.centroids)
+        self._place_and_scatter(idx.astype(np.int64), cf, assign,
+                                free_first=True)
+        if self._tombstones is not None and self._tombstones[idx].any():
+            self._tombstones[idx] = False
+
+    def _place_and_scatter(self, ids: np.ndarray, cf: np.ndarray,
+                           assign: np.ndarray, free_first: bool = False):
+        """Place rows with global ids ``ids`` into their assigned
+        clusters — each cluster's tile-tail slack first, whole appended
+        tiles on overflow — then scatter the storage-native values and
+        invalidate the derived caches.  ``free_first`` releases the ids'
+        CURRENT positions back to slack before placing (the update path:
+        a moved row's old slot becomes a refillable hole, possibly reused
+        within the same batch)."""
+        import jax
+        import jax.numpy as jnp
 
         lay = self.layout
         tn = self._tn
         perm = lay.perm.copy()
         counts = lay.counts.copy()
+        row_pos = lay.row_pos.copy()
+        if free_first:
+            old = row_pos[ids].astype(np.int64)
+            perm[old] = -1
+            np.subtract.at(counts, lay.tile_cluster[old // tn], 1)
         n_old_padded = perm.shape[0]
         slack_pos = np.flatnonzero(perm < 0)
         slack_cl = lay.tile_cluster[slack_pos // tn]
 
+        m = ids.shape[0]
         pos = np.full(m, -1, np.int64)
         append_tiles = []   # cluster ids of tiles appended at the end
         next_pos = n_old_padded
         ext_perm = []
         order = np.argsort(assign, kind="stable")
         for cl in np.unique(assign):
-            ids = order[np.searchsorted(assign[order], cl):
+            sel = order[np.searchsorted(assign[order], cl):
                         np.searchsorted(assign[order], cl, side="right")]
             sl = slack_pos[slack_cl == cl]
-            take = min(sl.size, ids.size)
-            pos[ids[:take]] = sl[:take]
-            over = ids[take:]
+            take = min(sl.size, sel.size)
+            pos[sel[:take]] = sl[:take]
+            over = sel[take:]
             if over.size:
                 nt = -(-over.size // tn)
                 append_tiles.extend([int(cl)] * nt)
                 block = np.arange(nt * tn, dtype=np.int64) + next_pos
                 pos[over] = block[: over.size]
                 ep = np.full(nt * tn, -1, np.int32)
-                ep[: over.size] = self.n + over
+                ep[: over.size] = ids[over]
                 ext_perm.append(ep)
                 next_pos += nt * tn
-            counts[cl] += ids.size
-        perm[pos[pos < n_old_padded]] = (
-            self.n + np.flatnonzero(pos < n_old_padded)).astype(np.int32)
+            counts[cl] += sel.size
+        infill = pos < n_old_padded
+        perm[pos[infill]] = ids[np.flatnonzero(infill)].astype(np.int32)
         if ext_perm:
             perm = np.concatenate([perm] + ext_perm)
         tile_cluster = lay.tile_cluster
         if append_tiles:
             tile_cluster = np.concatenate(
                 [tile_cluster, np.array(append_tiles, np.int32)])
-        row_pos = np.concatenate(
-            [lay.row_pos, pos.astype(np.int32)])
+        top = int(ids.max()) + 1
+        if top > row_pos.shape[0]:
+            row_pos = np.concatenate([
+                row_pos, np.empty(top - row_pos.shape[0], np.int32)])
+        row_pos[ids] = pos.astype(np.int32)
         self.layout = ClusterLayout(perm, row_pos, tile_cluster, counts, tn)
 
         # -- storage-native device scatter (grow first if tiles appended)
@@ -537,11 +609,6 @@ class ClusteredCorpus:
         self._prepared.clear()
         self._perm_mask_dev = None
         self._dense = None
-        if self._tombstones is not None:
-            self._tombstones = np.concatenate(
-                [self._tombstones, np.zeros(m, bool)])
-        self.n += m
-        return self.n
 
     def delete(self, indices: ArrayLike) -> int:
         """Tombstone rows by ORIGINAL id; they stop matching immediately

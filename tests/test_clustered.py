@@ -557,3 +557,73 @@ class TestClusteredMesh:
         mi, mv = cm.topk(q, 50, "cosine", probe=1)  # probe ignored: exact
         ri, rv = ref.topk(q, 50, "cosine")
         np.testing.assert_array_equal(mi, ri)
+
+
+class TestClusteredUpdate:
+    @pytest.mark.parametrize("storage", ["f32", "int8"])
+    def test_update_matches_rebuilt_corpus(self, storage):
+        rng = np.random.default_rng(50)
+        q, c = blobs(rng, 1800, 10, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=8, storage=storage, config=CFG)
+        idx = rng.choice(1800, 200, replace=False)
+        newrows = blobs(rng, 200, 1, 16)[1]
+        cc.update(idx, newrows)
+        c2 = c.copy()
+        c2[idx] = newrows
+        ref = pmt.Corpus(c2, storage=storage, config=CFG)
+        ei, ev = cc.topk(q, 8, "cosine", probe=None)
+        ri, rv = ref.topk(q, 8, "cosine")
+        np.testing.assert_array_equal(ei, ri)
+        np.testing.assert_allclose(ev, rv, rtol=1e-4, atol=1e-5)
+
+    def test_update_moves_to_new_cluster_for_probe(self):
+        rng = np.random.default_rng(51)
+        centers = rng.standard_normal((5, 24)) * 10
+        c = (centers[np.repeat(np.arange(5), 300)]
+             + 0.1 * rng.standard_normal((1500, 24))).astype(np.float32)
+        cc = pmt.ClusteredCorpus(c, clusters=5, config=CFG)
+        # move rows 0..19 (blob 0) to blob 3's neighborhood
+        moved = (centers[3] + 0.05 * rng.standard_normal((20, 24))
+                 ).astype(np.float32)
+        cc.update(np.arange(20), moved)
+        q = (centers[3] + 0.05 * rng.standard_normal((4, 24))
+             ).astype(np.float32)
+        # a probe covering blob 3's cluster (300 rows ~ 3 tiles of 128,
+        # +1 for update growth) must now see the moved rows; probing the
+        # whole OLD cluster of the moved rows must not be needed
+        pi, _ = cc.topk(q, 10, "euclidean", probe=4)
+        assert (pi < 20).any()
+
+    def test_update_revives_tombstoned_and_refills_slack(self):
+        rng = np.random.default_rng(52)
+        q, c = blobs(rng, 900, 5, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=4, config=CFG)
+        n_padded_before = cc.layout.n_padded
+        cc.delete([3])
+        cc.update(np.array([3]), c[3:4])  # same values, revived
+        assert cc.deleted_count == 0
+        i1, _ = cc.topk(q, 5, "cosine")
+        ri, _ = pmt.Corpus(c, config=CFG).topk(q, 5, "cosine")
+        np.testing.assert_array_equal(i1, ri)
+        # churn: many updates must not grow the layout unboundedly
+        # (vacated slots are refilled as slack)
+        for _ in range(5):
+            idx = rng.choice(900, 100, replace=False)
+            cc.update(idx, c[idx])
+        assert cc.layout.n_padded <= n_padded_before + 4 * CFG.block_n
+        live = cc.layout.perm >= 0
+        assert np.array_equal(np.sort(cc.layout.perm[live]), np.arange(900))
+
+    def test_update_validation(self):
+        rng = np.random.default_rng(53)
+        _, c = blobs(rng, 500, 1, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=4, config=CFG)
+        with pytest.raises(ValueError, match="Dimension mismatch"):
+            cc.update([0], np.ones((1, 8), np.float32))
+        with pytest.raises(ValueError, match="unique"):
+            cc.update([1, 1], np.ones((2, 16), np.float32))
+        with pytest.raises(ValueError, match="in \\[0, 500\\)"):
+            cc.update([500], np.ones((1, 16), np.float32))
+        with pytest.raises(ValueError, match="indices for"):
+            cc.update([1, 2], np.ones((1, 16), np.float32))
+        cc.update(np.empty(0, np.int64), np.empty((0, 16), np.float32))

@@ -109,3 +109,100 @@ def test_lifecycle_fuzz(storage, tmp_path):
             )
         # deleted rows must never surface
         assert alive[i.reshape(-1)].all() or not (~alive).any()
+
+
+@pytest.mark.parametrize("storage", ["f32", "int8"])
+def test_lifecycle_fuzz_clustered(storage, tmp_path):
+    """Same shadow-model fuzz over ClusteredCorpus: the permuted layout
+    (slack refill, tile growth, freed holes) is the subtle machinery
+    here.  Exhaustive queries must match the oracle exactly; probed
+    queries must return exact scores over whatever they visited."""
+    import zlib
+
+    from polars_matmul_tpu.config import SearchConfig
+
+    rng = np.random.default_rng(zlib.crc32(("cl" + storage).encode()))
+    dim, k = 16, 4
+    cfg = SearchConfig(block_q=8, block_n=128)
+    c = rng.standard_normal((300, dim)).astype(np.float32)
+    h = pmt.ClusteredCorpus(c, clusters=5, storage=storage, config=cfg)
+    shadow = c.copy()
+    alive = np.ones(300, bool)
+    metrics = ["cosine", "dot", "euclidean"]
+
+    for step in range(25):
+        op = rng.integers(0, 6)
+        n = shadow.shape[0]
+        if op == 0 and n < 800:                       # add
+            m = int(rng.integers(1, 10))
+            rows = rng.standard_normal((m, dim)).astype(np.float32)
+            assert h.add(rows) == n + m
+            shadow = np.vstack([shadow, rows])
+            alive = np.concatenate([alive, np.ones(m, bool)])
+        elif op == 1:                                 # update (moves rows)
+            m = int(rng.integers(1, 8))
+            idx = rng.choice(n, size=m, replace=False)
+            rows = rng.standard_normal((m, dim)).astype(np.float32)
+            h.update(idx, rows)
+            shadow[idx] = rows
+            alive[idx] = True
+        elif op == 2 and alive.sum() > k + 2:         # delete
+            m = int(rng.integers(1, 4))
+            idx = rng.choice(np.nonzero(alive)[0], size=m, replace=False)
+            h.delete(idx)
+            alive[idx] = False
+        elif op == 3:                                 # save/load round-trip
+            p = tmp_path / f"fzc_{storage}_{step}.npz"
+            h.save(p)
+            h = pmt.ClusteredCorpus.load(p, config=cfg)
+
+        # layout invariants hold after every op
+        lay = h.layout
+        live = lay.perm >= 0
+        assert np.array_equal(np.sort(lay.perm[live]),
+                              np.arange(shadow.shape[0]))
+        assert np.array_equal(lay.perm[lay.row_pos],
+                              np.arange(shadow.shape[0]))
+        assert int(lay.counts.sum()) == shadow.shape[0]
+
+        q = rng.standard_normal((3, dim)).astype(np.float32)
+        metric = metrics[step % 3]
+        i, v = h.topk(q, k, metric)                   # exhaustive
+        if storage == "f32":
+            ref = shadow
+        else:
+            from polars_matmul_tpu.api.search import _quantize_rows_np
+
+            codes, scales = _quantize_rows_np(shadow)
+            ref = codes.astype(np.float32) * scales[:, None]
+        i0, smat = _oracle_topk(q, ref, k, alive, metric)
+        mism = i != i0
+        if mism.any():
+            r, col = np.nonzero(mism)
+            sa = smat[r, i[r, col]]
+            sb = smat[r, i0[r, col]]
+            assert np.allclose(sa, sb, rtol=1e-2, atol=1e-2), (
+                f"step {step} op {op} metric {metric}: "
+                f"non-tied index mismatch\n{i}\nvs\n{i0}"
+            )
+        assert alive[i.reshape(-1)].all() or not (~alive).any()
+
+        # probed: exact scores over the visited subset, deletions honored
+        pi, pv = h.topk(q, k, metric, probe=0.5)
+        big = np.iinfo(np.int32).max
+        real = pi != big
+        assert alive[pi[real].astype(np.int64)].all() \
+            or not (~alive).any()
+        sign = -1.0 if metric == "euclidean" else 1.0
+        for r in range(3):
+            for col in range(k):
+                if not real[r, col]:
+                    continue
+                want = smat[r, pi[r, col]]
+                got = sign * pv[r, col]
+                if metric == "euclidean":
+                    got = -abs(pv[r, col])
+                    want = smat[r, pi[r, col]]
+                assert abs(got - want) < 5e-2 + 1e-2 * abs(want), (
+                    f"step {step} probed score drift at ({r},{col})"
+                )
