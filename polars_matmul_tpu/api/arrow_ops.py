@@ -47,22 +47,32 @@ def topk_arrow(
     metric: Union[str, Metric] = "cosine",
     *,
     mask: Union[pa.Array, pa.ChunkedArray, np.ndarray, None] = None,
+    probe: Union[float, int, None] = None,
     config: Optional[SearchConfig] = None,
 ) -> pa.Array:
     """Arrow List/FixedSizeList embeddings -> List[Struct{index, score}].
 
-    ``corpus`` may also be a resident ``Corpus`` handle (built with
-    ``Corpus.from_arrow`` or from matrices): the serving pattern — upload
-    and prepare once, query many times, straight from Arrow columns.
+    ``corpus`` may also be a resident ``Corpus`` or ``ClusteredCorpus``
+    handle (built with ``Corpus.from_arrow`` or from matrices): the
+    serving pattern — upload and prepare once, query many times, straight
+    from Arrow columns.  ``probe=`` (ClusteredCorpus only) bounds the
+    corpus tiles visited per query block.
 
     ``mask`` (boolean column or ndarray, length n_corpus) enables filtered
     search; Arrow nulls in the mask count as excluded.
     """
     from ..utils.profiling import annotate
+    from .clustered import ClusteredCorpus
 
     Metric.parse(metric)  # validate metric before touching data
     left = _as_array(left)
-    if isinstance(corpus, search.Corpus):
+    clustered = isinstance(corpus, ClusteredCorpus)
+    if probe is not None and not clustered:
+        raise ValueError(
+            "probe= requires a ClusteredCorpus handle (only a clustered "
+            "layout knows which corpus tiles a probe may skip)"
+        )
+    if isinstance(corpus, search.Corpus) or clustered:
         if config is not None:
             raise ValueError(
                 "config= has no effect with a resident Corpus — the "
@@ -74,7 +84,9 @@ def topk_arrow(
                              pa.from_numpy_dtype(corpus.dtype))
         with annotate("pmm.extract"):
             q = ai.extract_matrix(left, dt)
-        idx, scores = corpus.topk(q, k, metric, mask=_mask_to_np(mask))
+        kw = {"probe": probe} if clustered else {}
+        idx, scores = corpus.topk(q, k, metric, mask=_mask_to_np(mask),
+                                  **kw)
         with annotate("pmm.assemble"):
             return ai.topk_to_arrow(idx, scores)
     corpus = _as_array(corpus)

@@ -48,6 +48,7 @@ from .search import (
     _validate_mask,
     _quantize_rows_int4_np,
     _quantize_rows_np,
+    compute_dtype,
 )
 
 _BIG_U32 = np.uint32(np.iinfo(np.int32).max)
@@ -821,6 +822,64 @@ class ClusteredCorpus:
         self._tombstones = None if tomb is None or not tomb.any() \
             else tomb.astype(bool)
         return self
+
+    @classmethod
+    def from_arrow(cls, column, **kwargs) -> "ClusteredCorpus":
+        """Build a clustered corpus straight from an Arrow (or polars)
+        embedding column — same extraction as ``Corpus.from_arrow``,
+        same constructor keywords (clusters=, storage=, mesh=,
+        config=).  The handle then serves ``topk_arrow``/
+        ``matmul_arrow`` and the polars ``.pmm`` namespace directly."""
+        import pyarrow as pa
+
+        from ..interop import arrow as ai
+
+        if hasattr(column, "to_arrow"):  # polars Series
+            column = column.to_arrow()
+        if isinstance(column, pa.ChunkedArray):
+            column = column.combine_chunks()
+        dt = ai.promote_pair(ai._value_type(column),
+                             ai._value_type(column))
+        return cls(ai.extract_matrix(column, dt), **kwargs)
+
+    def matmul(self, queries: ArrayLike) -> np.ndarray:
+        """Raw pairwise Q·Cᵀ panel (n_q, n) in ORIGINAL row order.
+
+        Reference-matmul parity, matching ``Corpus.matmul``: deleted
+        (tombstoned) rows still score — the panel is raw by contract.
+        The device computes the panel in permuted (cluster-contiguous)
+        space; the original-order columns are gathered out on host,
+        dropping the interior cluster-tail slack columns.  The gather
+        copies, so the result is host-owned."""
+        q = np.asarray(queries)
+        dt = compute_dtype(q.dtype, self.dtype)
+        if q.shape[0] == 0:
+            return np.empty((0, self.n), dtype=dt)
+        if q.ndim != 2 or q.shape[1] != self.dim:
+            raise ValueError(
+                f"Dimension mismatch: left has "
+                f"{q.shape[1] if q.ndim == 2 else q.shape} dimensional "
+                f"vectors, right has {self.dim} dimensional vectors"
+            )
+        row_pos = self.layout.row_pos[: self.n].astype(np.int64)
+        if self.mesh is not None:
+            from ..parallel.sharded import distributed_matmul
+
+            with annotate("pmm.clustered.matmul"):
+                out = distributed_matmul(
+                    _to_jax(q, dt), self._sharded, self.mesh, self.config)
+                panel = np.asarray(out)
+        else:
+            from ..kernels.matmul import pairwise_matmul
+
+            dense = self._dense_view()  # permuted (n_padded, dim) f32
+            cj = dense if np.dtype(dense.dtype) == dt else dense.astype(dt)
+            with annotate("pmm.clustered.matmul"):
+                out = pairwise_matmul(_to_jax(q, dt), cj,
+                                      precision=self.config.precision)
+                panel = np.asarray(out)
+        # Fancy indexing copies: host-owned, slack columns dropped.
+        return panel[:, row_pos]
 
     # -- search -----------------------------------------------------------
     def topk(

@@ -22,6 +22,7 @@ from typing import Literal
 import polars as pl
 
 from .arrow_ops import matmul_arrow, topk_arrow
+from .clustered import ClusteredCorpus
 from .search import Corpus
 
 MetricName = Literal["cosine", "dot", "euclidean"]
@@ -62,6 +63,7 @@ class PmmNamespace:
         metric: MetricName = "cosine",
         *,
         mask: "pl.Series | None" = None,
+        probe: "float | int | None" = None,
     ) -> pl.Expr:
         """Find top-k similar corpus items per embedding.
 
@@ -71,9 +73,11 @@ class PmmNamespace:
         Series over the corpus rows for filtered search (nulls excluded).
 
         ``corpus`` may also be a resident ``polars_matmul_tpu.Corpus``
-        handle (e.g. ``Corpus.from_arrow(df["embedding"])``): the corpus
-        is uploaded and prepared once, and every expression evaluation
-        only moves the queries — the serving pattern.
+        or ``ClusteredCorpus`` handle (e.g. ``Corpus.from_arrow(
+        df["embedding"])``): the corpus is uploaded and prepared once,
+        and every expression evaluation only moves the queries — the
+        serving pattern.  ``probe=`` (ClusteredCorpus only) bounds the
+        corpus tiles each query block visits.
         """
         if isinstance(corpus, pl.Expr):
             raise TypeError(
@@ -81,13 +85,14 @@ class PmmNamespace:
                 "Use corpus['column_name'] or "
                 "corpus.get_column('column_name')."
             )
-        corpus_arrow = (corpus if isinstance(corpus, Corpus)
+        corpus_arrow = (corpus
+                        if isinstance(corpus, (Corpus, ClusteredCorpus))
                         else _series_to_arrow(corpus))
         mask_arrow = None if mask is None else _series_to_arrow(mask)
 
         def _run(s: pl.Series) -> pl.Series:
             out = topk_arrow(_series_to_arrow(s), corpus_arrow, k, metric,
-                             mask=mask_arrow)
+                             mask=mask_arrow, probe=probe)
             return _from_arrow(out, "topk")
 
         return self._expr.map_batches(

@@ -627,3 +627,34 @@ class TestClusteredUpdate:
         with pytest.raises(ValueError, match="indices for"):
             cc.update([1, 2], np.ones((1, 16), np.float32))
         cc.update(np.empty(0, np.int64), np.empty((0, 16), np.float32))
+
+
+class TestClusteredArrowSurface:
+    def test_topk_arrow_accepts_clustered_handle(self):
+        import pyarrow as pa
+
+        rng = np.random.default_rng(60)
+        q, c = blobs(rng, 1200, 6, 8)
+        cc = pmt.ClusteredCorpus(c, clusters=6, config=CFG)
+        qa = pa.array(q.tolist(), type=pa.list_(pa.float32()))
+        out = pmt.topk_arrow(qa, cc, k=4, metric="cosine")
+        ref_i, ref_v = cc.topk(q, 4, "cosine")
+        got = out.to_pylist()
+        for r in range(6):
+            assert [e["index"] for e in got[r]] == list(ref_i[r])
+        # probe= forwards; probed lists are valid structs too
+        out_p = pmt.topk_arrow(qa, cc, k=4, probe=2)
+        assert len(out_p) == 6
+
+    def test_probe_rejected_without_clustered(self):
+        import pyarrow as pa
+
+        rng = np.random.default_rng(61)
+        q, c = blobs(rng, 300, 3, 8)
+        qa = pa.array(q.tolist(), type=pa.list_(pa.float32()))
+        ca = pa.array(c.tolist(), type=pa.list_(pa.float32()))
+        with pytest.raises(ValueError, match="probe= requires"):
+            pmt.topk_arrow(qa, ca, k=3, probe=2)
+        h = pmt.Corpus(c, config=CFG)
+        with pytest.raises(ValueError, match="probe= requires"):
+            pmt.topk_arrow(qa, h, k=3, probe=2)
