@@ -113,9 +113,12 @@ def matmul_arrow(
 ) -> pa.Array:
     """Arrow embeddings -> FixedSizeList[n_corpus] of pairwise dot products
     (or a flat row-major column when ``flatten`` — reference
-    __init__.py:177-181).  ``corpus`` may be a resident ``Corpus``."""
+    __init__.py:177-181).  ``corpus`` may be a resident ``Corpus`` or
+    ``ClusteredCorpus`` handle (original row order either way)."""
+    from .clustered import ClusteredCorpus
+
     left = _as_array(left)
-    if isinstance(corpus, search.Corpus):
+    if isinstance(corpus, (search.Corpus, ClusteredCorpus)):
         if config is not None:
             raise ValueError(
                 "config= has no effect with a resident Corpus — the "

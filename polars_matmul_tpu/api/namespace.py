@@ -110,7 +110,8 @@ class PmmNamespace:
 
         ``flatten=True`` returns the (n_queries * n_corpus) row-major flat
         column (length-changing expression, reference __init__.py:177-187).
-        ``corpus`` may be a resident ``Corpus`` handle, like ``topk``.
+        ``corpus`` may be a resident ``Corpus`` or ``ClusteredCorpus``
+        handle, like ``topk``.
         """
         if isinstance(corpus, pl.Expr):
             raise TypeError(
@@ -118,7 +119,7 @@ class PmmNamespace:
                 "Use corpus['column_name'] or "
                 "corpus.get_column('column_name')."
             )
-        if isinstance(corpus, Corpus):
+        if isinstance(corpus, (Corpus, ClusteredCorpus)):
             corpus_arrow = corpus
             n_corpus = corpus.n
         else:
@@ -129,7 +130,7 @@ class PmmNamespace:
         # declared dtype so mixed f32/f64 inputs cannot desync declaration
         # from data (the reference quirk SURVEY.md §3.2 says not to copy).
         try:
-            if isinstance(corpus, Corpus):
+            if isinstance(corpus, (Corpus, ClusteredCorpus)):
                 import numpy as _np
 
                 is_f32 = corpus.dtype == _np.float32

@@ -213,6 +213,36 @@ class TestClusteredCorpus:
         np.testing.assert_array_equal(ei, ri)
         np.testing.assert_allclose(ev, rv, rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.parametrize("storage", ["f32", "bf16", "int8", "int4"])
+    def test_matmul_matches_corpus_handle(self, storage):
+        """ClusteredCorpus.matmul must agree with Corpus.matmul at every
+        storage tier (both dequantize the SAME codes, so the panels are
+        equal up to accumulation order) and with the f32 oracle within
+        that tier's quantization error."""
+        rng = np.random.default_rng(21)
+        q, c = blobs(rng, 2000, 6, 24)
+        cc = pmt.ClusteredCorpus(c, clusters=8, storage=storage, config=CFG)
+        pc = pmt.Corpus(c, storage=storage, config=CFG)
+        np.testing.assert_allclose(cc.matmul(q), pc.matmul(q),
+                                   rtol=1e-4, atol=1e-3)
+        if storage == "f32":
+            np.testing.assert_allclose(cc.matmul(q), q @ c.T,
+                                       rtol=1e-4, atol=1e-3)
+
+    def test_matmul_dim_mismatch_and_empty(self):
+        rng = np.random.default_rng(22)
+        q, c = blobs(rng, 500, 4, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=4, config=CFG)
+        with pytest.raises(ValueError, match="Dimension mismatch"):
+            cc.matmul(np.ones((2, 7), np.float32))
+        out = cc.matmul(np.empty((0, 16), np.float32))
+        assert out.shape == (0, 500)
+        # host-owned: mutating the result must not poison later calls
+        p1 = cc.matmul(q)
+        p1[:] = -1.0
+        np.testing.assert_allclose(cc.matmul(q)[0, 0], (q @ c.T)[0, 0],
+                                   rtol=1e-4, atol=1e-4)
+
     def test_probed_recall_on_blobs(self):
         rng = np.random.default_rng(8)
         q, c = blobs(rng, 5000, 40, 32, n_centers=30)
@@ -482,6 +512,14 @@ class TestClusteredMesh:
         np.testing.assert_array_equal(mi, si)
         np.testing.assert_allclose(mv, sv, rtol=1e-5, atol=1e-6)
 
+    def test_matmul_matches_oracle(self, mesh8):
+        rng = np.random.default_rng(46)
+        q, c = blobs(rng, 3000, 7, 24)
+        cm = pmt.ClusteredCorpus(c, clusters=10, mesh=mesh8, config=CFG)
+        panel = cm.matmul(q)
+        assert panel.shape == (7, 3000)
+        np.testing.assert_allclose(panel, q @ c.T, rtol=2e-4, atol=2e-3)
+
     def test_probed_recall_on_blobs(self, mesh8):
         rng = np.random.default_rng(41)
         q, c = blobs(rng, 6000, 32, 32, n_centers=30)
@@ -658,3 +696,25 @@ class TestClusteredArrowSurface:
         h = pmt.Corpus(c, config=CFG)
         with pytest.raises(ValueError, match="probe= requires"):
             pmt.topk_arrow(qa, h, k=3, probe=2)
+
+    def test_matmul_arrow_accepts_clustered_handle(self):
+        import pyarrow as pa
+
+        rng = np.random.default_rng(62)
+        q, c = blobs(rng, 700, 5, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=4, config=CFG)
+        qa = pa.array(q.tolist(), type=pa.list_(pa.float32()))
+        out = pmt.matmul_arrow(qa, cc)
+        panel = np.array(out.to_pylist(), dtype=np.float32)
+        np.testing.assert_allclose(panel, q @ c.T, rtol=2e-4, atol=2e-3)
+        # flatten mode: row-major flat column
+        flat = pmt.matmul_arrow(qa, cc, flatten=True)
+        np.testing.assert_allclose(
+            np.asarray(flat.to_numpy(zero_copy_only=False)),
+            panel.reshape(-1), rtol=1e-6)
+        # empty-left typed fast return
+        empty = pa.array([], type=pa.list_(pa.float32()))
+        assert len(pmt.matmul_arrow(empty, cc)) == 0
+        # config= is the handle's job, same contract as Corpus
+        with pytest.raises(ValueError, match="config= has no effect"):
+            pmt.matmul_arrow(qa, cc, config=CFG)
