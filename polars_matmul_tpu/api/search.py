@@ -690,6 +690,90 @@ class Corpus:
                 cbp = put_cols(cbp, cbc[:, :m], pos)
                 self._prepared[key] = (cp, cbp)
 
+    def _apply_row_mutation_sharded(self, r, idx_np):
+        """Mesh analog of _apply_row_mutation for update(): scatter new
+        rows into the sharded raw buffer and every cached per-shard
+        prepared form through donated programs.  Global row ids ARE
+        global array positions (block partitioning pads only at the
+        global tail), so the data scatter is direct; float prepared
+        forms carry per-shard tile padding, so their positions are
+        remapped shard-locally."""
+        import jax
+
+        sc = self._device  # ShardedCorpus
+        n_shards = self.mesh.shape[self.config.mesh_axes[1]]
+        ns = sc.data.shape[0] // n_shards
+        m = r.shape[0]
+        put_rows, put_cols = _scatter_fns()
+        idx_j = _to_jax(idx_np.astype(np.int32), np.dtype(np.int32))
+
+        if self._quantized:
+            if self.storage == "int4":
+                from ..kernels.fused_topk import feature_geometry
+
+                ck, dpp, _ = feature_geometry(self.dim)
+                codes_np, scales_np = _quantize_rows_int4_np(r, ck, dpp)
+            else:
+                codes_np, scales_np = _quantize_rows_np(r)
+            codes_np = np.pad(
+                codes_np,
+                ((0, 0), (0, sc.data.shape[1] - codes_np.shape[1])))
+            rj = _to_jax(codes_np, np.dtype(np.int8))
+            scales_j = _to_jax(scales_np, np.dtype(np.float32))
+            sc.scales = put_rows(sc.scales, scales_j, idx_j)
+            sc._f32_view = None
+            # Alias discipline (same as the single-device path): every
+            # shared-storage prepared form holds the SAME code buffer,
+            # which must be donated exactly once with no surviving
+            # references; cbp rows are deduped by identity because
+            # different k-regime keys share one bias operand.
+            shared = {}
+            for key in list(sc._prepared):
+                entry = sc._prepared.pop(key)
+                cp_e, cbp_e = entry
+                aliased = cp_e is sc.data
+                del entry, cp_e
+                if not aliased or cbp_e.shape[1] != sc.data.shape[0]:
+                    continue  # copy-geometry prep: rebuild lazily
+                if id(cbp_e) in shared:
+                    shared[id(cbp_e)][1].append(key)
+                else:
+                    shared[id(cbp_e)] = (cbp_e, [key])
+            sc.data = put_rows(sc.data, rj, idx_j)
+            with jax.enable_x64(False):
+                for cbp_e, keys in list(shared.values()):
+                    cbc = _quant_bias_chunk_fn(
+                        keys[0][0], self.storage)(rj, scales_j)
+                    new_cbp = put_cols(cbp_e, cbc, idx_j)
+                    for key in keys:
+                        sc._prepared[key] = (sc.data, new_cbp)
+            return
+
+        import jax.numpy as jnp
+
+        buf_dt = sc.data.dtype
+        rj32 = _to_jax(r, np.dtype(np.float32))
+        rj = rj32.astype(buf_dt) if buf_dt != jnp.float32 else rj32
+        if np.dtype(buf_dt) == np.float64:
+            rj = _to_jax(r, np.dtype(np.float64))
+        prep_src = rj if self.storage == "bf16" else rj32
+        sc._f32_view = None
+        sc.data = put_rows(sc.data, rj, idx_j)
+        with jax.enable_x64(False):
+            for key in list(sc._prepared):
+                cp_e, cbp_e = sc._prepared.pop(key)
+                # Per-shard prep geometry: shard s's local rows are padded
+                # to a tile multiple, so global row g sits at prep row
+                # (g // ns) * ns_pad + g % ns.
+                ns_pad = cp_e.shape[0] // n_shards
+                pos_np = ((idx_np // ns) * ns_pad
+                          + idx_np % ns).astype(np.int32)
+                pos = _to_jax(pos_np, np.dtype(np.int32))
+                cpc, cbc = _prep_chunk_fn(*key)(prep_src)
+                cp_e = put_rows(cp_e, cpc[:m], pos)
+                cbp_e = put_cols(cbp_e, cbc[:, :m], pos)
+                sc._prepared[key] = (cp_e, cbp_e)
+
     def __len__(self) -> int:
         return self.n
 
@@ -792,10 +876,11 @@ class Corpus:
         buffer and every cached prepared form are scatter-updated through
         donated programs, so compiled search programs are reused with
         zero recompilation and no buffer copies.  Updating a tombstoned
-        row revives it.  Single-device handles only.
+        row revives it.  Works on mesh-sharded handles too: the scatter
+        routes each row to its owning shard (global ids are global
+        positions under block partitioning), and per-shard prepared
+        forms are patched in place the same way.
         """
-        if self.mesh is not None:
-            raise ValueError("update() is single-device only")
         idx = np.asarray(indices).reshape(-1)
         r = np.asarray(rows)
         if r.ndim != 2 or r.shape[1] != self.dim:
@@ -824,10 +909,13 @@ class Corpus:
             # and four separate scatters could each pick different winners
             raise ValueError("update indices must be unique")
 
-        scatter_rows, scatter_cols = _scatter_fns()
-        idx_j = _to_jax(idx, np.dtype(np.int32))
-        self._apply_row_mutation(r, scatter_rows, scatter_cols,
-                                 scatter_rows, idx_j)
+        if self.mesh is not None:
+            self._apply_row_mutation_sharded(r, idx)
+        else:
+            scatter_rows, scatter_cols = _scatter_fns()
+            idx_j = _to_jax(idx, np.dtype(np.int32))
+            self._apply_row_mutation(r, scatter_rows, scatter_cols,
+                                     scatter_rows, idx_j)
 
         if self._tombstones is not None and self._tombstones[idx].any():
             self._tombstones[idx] = False

@@ -479,3 +479,95 @@ def test_sharded_int4_storage(mesh8, tmp_path):
     ia, _ = h2.topk(q, 5)
     ib, _ = h.topk(q, 5)
     np.testing.assert_array_equal(ia, ib)
+
+
+class TestShardedUpdate:
+    """Corpus.update on a mesh: the scatter routes rows to their owning
+    shards and per-shard prepared forms are patched in place, so results
+    after an update must match a freshly built corpus — including on
+    already-compiled search programs (prep patched, not rebuilt)."""
+
+    @pytest.mark.parametrize("storage", ["f32", "bf16", "int8", "int4"])
+    def test_update_matches_fresh_corpus(self, mesh8, storage):
+        rng = np.random.default_rng(71)
+        q = rng.standard_normal((6, 32)).astype(np.float32)
+        c = rng.standard_normal((500, 32)).astype(np.float32)
+        h = pmt.Corpus(c, mesh=mesh8, storage=storage)
+        # compile + prep BEFORE the update: the patched prepared forms
+        # must serve the already-compiled program
+        h.topk(q, 5, "cosine")
+        h.topk(q, 5, "euclidean")
+        idx = np.array([0, 7, 63, 64, 255, 499])  # spans several shards
+        new = rng.standard_normal((6, 32)).astype(np.float32) * 2.0
+        h.update(idx, new)
+        c2 = c.copy()
+        c2[idx] = new
+        fresh = pmt.Corpus(c2, mesh=mesh8, storage=storage)
+        for metric in ("cosine", "dot", "euclidean"):
+            i1, v1 = h.topk(q, 5, metric)
+            i2, v2 = fresh.topk(q, 5, metric)
+            np.testing.assert_array_equal(i1, i2, err_msg=metric)
+            np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6,
+                                       err_msg=metric)
+
+    def test_update_matches_single_device(self, mesh8):
+        rng = np.random.default_rng(72)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c = rng.standard_normal((200, 16)).astype(np.float32)
+        hm = pmt.Corpus(c, mesh=mesh8)
+        hs = pmt.Corpus(c)
+        idx = np.array([3, 100, 199])
+        new = rng.standard_normal((3, 16)).astype(np.float32)
+        hm.update(idx, new)
+        hs.update(idx, new)
+        im, vm = hm.topk(q, 7)
+        is_, vs = hs.topk(q, 7)
+        np.testing.assert_array_equal(im, is_)
+        np.testing.assert_allclose(vm, vs, rtol=1e-5, atol=1e-6)
+        # matmul sees the new rows too (f32 view invalidated)
+        np.testing.assert_allclose(hm.matmul(q), hs.matmul(q),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_update_revives_tombstoned_row_on_mesh(self, mesh8):
+        rng = np.random.default_rng(73)
+        c = rng.standard_normal((120, 16)).astype(np.float32)
+        h = pmt.Corpus(c, mesh=mesh8)
+        target = c[44] + rng.standard_normal(16).astype(np.float32) * 1e-3
+        h.delete([44])
+        i0, _ = h.topk(target[None], 1)
+        assert i0[0, 0] != 44
+        h.update([44], c[44][None])
+        i1, _ = h.topk(target[None], 1)
+        assert i1[0, 0] == 44
+
+    def test_int8_shared_prep_stays_aliased_after_update(self, mesh8):
+        rng = np.random.default_rng(74)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        c = rng.standard_normal((300, 16)).astype(np.float32)
+        h = pmt.Corpus(c, mesh=mesh8, storage="int8")
+        h.topk(q, 4, "cosine")
+        h.topk(q, 4, "dot")
+        h.update(np.arange(10), c[:10] * 3.0)
+        for cp, _cb in h._device._prepared.values():
+            assert cp is h._device.data
+        # and the patched cbp still scores correctly
+        c2 = c.copy()
+        c2[:10] = c[:10] * 3.0
+        fresh = pmt.Corpus(c2, mesh=mesh8, storage="int8")
+        for metric in ("cosine", "dot"):
+            i1, v1 = h.topk(q, 4, metric)
+            i2, v2 = fresh.topk(q, 4, metric)
+            np.testing.assert_array_equal(i1, i2, err_msg=metric)
+            np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)
+
+    def test_update_validation_on_mesh(self, mesh8):
+        rng = np.random.default_rng(75)
+        c = rng.standard_normal((100, 16)).astype(np.float32)
+        h = pmt.Corpus(c, mesh=mesh8)
+        with pytest.raises(ValueError, match="must be unique"):
+            h.update([1, 1], np.ones((2, 16), np.float32))
+        with pytest.raises(ValueError, match="Dimension mismatch"):
+            h.update([1], np.ones((1, 8), np.float32))
+        with pytest.raises(ValueError, match="in \\[0, 100\\)"):
+            h.update([100], np.ones((1, 16), np.float32))
+        h.update(np.empty(0, np.int64), np.empty((0, 16), np.float32))
