@@ -206,3 +206,68 @@ def test_lifecycle_fuzz_clustered(storage, tmp_path):
                 assert abs(got - want) < 5e-2 + 1e-2 * abs(want), (
                     f"step {step} probed score drift at ({r},{col})"
                 )
+
+@pytest.mark.parametrize("storage", ["f32", "int8"])
+def test_lifecycle_fuzz_mesh(storage, tmp_path):
+    """Shadow-model fuzz for the mesh-sharded mutation surface:
+    update/delete/save/load on an 8-shard corpus (add is single-device
+    by contract).  The subtle machinery is the sharded scatter + the
+    per-shard prepared-form patching."""
+    import zlib
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = pmt.make_mesh(1, 8)
+
+    rng = np.random.default_rng(zlib.crc32(("mesh" + storage).encode()))
+    dim, k = 24, 4
+    c = rng.standard_normal((120, dim)).astype(np.float32)
+    h = pmt.Corpus(c, storage=storage, mesh=mesh)
+    shadow = c.copy()
+    alive = np.ones(120, bool)
+    metrics = ["cosine", "dot", "euclidean"]
+
+    for step in range(20):
+        op = rng.integers(0, 5)
+        n = shadow.shape[0]
+        if op == 0:                                   # update (unique idx)
+            m = int(rng.integers(1, 7))
+            idx = rng.choice(n, size=m, replace=False)
+            rows = rng.standard_normal((m, dim)).astype(np.float32)
+            h.update(idx, rows)
+            shadow[idx] = rows
+            alive[idx] = True
+        elif op == 1 and alive.sum() > k + 2:         # delete
+            m = int(rng.integers(1, 3))
+            idx = rng.choice(np.nonzero(alive)[0], size=m, replace=False)
+            h.delete(idx)
+            alive[idx] = False
+        elif op == 2:                                 # save -> mesh reload
+            p = tmp_path / f"fzm_{storage}_{step}.npz"
+            h.save(p)
+            h = pmt.Corpus.load(p, mesh=mesh)
+        # op 3/4: plain queries (checked below every step)
+
+        q = rng.standard_normal((3, dim)).astype(np.float32)
+        metric = metrics[step % 3]
+        i, v = h.topk(q, k, metric)
+        if storage == "f32":
+            ref = shadow
+        else:
+            from polars_matmul_tpu.api.search import _quantize_rows_np
+
+            codes, scales = _quantize_rows_np(shadow)
+            ref = codes.astype(np.float32) * scales[:, None]
+        i0, smat = _oracle_topk(q, ref, k, alive, metric)
+        mism = i != i0
+        if mism.any():
+            r, col = np.nonzero(mism)
+            sa = smat[r, i[r, col]]
+            sb = smat[r, i0[r, col]]
+            assert np.allclose(sa, sb, rtol=1e-2, atol=1e-2), (
+                f"step {step} op {op} metric {metric}: "
+                f"non-tied index mismatch\n{i}\nvs\n{i0}"
+            )
+        assert alive[i.reshape(-1)].all() or not (~alive).any()
