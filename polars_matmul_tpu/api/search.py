@@ -458,8 +458,6 @@ class Corpus:
         if storage not in ("f32", "bf16", "int8", "int4"):
             raise ValueError(f"Unknown storage mode: {storage!r}")
 
-        if capacity is not None and mesh is not None:
-            raise ValueError("capacity/add() are single-device only")
         if np.dtype(c.dtype) == np.int8 and storage not in ("int8",
                                                              "int4"):
             raise ValueError(
@@ -545,14 +543,21 @@ class Corpus:
                 # Host arrays go straight to the shards (device_put with a
                 # sharding) — no single-device staging copy.
                 self._device = shard_corpus(c, mesh, cfg, scales=scales,
-                                            storage=storage, dim=self.dim)
+                                            storage=storage, dim=self.dim,
+                                            capacity=capacity)
             else:
                 dev = _to_jax(c, dt)
                 if storage == "bf16":
                     import jax.numpy as jnp
 
                     dev = dev.astype(jnp.bfloat16)
-                self._device = shard_corpus(dev, mesh, cfg)
+                self._device = shard_corpus(dev, mesh, cfg,
+                                            capacity=capacity)
+            if capacity is not None:
+                # Every reserved tail row is usable (quantized layouts
+                # round the per-shard height up, so there may be more
+                # than asked for).
+                self._cap = int(self._device.data.shape[0])
         else:
             if storage == "bf16":
                 import jax.numpy as jnp
@@ -799,11 +804,20 @@ class Corpus:
         and the compiled search program is reused with zero recompilation.
         Exceeding capacity doubles it (one buffer reallocation; prepared
         forms rebuild lazily).  New rows receive indices ``n..n+m-1``.
-        Single-device handles only (a sharded add would change every
-        shard's global offset).
+
+        Mesh-sharded handles support add when built with ``capacity=``:
+        the live row count rides the compiled program as a traced
+        operand and growth is the same sharded scatter as ``update``
+        (rows land in whichever shard owns the next global positions),
+        so in-capacity adds never recompile.  Exceeding a mesh handle's
+        capacity raises — re-build (or ``save``/``load``) with more.
         """
-        if self.mesh is not None:
-            raise ValueError("add() is single-device only")
+        if self.mesh is not None and not self._device.has_capacity:
+            raise ValueError(
+                "add() on a mesh-sharded Corpus requires the handle to "
+                "be built with capacity= (reserved rows are what make "
+                "sharded growth an in-place scatter)"
+            )
         r = np.asarray(rows)
         if r.ndim != 2 or r.shape[1] != self.dim:
             raise ValueError(
@@ -817,6 +831,23 @@ class Corpus:
         import jax.numpy as jnp
 
         new_n = self.n + m
+        if self.mesh is not None:
+            if new_n > self._cap:
+                raise ValueError(
+                    f"add() exceeds the mesh handle's capacity "
+                    f"({self.n} + {m} > {self._cap}); rebuild (or "
+                    f"save/load) with a larger capacity="
+                )
+            self._apply_row_mutation_sharded(
+                r, np.arange(self.n, new_n, dtype=np.int64))
+            self._device.n_true = new_n
+            self._device._live_mask = None
+            if self._tombstones is not None:
+                self._tombstones = np.concatenate(
+                    [self._tombstones, np.zeros(m, dtype=bool)])
+                self._alive_dev = None
+            self.n = new_n
+            return new_n
         if new_n > self._cap:
             # Grow geometrically; prepared forms rebuild lazily at the new
             # capacity (their row counts change, so in-place is impossible).

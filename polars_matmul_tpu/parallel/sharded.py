@@ -49,6 +49,10 @@ class ShardedCorpus:
     # Quantized storage mode for the shards: "int8" or "int4" when
     # ``scales`` is set.
     storage: str = "f32"
+    # Built with reserved growth rows (Corpus(capacity=, mesh=)): forces
+    # the live-mask search path so the compiled program is independent
+    # of the (mutable) live count.
+    has_capacity: bool = False
     # Lazily-built per-(metric, precision) prepared forms (pre-scaled,
     # padded, precision-split per shard) so steady-state distributed
     # queries do zero per-call corpus work — the sharded analog of
@@ -311,7 +315,8 @@ class ShardedCorpus:
 
 def shard_corpus(c, mesh, config: Optional[SearchConfig] = None,
                  scales=None, storage: str = "int8",
-                 dim: Optional[int] = None) -> ShardedCorpus:
+                 dim: Optional[int] = None,
+                 capacity: Optional[int] = None) -> ShardedCorpus:
     """Block-partition a corpus (optionally int8 codes + per-row scales)
     over the corpus mesh axis.
 
@@ -322,6 +327,11 @@ def shard_corpus(c, mesh, config: Optional[SearchConfig] = None,
     at global positions [0, n) — the standard index mapping is untouched
     — and all padding rows map to global indices >= n, which the merge
     already masks.
+
+    ``capacity`` reserves extra zero rows at the global tail for
+    ``Corpus.add`` on mesh: the handle then always searches through the
+    live-row mask, so growth within capacity is a scatter into existing
+    buffers with zero recompilation.
     """
     import jax
     import jax.numpy as jnp
@@ -331,6 +341,7 @@ def shard_corpus(c, mesh, config: Optional[SearchConfig] = None,
     axis = cfg.mesh_axes[1]
     n_shards = mesh.shape[axis]
     n = c.shape[0]
+    cap = n if capacity is None else max(int(capacity), n)
     if scales is not None:
         from ..kernels.fused_topk import feature_geometry
 
@@ -346,7 +357,7 @@ def shard_corpus(c, mesh, config: Optional[SearchConfig] = None,
         else:
             _, width, _ = feature_geometry(c.shape[1])
             orig_dim = c.shape[1]
-        ns = _round_up(-(-n // n_shards), 4096)
+        ns = _round_up(-(-cap // n_shards), 4096)
         codes_p = np.zeros((ns * n_shards, width), np.int8)
         codes_p[:n, : c.shape[1]] = np.asarray(c)
         scales_p = np.ones(ns * n_shards, np.float32)
@@ -355,12 +366,14 @@ def shard_corpus(c, mesh, config: Optional[SearchConfig] = None,
         sh_scales = jax.device_put(
             scales_p, NamedSharding(mesh, P(axis)))
         return ShardedCorpus(data, n, scales=sh_scales, dim=orig_dim,
-                             storage=storage)
-    n_pad = _round_up(n, n_shards)
+                             storage=storage,
+                             has_capacity=capacity is not None)
+    n_pad = _round_up(cap, n_shards)
     if n_pad != n:
         c = jnp.pad(c, ((0, n_pad - n), (0, 0)))
     sharding = NamedSharding(mesh, P(axis, None))
-    return ShardedCorpus(jax.device_put(c, sharding), n)
+    return ShardedCorpus(jax.device_put(c, sharding), n,
+                         has_capacity=capacity is not None)
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -401,14 +414,18 @@ def _merge_sorted_2key(vals, idx, k: int, hib: bool):
 # polymorphism beneath each cache entry.  ``prepared`` selects the
 # zero-corpus-work path fed by ShardedCorpus.prepared_for.
 @lru_cache(maxsize=64)
-def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
+def _topk_callable(mesh, k, k_local, ns, metric: Metric,
                    cfg: SearchConfig, prepared: bool = False,
                    masked: bool = False, probed=None):
     """``probed=(p_local, tm)`` (prepared path only) adds two operands —
     replicated centroids and the shard's tile-cluster slice — and each
     shard probe-ranks its own corpus tiles before the fused kernel visits
     only the listed ones (distributed IVF: equal per-shard probe budget,
-    load-balanced by construction)."""
+    load-balanced by construction).
+
+    The live row count rides as a TRACED int32 operand (``nl_``), not a
+    compile-time constant, so growing a capacity-reserved corpus
+    (``Corpus.add`` on mesh) never recompiles the search program."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -424,7 +441,7 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
     q_spec = P(d_axis, None) if shards_data else P()
     row_spec = d_axis if shards_data else None
 
-    def finish(vals, idx):
+    def finish(nl_, vals, idx):
         # Sentinel slots (idx == INT32_MAX when a masked shard had fewer
         # matches than k_local) must not take the offset: the add would
         # overflow int32 and the negative result would win tie sorts and
@@ -432,17 +449,17 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
         sent = idx == jnp.iinfo(jnp.int32).max
         off = jax.lax.axis_index(c_axis) * ns
         gidx = jnp.where(sent, idx, idx + off)
-        vals = jnp.where(sent | (gidx >= n_true), worst, vals)
+        vals = jnp.where(sent | (gidx >= nl_), worst, vals)
         return vals, gidx
 
     if prepared and probed is not None:
         p_local, tm = probed
 
-        def local_topk(q_, cp_, cb_, cent_, tc_, *m_):
+        def local_topk(q_, nl_, cp_, cb_, cent_, tc_, *m_):
             tiles = probe_tiles(q_, cent_, tc_, p=p_local, tm=tm,
                                 metric_v=metric.value)
             mk = m_[0] if m_ else None
-            return finish(*fused_topk_prepared(
+            return finish(nl_, *fused_topk_prepared(
                 q_, cp_, cb_, k_local, metric, mask=mk, config=cfg,
                 tiles=tiles,
             ))
@@ -450,21 +467,21 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
         corpus_in_specs = (P(c_axis, None), P(None, c_axis), P(None, None),
                            P(c_axis))
     elif prepared:
-        def local_topk(q_, cp_, cb_, *m_):
+        def local_topk(q_, nl_, cp_, cb_, *m_):
             mk = m_[0] if m_ else None
-            return finish(*fused_topk_prepared(
+            return finish(nl_, *fused_topk_prepared(
                 q_, cp_, cb_, k_local, metric, mask=mk, config=cfg
             ))
 
         corpus_in_specs = (P(c_axis, None), P(None, c_axis))
     else:
-        def local_topk(q_, c_, *m_):
+        def local_topk(q_, nl_, c_, *m_):
             # Quantized shards arrive pre-dequantized (ShardedCorpus
             # .dense_f32 caches the f32 view), so this path always sees
             # real f32 values.
             mk = m_[0] if m_ else None
-            return finish(*fused_topk(q_, c_, k_local, metric, mask=mk,
-                                      config=cfg))
+            return finish(nl_, *fused_topk(q_, c_, k_local, metric,
+                                           mask=mk, config=cfg))
 
         corpus_in_specs = (P(c_axis, None),)
     if masked:
@@ -483,7 +500,7 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
                 acc_v, acc_i = _merge_sorted_2key(cat_v, cat_i, k, hib)
             return acc_v, acc_i
 
-        def ring_fn(q_, *c_args):
+        def ring_fn(q_, nl_, *c_args):
             # Pipeline the merge with compute: each query chunk's ring
             # exchange is dataflow-independent of the next chunk's local
             # search, so the latency-hiding scheduler overlaps the ICI
@@ -492,7 +509,8 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
             n_chunks = max(1, min(cfg.ring_pipeline, m))
             bounds = [m * i // n_chunks for i in range(n_chunks + 1)]
             outs = [
-                ring_chain(*local_topk(q_[bounds[i]:bounds[i + 1]], *c_args))
+                ring_chain(*local_topk(q_[bounds[i]:bounds[i + 1]], nl_,
+                                       *c_args))
                 for i in range(n_chunks)
             ]
             acc_v = jnp.concatenate([o[0] for o in outs], axis=0)
@@ -502,12 +520,12 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
         mapped = _shard_map(
             ring_fn,
             mesh,
-            in_specs=(q_spec, *corpus_in_specs),
+            in_specs=(q_spec, P(), *corpus_in_specs),
             out_specs=(P(row_spec, None), P(row_spec, None)),
         )
 
-        def run(q, *c_args):
-            vals_m, idx_m = mapped(q, *c_args)
+        def run(q, n_live, *c_args):
+            vals_m, idx_m = mapped(q, jnp.int32(n_live), *c_args)
             return vals_m[:, :k], idx_m[:, :k].astype(jnp.int32)
 
         return jax.jit(run)
@@ -515,12 +533,12 @@ def _topk_callable(mesh, k, k_local, n_true, ns, metric: Metric,
     mapped = _shard_map(
         local_topk,
         mesh,
-        in_specs=(q_spec, *corpus_in_specs),
+        in_specs=(q_spec, P(), *corpus_in_specs),
         out_specs=(P(row_spec, c_axis), P(row_spec, c_axis)),
     )
 
-    def run(q, *c_args):
-        vals_g, idx_g = mapped(q, *c_args)
+    def run(q, n_live, *c_args):
+        vals_g, idx_g = mapped(q, jnp.int32(n_live), *c_args)
         merged_vals, merged_pos = topk_from_scores(vals_g, k, hib)
         merged_idx = jnp.take_along_axis(idx_g, merged_pos, axis=1)
         return merged_vals, merged_idx.astype(jnp.int32)
@@ -597,7 +615,10 @@ def distributed_topk(
     # mask instead (the kernel then -inf's pad rows by SELECT, and they
     # cannot evict anything).
     pad_rows = corpus.shape[0] - n_true
-    synth_mask = pad_rows >= n_shards
+    # Capacity-reserved corpora always take the mask path: k_local then
+    # never depends on the (mutable) live count, so Corpus.add reuses
+    # the compiled program.
+    synth_mask = pad_rows >= n_shards or corpus.has_capacity
     if synth_mask:
         k_local = min(k, ns)
     else:
@@ -645,18 +666,18 @@ def distributed_topk(
             m_local = (q.shape[0] // d_shards if d_shards > 1
                        else q.shape[0])
             tm = query_tile_rows(max(1, m_local), dim, cfg, k_local)
-            fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg,
+            fn = _topk_callable(mesh, k, k_local, ns, metric, cfg,
                                 prepared=True, masked=masked,
                                 probed=(int(p_local), tm))
-            return fn(q, cp, cbp, cent, tc, *m_args)
-        fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg,
+            return fn(q, n_true, cp, cbp, cent, tc, *m_args)
+        fn = _topk_callable(mesh, k, k_local, ns, metric, cfg,
                             prepared=True, masked=masked)
-        return fn(q, cp, cbp, *m_args)
-    fn = _topk_callable(mesh, k, k_local, n_true, ns, metric, cfg,
+        return fn(q, n_true, cp, cbp, *m_args)
+    fn = _topk_callable(mesh, k, k_local, ns, metric, cfg,
                         masked=masked)
     # Quantized / bf16 shards: the fallback needs dense values — use the
     # cached f32 view (built once) instead of dequantizing per call.
-    return fn(q, corpus.dense_f32(mesh, cfg), *m_args)
+    return fn(q, n_true, corpus.dense_f32(mesh, cfg), *m_args)
 
 
 @lru_cache(maxsize=64)

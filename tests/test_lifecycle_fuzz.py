@@ -224,15 +224,21 @@ def test_lifecycle_fuzz_mesh(storage, tmp_path):
     rng = np.random.default_rng(zlib.crc32(("mesh" + storage).encode()))
     dim, k = 24, 4
     c = rng.standard_normal((120, dim)).astype(np.float32)
-    h = pmt.Corpus(c, storage=storage, mesh=mesh)
+    h = pmt.Corpus(c, storage=storage, mesh=mesh, capacity=400)
     shadow = c.copy()
     alive = np.ones(120, bool)
     metrics = ["cosine", "dot", "euclidean"]
 
     for step in range(20):
-        op = rng.integers(0, 5)
+        op = rng.integers(0, 6)
         n = shadow.shape[0]
-        if op == 0:                                   # update (unique idx)
+        if op == 5 and n < 380:                       # add (capacity)
+            m = int(rng.integers(1, 8))
+            rows = rng.standard_normal((m, dim)).astype(np.float32)
+            assert h.add(rows) == n + m
+            shadow = np.vstack([shadow, rows])
+            alive = np.concatenate([alive, np.ones(m, bool)])
+        elif op == 0:                                 # update (unique idx)
             m = int(rng.integers(1, 7))
             idx = rng.choice(n, size=m, replace=False)
             rows = rng.standard_normal((m, dim)).astype(np.float32)
@@ -247,7 +253,7 @@ def test_lifecycle_fuzz_mesh(storage, tmp_path):
         elif op == 2:                                 # save -> mesh reload
             p = tmp_path / f"fzm_{storage}_{step}.npz"
             h.save(p)
-            h = pmt.Corpus.load(p, mesh=mesh)
+            h = pmt.Corpus.load(p, mesh=mesh, capacity=400)
         # op 3/4: plain queries (checked below every step)
 
         q = rng.standard_normal((3, dim)).astype(np.float32)

@@ -571,3 +571,87 @@ class TestShardedUpdate:
         with pytest.raises(ValueError, match="in \\[0, 100\\)"):
             h.update([100], np.ones((1, 16), np.float32))
         h.update(np.empty(0, np.int64), np.empty((0, 16), np.float32))
+
+
+class TestShardedAdd:
+    """Corpus.add on a mesh handle built with capacity=: growth is the
+    same sharded scatter as update, the live count rides the compiled
+    program as a traced operand, and in-capacity adds never recompile."""
+
+    @pytest.mark.parametrize("storage", ["f32", "bf16", "int8", "int4"])
+    def test_add_matches_fresh_corpus(self, mesh8, storage):
+        rng = np.random.default_rng(81)
+        q = rng.standard_normal((5, 32)).astype(np.float32)
+        c = rng.standard_normal((200, 32)).astype(np.float32)
+        h = pmt.Corpus(c, mesh=mesh8, storage=storage, capacity=400)
+        h.topk(q, 5, "cosine")        # compile + prep before the growth
+        new = rng.standard_normal((57, 32)).astype(np.float32)
+        assert h.add(new) == 257
+        c2 = np.vstack([c, new])
+        fresh = pmt.Corpus(c2, mesh=mesh8, storage=storage, capacity=400)
+        for metric in ("cosine", "dot", "euclidean"):
+            i1, v1 = h.topk(q, 6, metric)
+            i2, v2 = fresh.topk(q, 6, metric)
+            np.testing.assert_array_equal(i1, i2, err_msg=metric)
+            np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6,
+                                       err_msg=metric)
+        # new rows are findable by id
+        i3, _ = h.topk(new[30][None], 1, "cosine")
+        if storage in ("f32", "bf16"):
+            assert i3[0, 0] == 230
+
+    def test_add_never_recompiles_search(self, mesh8):
+        import jax._src.monitoring as mon
+
+        rng = np.random.default_rng(82)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        c = rng.standard_normal((100, 16)).astype(np.float32)
+        h = pmt.Corpus(c, mesh=mesh8, capacity=300)
+        h.topk(q, 4, "cosine")
+        # warm the one-time mutation programs with a first add
+        h.add(rng.standard_normal((10, 16)).astype(np.float32))
+        h.topk(q, 4, "cosine")
+        events = []
+        cb = lambda e, **kw: events.append(e)
+        mon.register_event_listener(cb)
+        try:
+            for _ in range(3):
+                h.add(rng.standard_normal((10, 16)).astype(np.float32))
+                h.topk(q, 4, "cosine")
+            compiles = [e for e in events if "compil" in e.lower()]
+            assert not compiles, compiles
+        finally:
+            if hasattr(mon, "_unregister_event_listener_by_callback"):
+                mon._unregister_event_listener_by_callback(cb)
+
+    def test_add_then_update_delete_and_save_load(self, mesh8, tmp_path):
+        rng = np.random.default_rng(83)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        c = rng.standard_normal((90, 16)).astype(np.float32)
+        h = pmt.Corpus(c, mesh=mesh8, storage="int8", capacity=200)
+        new = rng.standard_normal((30, 16)).astype(np.float32)
+        h.add(new)
+        h.update([100], rng.standard_normal((1, 16)).astype(np.float32))
+        h.delete([5, 119])
+        p = tmp_path / "mesh_add.npz"
+        h.save(p)
+        h2 = pmt.Corpus.load(p, mesh=mesh8, capacity=200)
+        i1, v1 = h.topk(q, 5)
+        i2, v2 = h2.topk(q, 5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-6)
+        assert h2.n == 120 and h2.deleted_count == 2
+        # loaded-with-capacity handle keeps growing
+        h2.add(rng.standard_normal((10, 16)).astype(np.float32))
+        assert h2.n == 130
+
+    def test_add_requires_capacity_and_respects_it(self, mesh8):
+        rng = np.random.default_rng(84)
+        c = rng.standard_normal((50, 16)).astype(np.float32)
+        h0 = pmt.Corpus(c, mesh=mesh8)
+        with pytest.raises(ValueError, match="capacity="):
+            h0.add(np.ones((1, 16), np.float32))
+        h = pmt.Corpus(c, mesh=mesh8, capacity=60)
+        with pytest.raises(ValueError, match="exceeds the mesh"):
+            h.add(np.ones((100, 16), np.float32))
+        assert h.add(np.empty((0, 16), np.float32)) == 50
