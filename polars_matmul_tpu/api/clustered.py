@@ -34,6 +34,7 @@ from ..ops.cluster import (
     assign_rows,
     cluster_layout,
     kmeans,
+    make_assigner,
     permute_rows,
     probe_tiles,
     resolve_probe,
@@ -48,6 +49,7 @@ from .search import (
     _validate_mask,
     _quantize_rows_int4_np,
     _quantize_rows_np,
+    _unpack_int4_np,
     compute_dtype,
 )
 
@@ -165,22 +167,17 @@ class ClusteredCorpus:
         self._tn = corpus_tile_rows(self.dim, cfg, 1)
 
         if clusters is None:
-            clusters = max(1, -(-self.n // (4 * self._tn)))
-        self.clusters = int(min(clusters, self.n))
+            clusters = self._default_clusters(self.n)
 
         # --- cluster (sampled k-means, then full chunked assignment) ----
         cf = np.ascontiguousarray(c, dtype=np.float32)
-        rng = np.random.default_rng(seed)
-        if self.n > sample_rows:
-            sample = cf[rng.choice(self.n, sample_rows, replace=False)]
-        else:
-            sample = cf
-        with jax.enable_x64(False):
-            cent, _ = kmeans(sample, self.clusters, iters=kmeans_iters,
-                             seed=seed)
-            cent = jax.block_until_ready(cent)
-            assign = assign_rows(cf, cent)
+        cent = self._fit_sampled(lambda ids: cf[ids], np.arange(self.n),
+                                 int(min(clusters, self.n)),
+                                 sample_rows, kmeans_iters, seed)
         self.centroids = cent  # (clusters, dim) f32, device
+        self.clusters = int(cent.shape[0])  # kmeans clamps to sample size
+        with jax.enable_x64(False):
+            assign = assign_rows(cf, cent)
         self.layout: ClusterLayout = cluster_layout(
             assign, self.clusters, self._tn)
 
@@ -225,6 +222,73 @@ class ClusteredCorpus:
         self._prepared = {}   # (metric, precision) -> (cp, cbp)
         self._packed_fns = {}
         self._tombstones: Optional[np.ndarray] = None
+
+    def _default_clusters(self, n: int) -> int:
+        """Constructor default: about four corpus tiles per cluster."""
+        return max(1, -(-n // (4 * self._tn)))
+
+    def _fit_sampled(self, get_rows, ids: np.ndarray, clusters: int,
+                     sample_rows: int, kmeans_iters: int, seed: int):
+        """Sampled k-means fit shared by the constructor and rebuild():
+        fit on at most ``sample_rows`` of ``ids`` (f32 values fetched via
+        ``get_rows``).  Returns the device centroid array; callers take
+        the actual cluster count from its shape — ``kmeans`` clamps to
+        the sample size, so the requested count is an upper bound."""
+        import jax
+
+        rng = np.random.default_rng(seed)
+        sample_ids = (rng.choice(ids, sample_rows, replace=False)
+                      if ids.size > sample_rows else ids)
+        with jax.enable_x64(False):
+            cent, _ = kmeans(get_rows(sample_ids), clusters,
+                             iters=kmeans_iters, seed=seed)
+            return jax.block_until_ready(cent)
+
+    def _gather_native_host(self):
+        """Host copy of the storage-native payload + scales in the
+        CURRENT permuted layout.  Mesh shards are gathered; int8 shards
+        carry kernel feature padding, trimmed here to the code width so
+        every consumer (save files, rebuild) is mesh-agnostic — the
+        install path re-derives the padding."""
+        if self.mesh is None:
+            base = np.asarray(self._base)
+            scales = self._scales
+        else:
+            base = np.asarray(self._sharded.data)
+            if self.storage == "int8":
+                base = base[:, : self.dim]
+            scales = self._sharded.scales
+        return base, (None if scales is None
+                      else np.asarray(scales, np.float32))
+
+    def _install_payload(self, base: np.ndarray,
+                         scales: "Optional[np.ndarray]"):
+        """Install a PERMUTED host payload matching ``self.layout`` (on
+        the mesh or the single device) and drop every layout-derived
+        cache — shared by load() and rebuild()."""
+        import jax
+
+        self._prepared = {}
+        self._packed_fns = {}
+        self._dense = None
+        self._perm_mask_dev = None
+        with jax.enable_x64(False):
+            if self.mesh is not None:
+                self._align_layout_for_mesh()
+                self._install_mesh_payload(np.ascontiguousarray(base),
+                                           scales)
+            else:
+                perm = self.layout.perm
+                self._perm_dev = _to_jax(perm, np.dtype(np.int32))
+                self._tile_cluster_dev = _to_jax(
+                    self.layout.tile_cluster, np.dtype(np.int32))
+                self._base = jax.block_until_ready(
+                    _to_jax(base, base.dtype))
+                self._scales = (None if scales is None else
+                                jax.block_until_ready(
+                                    _to_jax(scales,
+                                            np.dtype(np.float32))))
+                self._live_dev = self._perm_dev >= 0
 
     # -- mesh construction -------------------------------------------------
     def _align_layout_for_mesh(self):
@@ -734,23 +798,13 @@ class ClusteredCorpus:
             "counts": self.layout.counts,
             "centroids": np.asarray(self.centroids, np.float32),
         }
-        if self.mesh is None:
-            base = np.asarray(self._base)
-            scales = self._scales
-        else:
-            # Gather the shards; int8 shards carry kernel feature padding
-            # — trim to the code width so the file is mesh-agnostic (the
-            # single-device base and any re-shard re-derive the padding).
-            base = np.asarray(self._sharded.data)
-            if self.storage == "int8":
-                base = base[:, : self.dim]
-            scales = self._sharded.scales
+        base, scales = self._gather_native_host()
         if self.storage == "bf16":
             arrays["data_u16"] = base.view(np.uint16)
         else:
             arrays["data"] = base
         if scales is not None:
-            arrays["scales"] = np.asarray(scales, np.float32)
+            arrays["scales"] = scales
         if self._tombstones is not None:
             arrays["tombstones"] = self._tombstones
         with open(path, "wb") as f:
@@ -800,27 +854,95 @@ class ClusteredCorpus:
         with jax.enable_x64(False):
             self.centroids = jax.block_until_ready(
                 _to_jax(centroids, np.dtype(np.float32)))
-            if mesh is not None:
-                self._align_layout_for_mesh()
-                self._install_mesh_payload(
-                    np.ascontiguousarray(base),
-                    None if scales is None
-                    else np.asarray(scales, np.float32))
-            else:
-                self._perm_dev = _to_jax(perm, np.dtype(np.int32))
-                self._tile_cluster_dev = _to_jax(tile_cluster,
-                                                 np.dtype(np.int32))
-                self._base = jax.block_until_ready(
-                    _to_jax(base, base.dtype))
-                self._scales = (None if scales is None else
-                                jax.block_until_ready(
-                                    _to_jax(scales,
-                                            np.dtype(np.float32))))
-                self._live_dev = self._perm_dev >= 0
-        self._prepared = {}
-        self._packed_fns = {}
+        self._install_payload(base, None if scales is None
+                              else np.asarray(scales, np.float32))
         self._tombstones = None if tomb is None or not tomb.any() \
             else tomb.astype(bool)
+        return self
+
+    def rebuild(
+        self,
+        *,
+        clusters: Optional[int] = None,
+        seed: int = 0,
+        kmeans_iters: int = 8,
+        sample_rows: int = 131072,
+    ) -> "ClusteredCorpus":
+        """Re-fit centroids on the live rows and re-lay out the corpus —
+        drift recovery after heavy ``add``/``update`` traffic (neither
+        refits centroids, so probe recall decays as the data moves).
+
+        Storage-native: quantized codes/scales are PERMUTED into the new
+        layout, never requantized, so exhaustive results are identical
+        before and after; only the probe's tile ranking changes.  Row
+        ids and tombstones are stable.  ``clusters=None`` recomputes the
+        constructor default from the CURRENT row count.  Prepared forms
+        and compiled probe programs rebuild lazily on the next query.
+        Works on mesh handles (the new layout is re-sharded).  k-means
+        runs on dequantized values (sampled fit + chunked assignment),
+        so the f32 transient is one chunk, not the corpus.
+        """
+        import jax
+
+        n = self.n
+        if clusters is None:
+            clusters = self._default_clusters(n)
+
+        # -- gather the native payload in ORIGINAL row order (host) ------
+        base_host, scales_host = self._gather_native_host()
+        old_pos = self.layout.row_pos[:n].astype(np.int64)
+        orig = np.ascontiguousarray(base_host[old_pos])
+        orig_scales = (None if scales_host is None
+                       else np.ascontiguousarray(scales_host[old_pos]))
+        del base_host, scales_host
+
+        def deq(rows, sc):
+            """Native rows -> f32 values (assignment input)."""
+            if self.storage == "int8":
+                return rows.astype(np.float32) * sc[:, None]
+            if self.storage == "int4":
+                from ..kernels.fused_topk import feature_geometry
+
+                ck, _, _ = feature_geometry(self.dim)
+                codes = _unpack_int4_np(rows, ck, self.dim)
+                return codes.astype(np.float32) * sc[:, None]
+            return np.asarray(rows, dtype=np.float32)
+
+        # -- re-fit on live rows, re-assign everything (chunked) ---------
+        live_ids = (np.arange(n) if self._tombstones is None
+                    else np.flatnonzero(~self._tombstones))
+        if live_ids.size == 0:
+            live_ids = np.arange(n)  # all tombstoned: fit on the bytes
+        cent = self._fit_sampled(
+            lambda ids: deq(orig[ids],
+                            None if orig_scales is None
+                            else orig_scales[ids]),
+            live_ids, int(min(clusters, live_ids.size)),
+            sample_rows, kmeans_iters, seed)
+        self.centroids = cent
+        self.clusters = int(cent.shape[0])  # kmeans clamps to sample size
+        assign = np.empty(n, np.int32)
+        with jax.enable_x64(False):
+            one = make_assigner(cent)
+            chunk = 65536
+            for r0 in range(0, n, chunk):
+                rows = slice(r0, min(r0 + chunk, n))
+                assign[rows] = np.asarray(one(
+                    deq(orig[rows],
+                        None if orig_scales is None
+                        else orig_scales[rows])))
+        self.layout = cluster_layout(assign, self.clusters, self._tn)
+
+        # -- permute the NATIVE rows into the new layout ------------------
+        perm = self.layout.perm
+        live = perm >= 0
+        new_base = np.zeros((perm.shape[0], orig.shape[1]), orig.dtype)
+        new_base[live] = orig[perm[live]]
+        new_scales = None
+        if orig_scales is not None:
+            new_scales = np.ones(perm.shape[0], np.float32)
+            new_scales[live] = orig_scales[perm[live]]
+        self._install_payload(new_base, new_scales)
         return self
 
     @classmethod

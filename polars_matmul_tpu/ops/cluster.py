@@ -122,10 +122,11 @@ def kmeans(x, n_clusters: int, *, iters: int = 8, seed: int = 0):
     return cent, assign(cent)
 
 
-def assign_rows(c, centroids, *, chunk_rows: int = 65536) -> np.ndarray:
-    """Nearest-centroid assignment of the FULL corpus, in row chunks (the
-    transient (chunk, C) distance panel stays bounded regardless of n).
-    Returns host (n,) int32 — the layout builder is host-side anyway."""
+def make_assigner(centroids):
+    """One jitted nearest-centroid chunk assigner, reusable across many
+    chunks.  Callers that loop over host-side chunks must hoist this out
+    of the loop — a fresh closure per chunk re-traces and recompiles the
+    same program every iteration."""
     cent = jnp.asarray(centroids, jnp.float32)
     csq = jnp.sum(cent * cent, axis=1)[None, :]
 
@@ -135,6 +136,14 @@ def assign_rows(c, centroids, *, chunk_rows: int = 65536) -> np.ndarray:
         d = -2.0 * (x @ cent.T) + csq
         return jnp.argmin(d, axis=1).astype(jnp.int32)
 
+    return one
+
+
+def assign_rows(c, centroids, *, chunk_rows: int = 65536) -> np.ndarray:
+    """Nearest-centroid assignment of the FULL corpus, in row chunks (the
+    transient (chunk, C) distance panel stays bounded regardless of n).
+    Returns host (n,) int32 — the layout builder is host-side anyway."""
+    one = make_assigner(centroids)
     c = jnp.asarray(c)
     n = c.shape[0]
     out = np.empty(n, np.int32)

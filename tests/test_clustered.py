@@ -718,3 +718,97 @@ class TestClusteredArrowSurface:
         # config= is the handle's job, same contract as Corpus
         with pytest.raises(ValueError, match="config= has no effect"):
             pmt.matmul_arrow(qa, cc, config=CFG)
+
+
+class TestClusteredRebuild:
+    """rebuild(): re-fit centroids + re-lay out, storage-native.  The
+    exhaustive scan must be invariant (codes are permuted, never
+    requantized); the probe's recall must RECOVER after drift."""
+
+    @pytest.mark.parametrize("storage", ["f32", "bf16", "int8", "int4"])
+    def test_exhaustive_invariant(self, storage):
+        rng = np.random.default_rng(90)
+        q, c = blobs(rng, 2000, 12, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=8, storage=storage, config=CFG)
+        before = {m: cc.topk(q, 5, m) for m in ("cosine", "dot",
+                                                "euclidean")}
+        assert cc.rebuild(clusters=5, seed=7) is cc
+        assert cc.clusters == 5
+        for m, (i0, v0) in before.items():
+            i1, v1 = cc.topk(q, 5, m)
+            np.testing.assert_array_equal(i1, i0, err_msg=m)
+            np.testing.assert_allclose(v1, v0, rtol=1e-6, atol=1e-7,
+                                       err_msg=m)
+
+    def test_recall_recovers_after_drift(self):
+        rng = np.random.default_rng(91)
+        q, c = blobs(rng, 3000, 40, 32, n_centers=25)
+        cc = pmt.ClusteredCorpus(c, clusters=25, config=CFG)
+        # drift: ten new distinct blobs the original centroids know
+        # nothing about (distinct, so top-k membership is well-defined —
+        # near-duplicate rows would make recall meaningless under ties)
+        shift = np.full((1, 32), 30.0, np.float32)
+        new_centers = shift + rng.standard_normal((10, 32)) * 6.0
+        drift = (new_centers[rng.integers(0, 10, 2500)]
+                 + rng.standard_normal((2500, 32))).astype(np.float32)
+        cc.add(drift)
+        qd = (new_centers[rng.integers(0, 10, 40)]
+              + rng.standard_normal((40, 32))).astype(np.float32)
+        ei, ev = cc.topk(qd, 10)
+        pi_before, _ = cc.topk(qd, 10, probe=0.25)
+        r_before = recall(pi_before, ei)
+        cc.rebuild()
+        ei2, ev2 = cc.topk(qd, 10)
+        # exhaustive scan invariant up to exact-score ties (the dense
+        # drift mode produces bit-equal f32 cosines; tie order follows
+        # the permuted layout, like the reference's unstable quickselect)
+        mism = ei2 != ei
+        if mism.any():
+            r, col = np.nonzero(mism)
+            np.testing.assert_array_equal(ev2[r, col], ev[r, col])
+        pi_after, _ = cc.topk(qd, 10, probe=0.25)
+        r_after = recall(pi_after, ei)
+        assert r_after > max(r_before, 0.9), (r_before, r_after)
+
+    def test_tombstones_and_ids_stable(self):
+        rng = np.random.default_rng(92)
+        q, c = blobs(rng, 800, 6, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=6, config=CFG)
+        cc.delete([3, 4, 5])
+        cc.rebuild(seed=5)
+        assert cc.deleted_count == 3
+        i, _ = cc.topk(q, 6)
+        assert not np.isin(i, [3, 4, 5]).any()
+        # a revive still works against the new layout
+        cc.update([4], c[4][None])
+        i2, _ = cc.topk(c[4][None], 1)
+        assert i2[0, 0] == 4
+
+    @pytest.mark.parametrize("storage", ["f32", "int8"])
+    def test_rebuild_on_mesh(self, mesh8, storage):
+        rng = np.random.default_rng(93)
+        q, c = blobs(rng, 2500, 10, 16)
+        cm = pmt.ClusteredCorpus(c, clusters=9, storage=storage,
+                                 mesh=mesh8, config=CFG)
+        i0, v0 = cm.topk(q, 5)
+        cm.rebuild(clusters=6, seed=4)
+        i1, v1 = cm.topk(q, 5)
+        np.testing.assert_array_equal(i1, i0)
+        np.testing.assert_allclose(v1, v0, rtol=1e-6, atol=1e-7)
+        # probed search still runs on the new layout
+        pi, _ = cm.topk(q, 5, probe=0.5)
+        assert pi.shape == (10, 5)
+
+    def test_rebuild_then_add_composes(self):
+        rng = np.random.default_rng(94)
+        q, c = blobs(rng, 900, 5, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=5, config=CFG)
+        cc.rebuild(seed=3)
+        more = rng.standard_normal((80, 16)).astype(np.float32)
+        assert cc.add(more) == 980
+        full = np.vstack([c, more])
+        ref = pmt.Corpus(full, config=CFG)
+        i1, v1 = cc.topk(q, 5)
+        i2, v2 = ref.topk(q, 5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)

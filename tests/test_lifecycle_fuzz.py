@@ -155,6 +155,8 @@ def test_lifecycle_fuzz_clustered(storage, tmp_path):
             p = tmp_path / f"fzc_{storage}_{step}.npz"
             h.save(p)
             h = pmt.ClusteredCorpus.load(p, config=cfg)
+        elif op == 4 and step % 2:                    # re-cluster (native)
+            h.rebuild(clusters=int(rng.integers(2, 9)), seed=step)
 
         # layout invariants hold after every op
         lay = h.layout
