@@ -62,7 +62,40 @@ def best_ms(fn, iters=7):
     return min(ts) * 1e3
 
 
+def _preflight(timeout_s: float = 240.0):
+    """Bounded backend-liveness probe in a subprocess.
+
+    Backend init has no timeout of its own: when the TPU RPC tunnel is
+    down, ``jax.devices()`` hangs forever, which would hang the whole
+    bench run.  Probing in a killable subprocess converts that into a
+    clean failure line.  Returns the backend name, or None if the
+    backend never came up.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    return None
+
+
 def main():
+    if _preflight() is None:
+        print(json.dumps({
+            "metric": "topk_queries_per_sec",
+            "value": 0.0,
+            "unit": "queries/s",
+            "vs_baseline": 0.0,
+            "error": "device backend unavailable (init hung/failed)",
+        }))
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
 

@@ -85,6 +85,24 @@ def main():
           f"({os.path.getsize(path)/1e6:.1f} MB int8 file); "
           f"results identical")
 
+    # --- probed (IVF-style) serving with drift recovery --------------------
+    # probe= bounds corpus bytes read; add() places rows by the centroids
+    # fitted at construction, so after heavy growth the fit goes stale.
+    # `drift` is the cheap signal; rebuild() re-fits storage-native
+    # (exhaustive results invariant, ids/tombstones stable).
+    cc = pmt.ClusteredCorpus(corpus_emb[:5000], storage="int8")
+    cc.topk(fresh[:8], 5, probe=0.2)            # ~20% of corpus bytes
+    cc.add(rng.standard_normal((2000, dim)).astype(np.float32))
+    print(f"drift after heavy adds: {cc.drift:.0%} of rows placed "
+          f"against stale centroids")
+    if cc.drift > 0.25:
+        t0 = time.perf_counter()
+        cc.rebuild()
+        print(f"rebuild (re-fit + re-layout, never requantizes) in "
+              f"{(time.perf_counter() - t0)*1e3:.0f} ms; drift reset "
+              f"to {cc.drift:.0%}")
+    cc.topk(fresh[:8], 5, probe=0.2)            # serves the fresh layout
+
 
 if __name__ == "__main__":
     main()

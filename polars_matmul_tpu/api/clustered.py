@@ -222,6 +222,17 @@ class ClusteredCorpus:
         self._prepared = {}   # (metric, precision) -> (cp, cbp)
         self._packed_fns = {}
         self._tombstones: Optional[np.ndarray] = None
+        self._drift_rows = 0
+
+    @property
+    def drift(self) -> float:
+        """Fraction of rows added or updated since the last centroid fit
+        (construction, ``rebuild()``, or a saved fit via ``load``) over
+        the current row count — a cheap proxy for probe-recall decay,
+        since those rows were placed against stale centroids.  Exhaustive
+        search never degrades; when this grows large, measure probed
+        recall (``probe=`` vs exhaustive) and ``rebuild()``."""
+        return self._drift_rows / max(1, self.n)
 
     def _default_clusters(self, n: int) -> int:
         """Constructor default: about four corpus tiles per cluster."""
@@ -534,6 +545,7 @@ class ClusteredCorpus:
             self._tombstones = np.concatenate(
                 [self._tombstones, np.zeros(m, bool)])
         self.n += m
+        self._drift_rows += m
         return self.n
 
     def update(self, indices: ArrayLike, rows: ArrayLike) -> None:
@@ -577,6 +589,7 @@ class ClusteredCorpus:
             assign = assign_rows(cf, self.centroids)
         self._place_and_scatter(idx.astype(np.int64), cf, assign,
                                 free_first=True)
+        self._drift_rows += int(idx.size)
         if self._tombstones is not None and self._tombstones[idx].any():
             self._tombstones[idx] = False
 
@@ -698,6 +711,7 @@ class ClusteredCorpus:
         return 0 if self._tombstones is None else int(self._tombstones.sum())
 
     _perm_mask_dev = None
+    _drift_rows = 0
 
     def _permuted_mask(self, user_mk: Optional[np.ndarray]):
         """(n_padded,) device bool in permuted space, or None.  Slack rows
@@ -807,6 +821,8 @@ class ClusteredCorpus:
             arrays["scales"] = scales
         if self._tombstones is not None:
             arrays["tombstones"] = self._tombstones
+        if self._drift_rows:
+            arrays["drift_rows"] = np.int64(self._drift_rows)
         with open(path, "wb") as f:
             np.savez(f, **arrays)
 
@@ -838,6 +854,7 @@ class ClusteredCorpus:
             tn = int(z["tn"])
             scales = z["scales"] if "scales" in z else None
             tomb = z["tombstones"] if "tombstones" in z else None
+            drift_rows = int(z["drift_rows"]) if "drift_rows" in z else 0
 
         self = cls.__new__(cls)
         self.config = resolve(config)
@@ -858,6 +875,7 @@ class ClusteredCorpus:
                               else np.asarray(scales, np.float32))
         self._tombstones = None if tomb is None or not tomb.any() \
             else tomb.astype(bool)
+        self._drift_rows = drift_rows
         return self
 
     def rebuild(
@@ -943,6 +961,7 @@ class ClusteredCorpus:
             new_scales = np.ones(perm.shape[0], np.float32)
             new_scales[live] = orig_scales[perm[live]]
         self._install_payload(new_base, new_scales)
+        self._drift_rows = 0
         return self
 
     @classmethod

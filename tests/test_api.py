@@ -688,8 +688,14 @@ class TestCorpusAdd:
         with pytest.raises(ValueError, match="Dimension mismatch"):
             h.add(rng.standard_normal((2, 9)).astype(np.float32))
         assert h.add(np.empty((0, 8), np.float32)) == 20
-        with pytest.raises(ValueError, match="single-device"):
-            pmt.Corpus(c0, capacity=40, mesh=object())
+        # mesh handles support add only when built with capacity= (the
+        # reserved rows are what make growth recompile-free)
+        import jax
+
+        if len(jax.devices()) >= 8:
+            hm = pmt.Corpus(c0, mesh=pmt.make_mesh(1, 8))
+            with pytest.raises(ValueError, match="capacity"):
+                hm.add(c0[:2])
 
 
 class TestInt8Storage:

@@ -799,6 +799,24 @@ class TestClusteredRebuild:
         pi, _ = cm.topk(q, 5, probe=0.5)
         assert pi.shape == (10, 5)
 
+    def test_drift_tracks_adds_updates_resets(self, tmp_path):
+        rng = np.random.default_rng(95)
+        q, c = blobs(rng, 300, 4, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=4, config=CFG)
+        assert cc.drift == 0.0
+        cc.add(rng.standard_normal((100, 16)).astype(np.float32))
+        assert cc.drift == pytest.approx(100 / 400)
+        cc.update([0, 1], c[:2])
+        assert cc.drift == pytest.approx(102 / 400)
+        # persists through save/load (the fit is as stale as it was)
+        p = tmp_path / "drift.npz"
+        cc.save(p)
+        cc2 = pmt.ClusteredCorpus.load(p, config=CFG)
+        assert cc2.drift == pytest.approx(102 / 400)
+        # a re-fit resets it
+        cc2.rebuild(seed=1)
+        assert cc2.drift == 0.0
+
     def test_rebuild_then_add_composes(self):
         rng = np.random.default_rng(94)
         q, c = blobs(rng, 900, 5, 16)
