@@ -9,6 +9,7 @@
 // exposed via a small C ABI consumed with ctypes (no pybind11 dependency).
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o _pmm_native.so pmm_native.cpp
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -73,6 +74,32 @@ void pmm_assemble_topk(const int32_t* indices, const float* scores,
   for (int64_t i = 0; i < n * k; ++i) {
     idx_out[i] = (uint32_t)indices[i];
     score_out[i] = (double)scores[i];
+  }
+}
+
+// Per-row symmetric int8 quantization, fused into one pass per row (the
+// row stays in L1/L2 between the amax scan and the quantize scan).  The
+// NumPy path makes three full-matrix passes plus two temporaries — at
+// corpus-ingestion scale (10M x 768 = 30 GB) this loop is host-memory-
+// bandwidth-bound, so pass count is the cost.  Semantics mirror
+// api/search.py::_quantize_rows_np EXACTLY (division by the scale, then
+// round-half-even like np.rint) so the two paths are interchangeable:
+// mixed-path corpora stay bit-identical.
+void pmm_quantize_i8(const float* values, int64_t n, int64_t dim,
+                     int8_t* codes, float* scales) {
+  for (int64_t i = 0; i < n; ++i) {
+    const float* row = values + i * dim;
+    float amax = 0.0f;
+    for (int64_t j = 0; j < dim; ++j) {
+      float a = std::fabs(row[j]);
+      if (a > amax) amax = a;
+    }
+    const float s = amax > 0.0f ? amax / 127.0f : 1.0f;
+    int8_t* dst = codes + i * dim;
+    for (int64_t j = 0; j < dim; ++j) {
+      dst[j] = (int8_t)std::nearbyintf(row[j] / s);
+    }
+    scales[i] = s;
   }
 }
 

@@ -285,7 +285,16 @@ class ClusteredCorpus:
         self._perm_mask_dev = None
         with jax.enable_x64(False):
             if self.mesh is not None:
-                self._align_layout_for_mesh()
+                g = self._align_layout_for_mesh()
+                if g is not None:
+                    # re-order payload rows to the aligned+striped layout
+                    # (index len(base) selects the appended zero row)
+                    zero = np.zeros((1, base.shape[1]), base.dtype)
+                    base = np.concatenate(
+                        [np.ascontiguousarray(base), zero])[g]
+                    if scales is not None:
+                        scales = np.concatenate(
+                            [scales, np.ones(1, np.float32)])[g]
                 self._install_mesh_payload(np.ascontiguousarray(base),
                                            scales)
             else:
@@ -303,23 +312,69 @@ class ClusteredCorpus:
 
     # -- mesh construction -------------------------------------------------
     def _align_layout_for_mesh(self):
-        """Pad the layout with DEAD tiles (cluster id -1) so every shard
-        of the corpus mesh axis owns the same whole number of tiles —
-        shard boundaries then never split a tile, and each shard's local
-        tile ids map to its prepared block positions directly."""
+        """Make the layout mesh-ready: pad with DEAD tiles (cluster id
+        -1) so every shard owns the same whole number of tiles (shard
+        boundaries never split a tile), then STRIPE tiles round-robin
+        across shards — consecutive tiles of a cluster land on
+        consecutive shards.  The probe budget is per shard, so without
+        striping a cluster-contiguous layout concentrates any one
+        query's relevant tiles on one shard, capping probed recall at
+        that shard's budget; striped, every shard holds a slice of every
+        cluster and equal budgets approximate the global tile ranking.
+
+        Returns the row-level gather (new padded position -> old padded
+        position, dead rows = old height) for callers holding a payload
+        in the PRE-align order, or None when the transform is identity.
+        """
         lay = self.layout
+        tn = self._tn
         n_shards = self.mesh.shape[self.config.mesh_axes[1]]
-        lt = max(1, -(-lay.n_tiles // n_shards))
+        T = lay.n_tiles
+        lt = max(1, -(-T // n_shards))
         total = lt * n_shards
         self._lt = lt
-        if total > lay.n_tiles:
-            extra = total - lay.n_tiles
-            perm = np.concatenate(
-                [lay.perm, np.full(extra * self._tn, -1, np.int32)])
-            tcl = np.concatenate(
-                [lay.tile_cluster, np.full(extra, -1, np.int32)])
-            self.layout = ClusterLayout(perm, lay.row_pos, tcl,
-                                        lay.counts, self._tn)
+        old_rows = lay.perm.shape[0]
+        if total == T and (n_shards == 1
+                           or (self._striped_for == n_shards
+                               and self._stripe_lt == lt)):
+            # already aligned and striped for this geometry: applying the
+            # stripe again would scramble a saved layout, breaking
+            # save/load probed-result identity
+            return None
+        # canonicalize first — UNDO any existing stripe.  Striping on top
+        # of a stripe composes to a map that re-concentrates a cluster's
+        # tiles on one shard (e.g. lt % n_shards == 0 sends runs of
+        # n_shards consecutive canonical tiles to a single shard), which
+        # is exactly the recall collapse striping exists to prevent.
+        src_tile = np.arange(T, dtype=np.int64)  # canonical tile -> current
+        if self._striped_for and self._stripe_lt:
+            s0, lt0 = self._striped_for, self._stripe_lt
+            t0 = s0 * lt0
+            if t0 <= T:
+                t = np.arange(t0, dtype=np.int64)
+                src_tile[:t0] = (t % s0) * lt0 + t // s0
+        self._striped_for = n_shards
+        self._stripe_lt = lt
+        # stripe: new position j (shard j//lt, slot j%lt) takes canonical
+        # tile (j%lt)*n_shards + j//lt — a bijection spreading each
+        # cluster's run of tiles across the shards; positions past the
+        # canonical tile count are dead padding
+        j = np.arange(total, dtype=np.int64)
+        ct = (j % lt) * n_shards + j // lt
+        old_tile = np.where(ct >= T, T, src_tile[np.minimum(ct, T - 1)])
+        gather = np.minimum(
+            (old_tile[:, None] * tn
+             + np.arange(tn, dtype=np.int64)).reshape(-1), old_rows)
+        perm = np.concatenate(
+            [lay.perm, np.full(1, -1, np.int32)])[gather]
+        tcl = np.concatenate(
+            [lay.tile_cluster, np.full(1, -1, np.int32)])[
+                np.minimum(old_tile, T)]
+        row_pos = lay.row_pos.copy()
+        live = perm >= 0
+        row_pos[perm[live]] = np.flatnonzero(live).astype(np.int32)
+        self.layout = ClusterLayout(perm, row_pos, tcl, lay.counts, tn)
+        return gather
 
     def _install_mesh_base(self, cf: np.ndarray):
         """Host-permute into the clustered layout, storage-native
@@ -515,15 +570,20 @@ class ClusteredCorpus:
         new tiles for the cluster at the end of the permuted layout (tile
         ids only ever grow, so saved probed results stay meaningful).
         Centroids are NOT refit — recall after heavy drift is the
-        caller's concern (rebuild the handle to re-cluster).  Prepared
-        forms rebuild lazily on the next query (one pass over the
-        corpus); the probe program retraces only when the layout grew.
+        caller's concern (``drift`` is the signal, ``rebuild()`` the
+        recovery).  Prepared forms rebuild lazily on the next query (one
+        pass over the corpus); the probe program retraces only when the
+        layout grew.
+
+        On mesh handles this is a REINSTALL-grade operation: the layout
+        must grow and stay tile-aligned per shard, so the payload is
+        gathered to host, the new rows placed, and the result re-sharded
+        (storage-native throughout — quantized corpora are never
+        requantized).  Batch mesh adds accordingly; per-row calls pay a
+        full corpus round trip each.
         """
         import jax
-        import jax.numpy as jnp
 
-        if self.mesh is not None:
-            raise ValueError("add() is single-device only")
         r = np.asarray(rows)
         if r.ndim != 2 or r.shape[1] != self.dim:
             raise ValueError(
@@ -540,7 +600,40 @@ class ClusteredCorpus:
         with jax.enable_x64(False):
             assign = assign_rows(cf, self.centroids)
         ids = np.arange(self.n, self.n + m, dtype=np.int64)
-        self._place_and_scatter(ids, cf, assign)
+        if self.mesh is not None:
+            n_old_padded = self.layout.perm.shape[0]
+            pos = self._place(ids, assign)
+            if self.layout.perm.shape[0] == n_old_padded:
+                # every row fit existing slack: the padded height is
+                # unchanged, so this is the same in-place donated
+                # per-shard scatter mesh update uses — no gather, no
+                # re-shard, no recompile
+                from .search import _scatter_rows_sharded
+
+                n_shards = self.mesh.shape[self.config.mesh_axes[1]]
+                with jax.enable_x64(False):
+                    _scatter_rows_sharded(self._sharded, n_shards,
+                                          self.storage, self.dim, cf, pos)
+                self._mesh_mask_dev = None   # the slack rows went live
+                self._perm_mask_dev = None
+            else:
+                # tiles appended: splice on host and re-shard (align will
+                # unstripe to canonical order, then re-stripe so the new
+                # tiles spread across shards too)
+                base, scales = self._gather_native_host()
+                vals, vscales = self._quantize_native(cf)
+                n_new = self.layout.perm.shape[0]
+                new_base = np.zeros((n_new, base.shape[1]), base.dtype)
+                new_base[:n_old_padded] = base
+                new_base[pos] = vals
+                new_scales = None
+                if scales is not None:
+                    new_scales = np.ones(n_new, np.float32)
+                    new_scales[:n_old_padded] = scales
+                    new_scales[pos] = vscales
+                self._install_payload(new_base, new_scales)
+        else:
+            self._place_and_scatter(ids, cf, assign)
         if self._tombstones is not None:
             self._tombstones = np.concatenate(
                 [self._tombstones, np.zeros(m, bool)])
@@ -555,12 +648,17 @@ class ClusteredCorpus:
         cluster (the values changed, so the old placement may no longer
         probe well); the vacated slots become slack holes that future
         ``add``/``update`` calls refill.  Updating a tombstoned row
-        revives it, matching ``Corpus.update``.  Single-device only.
+        revives it, matching ``Corpus.update``.
+
+        On mesh handles the new values are scattered IN PLACE at the
+        rows' current permuted slots (the same donated per-shard scatter
+        as ``Corpus.update`` — no gather, no recompile) WITHOUT moving
+        them to their new nearest cluster: exhaustive results are exact
+        either way, and the placement staleness is exactly what ``drift``
+        counts and ``rebuild()`` repairs.
         """
         import jax
 
-        if self.mesh is not None:
-            raise ValueError("update() is single-device only")
         idx = np.asarray(indices).reshape(-1)
         r = np.asarray(rows)
         if r.ndim != 2 or r.shape[1] != self.dim:
@@ -585,26 +683,86 @@ class ClusteredCorpus:
         if not np.issubdtype(r.dtype, np.floating):
             raise ValueError("ClusteredCorpus requires float embeddings")
         cf = np.ascontiguousarray(r, dtype=np.float32)
-        with jax.enable_x64(False):
-            assign = assign_rows(cf, self.centroids)
-        self._place_and_scatter(idx.astype(np.int64), cf, assign,
-                                free_first=True)
+        if self.mesh is not None:
+            from .search import _scatter_rows_sharded
+
+            pos = self.layout.row_pos[idx].astype(np.int64)
+            n_shards = self.mesh.shape[self.config.mesh_axes[1]]
+            with jax.enable_x64(False):
+                _scatter_rows_sharded(self._sharded, n_shards,
+                                      self.storage, self.dim, cf, pos)
+        else:
+            with jax.enable_x64(False):
+                assign = assign_rows(cf, self.centroids)
+            self._place_and_scatter(idx.astype(np.int64), cf, assign,
+                                    free_first=True)
         self._drift_rows += int(idx.size)
         if self._tombstones is not None and self._tombstones[idx].any():
             self._tombstones[idx] = False
+            self._perm_mask_dev = None
+            if self.mesh is not None:
+                self._mesh_mask_dev = None
+
+    def _quantize_native(self, cf: np.ndarray):
+        """f32 rows -> (storage-native host values, scales or None)."""
+        if self.storage == "int8":
+            return _quantize_rows_np(cf)
+        if self.storage == "int4":
+            from ..kernels.fused_topk import feature_geometry
+
+            ck, dpp, _ = feature_geometry(self.dim)
+            return _quantize_rows_int4_np(cf, ck, dpp)
+        if self.storage == "bf16":
+            import ml_dtypes
+
+            return cf.astype(ml_dtypes.bfloat16), None
+        return cf, None
 
     def _place_and_scatter(self, ids: np.ndarray, cf: np.ndarray,
                            assign: np.ndarray, free_first: bool = False):
         """Place rows with global ids ``ids`` into their assigned
-        clusters — each cluster's tile-tail slack first, whole appended
-        tiles on overflow — then scatter the storage-native values and
-        invalidate the derived caches.  ``free_first`` releases the ids'
-        CURRENT positions back to slack before placing (the update path:
-        a moved row's old slot becomes a refillable hole, possibly reused
-        within the same batch)."""
+        clusters (``_place``), then scatter the storage-native values
+        into the single-device buffers and invalidate the derived
+        caches."""
         import jax
         import jax.numpy as jnp
 
+        n_old_padded = self.layout.perm.shape[0]
+        pos = self._place(ids, assign, free_first=free_first)
+        perm = self.layout.perm
+        tile_cluster = self.layout.tile_cluster
+
+        # -- storage-native device scatter (grow first if tiles appended)
+        ext = perm.shape[0] - n_old_padded
+        vals, scales = self._quantize_native(cf)
+
+        fn = _cached_fn(self._packed_fns, ("scatter", ext, scales is None),
+                        _scatter_fn)
+        pos_d = jnp.asarray(pos, jnp.int32)
+        with jax.enable_x64(False):
+            extra = () if scales is None else (
+                self._scales, jnp.asarray(scales, jnp.float32))
+            out = jax.block_until_ready(
+                fn(self._base, pos_d, jnp.asarray(vals), *extra))
+        self._base = out[0]
+        if scales is not None:
+            self._scales = out[1]
+        self._perm_dev = _to_jax(perm, np.dtype(np.int32))
+        self._tile_cluster_dev = _to_jax(tile_cluster, np.dtype(np.int32))
+        self._live_dev = self._perm_dev >= 0
+        self._prepared.clear()
+        self._perm_mask_dev = None
+        self._dense = None
+
+    def _place(self, ids: np.ndarray, assign: np.ndarray,
+               free_first: bool = False) -> np.ndarray:
+        """Host-side placement: assign each id a position in the permuted
+        layout — its cluster's tile-tail slack first, whole appended
+        tiles on overflow — and install the grown ``self.layout``.
+        Returns the (m,) positions.  ``free_first`` releases the ids'
+        CURRENT positions back to slack before placing (the update path:
+        a moved row's old slot becomes a refillable hole, possibly reused
+        within the same batch)."""
         lay = self.layout
         tn = self._tn
         perm = lay.perm.copy()
@@ -655,38 +813,7 @@ class ClusteredCorpus:
                 row_pos, np.empty(top - row_pos.shape[0], np.int32)])
         row_pos[ids] = pos.astype(np.int32)
         self.layout = ClusterLayout(perm, row_pos, tile_cluster, counts, tn)
-
-        # -- storage-native device scatter (grow first if tiles appended)
-        ext = perm.shape[0] - n_old_padded
-        if self.storage == "int8":
-            vals, scales = _quantize_rows_np(cf)
-        elif self.storage == "int4":
-            from ..kernels.fused_topk import feature_geometry
-
-            ck, dpp, _ = feature_geometry(self.dim)
-            vals, scales = _quantize_rows_int4_np(cf, ck, dpp)
-        else:
-            vals, scales = cf, None
-            if self.storage == "bf16":
-                vals = vals.astype(jnp.bfloat16)
-
-        fn = _cached_fn(self._packed_fns, ("scatter", ext, scales is None),
-                        _scatter_fn)
-        pos_d = jnp.asarray(pos, jnp.int32)
-        with jax.enable_x64(False):
-            extra = () if scales is None else (
-                self._scales, jnp.asarray(scales, jnp.float32))
-            out = jax.block_until_ready(
-                fn(self._base, pos_d, jnp.asarray(vals), *extra))
-        self._base = out[0]
-        if scales is not None:
-            self._scales = out[1]
-        self._perm_dev = _to_jax(perm, np.dtype(np.int32))
-        self._tile_cluster_dev = _to_jax(tile_cluster, np.dtype(np.int32))
-        self._live_dev = self._perm_dev >= 0
-        self._prepared.clear()
-        self._perm_mask_dev = None
-        self._dense = None
+        return pos
 
     def delete(self, indices: ArrayLike) -> int:
         """Tombstone rows by ORIGINAL id; they stop matching immediately
@@ -712,6 +839,8 @@ class ClusteredCorpus:
 
     _perm_mask_dev = None
     _drift_rows = 0
+    _striped_for = None  # shard count the layout's tiles are striped for
+    _stripe_lt = None    # tiles per shard at stripe time (undo geometry)
 
     def _permuted_mask(self, user_mk: Optional[np.ndarray]):
         """(n_padded,) device bool in permuted space, or None.  Slack rows
@@ -823,6 +952,9 @@ class ClusteredCorpus:
             arrays["tombstones"] = self._tombstones
         if self._drift_rows:
             arrays["drift_rows"] = np.int64(self._drift_rows)
+        if self._striped_for:
+            arrays["striped_for"] = np.int64(self._striped_for)
+            arrays["stripe_lt"] = np.int64(self._stripe_lt)
         with open(path, "wb") as f:
             np.savez(f, **arrays)
 
@@ -855,6 +987,9 @@ class ClusteredCorpus:
             scales = z["scales"] if "scales" in z else None
             tomb = z["tombstones"] if "tombstones" in z else None
             drift_rows = int(z["drift_rows"]) if "drift_rows" in z else 0
+            striped_for = (int(z["striped_for"])
+                           if "striped_for" in z else None)
+            stripe_lt = int(z["stripe_lt"]) if "stripe_lt" in z else None
 
         self = cls.__new__(cls)
         self.config = resolve(config)
@@ -871,6 +1006,9 @@ class ClusteredCorpus:
         with jax.enable_x64(False):
             self.centroids = jax.block_until_ready(
                 _to_jax(centroids, np.dtype(np.float32)))
+        # before install: align reads these to undo/skip the stripe
+        self._striped_for = striped_for
+        self._stripe_lt = stripe_lt
         self._install_payload(base, None if scales is None
                               else np.asarray(scales, np.float32))
         self._tombstones = None if tomb is None or not tomb.any() \
@@ -960,6 +1098,9 @@ class ClusteredCorpus:
         if orig_scales is not None:
             new_scales = np.ones(perm.shape[0], np.float32)
             new_scales[live] = orig_scales[perm[live]]
+        # fresh layout: nothing to unstripe, stripe it for the mesh
+        self._striped_for = None
+        self._stripe_lt = None
         self._install_payload(new_base, new_scales)
         self._drift_rows = 0
         return self

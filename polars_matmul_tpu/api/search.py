@@ -331,9 +331,19 @@ def _round_up_rows(n: int, m: int = 4096) -> int:
 
 
 def _quantize_rows_np(c: np.ndarray):
-    """Host-side per-row symmetric int8 quantization, row-chunked so the
-    f32 temp stays bounded.  Mirrors kernels.fused_topk.quantize_int8 —
-    the int8 corpus uploads at a quarter of the f32 bytes."""
+    """Host-side per-row symmetric int8 quantization.  Dispatches to the
+    fused one-pass C++ kernel for f32 input (bit-identical results; the
+    NumPy path is three full-matrix passes and is host-bandwidth-bound
+    at ingestion scale), falling back to a row-chunked NumPy
+    implementation so the f32 temp stays bounded.  Mirrors
+    kernels.fused_topk.quantize_int8 — the int8 corpus uploads at a
+    quarter of the f32 bytes."""
+    from ..interop.native import native_quantize_i8
+
+    if c.dtype == np.float32:
+        out = native_quantize_i8(np.ascontiguousarray(c))
+        if out is not None:
+            return out
     n, dim = c.shape
     codes = np.empty((n, dim), np.int8)
     scales = np.empty(n, np.float32)
@@ -401,6 +411,95 @@ def _fetch_topk(vals, idx, k: int):
 
     packed = np.asarray(jax.jit(_pack_pair)(vals, idx))
     return _unpack_pair(packed, k)
+
+
+def _scatter_rows_sharded(sc, n_shards: int, storage: str, dim: int,
+                          r: np.ndarray, idx_np: np.ndarray):
+    """Scatter f32 rows ``r`` into a ShardedCorpus at global array
+    POSITIONS ``idx_np`` (storage-native), patching every cached
+    per-shard prepared form through donated programs.
+
+    Shared by ``Corpus`` mesh update/add (where positions == row ids
+    under block partitioning) and ``ClusteredCorpus`` mesh update (where
+    positions are the ids' permuted slots, ``layout.row_pos[ids]``) —
+    the per-shard prepared forms are layout-agnostic, so the same patch
+    applies.  Positions must be unique and within the existing padded
+    height (no growth here).
+    """
+    import jax
+
+    quantized = storage in ("int8", "int4")
+    ns = sc.data.shape[0] // n_shards
+    m = r.shape[0]
+    put_rows, put_cols = _scatter_fns()
+    idx_j = _to_jax(idx_np.astype(np.int32), np.dtype(np.int32))
+
+    if quantized:
+        if storage == "int4":
+            from ..kernels.fused_topk import feature_geometry
+
+            ck, dpp, _ = feature_geometry(dim)
+            codes_np, scales_np = _quantize_rows_int4_np(r, ck, dpp)
+        else:
+            codes_np, scales_np = _quantize_rows_np(r)
+        codes_np = np.pad(
+            codes_np,
+            ((0, 0), (0, sc.data.shape[1] - codes_np.shape[1])))
+        rj = _to_jax(codes_np, np.dtype(np.int8))
+        scales_j = _to_jax(scales_np, np.dtype(np.float32))
+        sc.scales = put_rows(sc.scales, scales_j, idx_j)
+        sc._f32_view = None
+        # Alias discipline (same as the single-device path): every
+        # shared-storage prepared form holds the SAME code buffer,
+        # which must be donated exactly once with no surviving
+        # references; cbp rows are deduped by identity because
+        # different k-regime keys share one bias operand.
+        shared = {}
+        for key in list(sc._prepared):
+            entry = sc._prepared.pop(key)
+            cp_e, cbp_e = entry
+            aliased = cp_e is sc.data
+            del entry, cp_e
+            if not aliased or cbp_e.shape[1] != sc.data.shape[0]:
+                continue  # copy-geometry prep: rebuild lazily
+            if id(cbp_e) in shared:
+                shared[id(cbp_e)][1].append(key)
+            else:
+                shared[id(cbp_e)] = (cbp_e, [key])
+        sc.data = put_rows(sc.data, rj, idx_j)
+        with jax.enable_x64(False):
+            for cbp_e, keys in list(shared.values()):
+                cbc = _quant_bias_chunk_fn(
+                    keys[0][0], storage)(rj, scales_j)
+                new_cbp = put_cols(cbp_e, cbc, idx_j)
+                for key in keys:
+                    sc._prepared[key] = (sc.data, new_cbp)
+        return
+
+    import jax.numpy as jnp
+
+    buf_dt = sc.data.dtype
+    rj32 = _to_jax(r, np.dtype(np.float32))
+    rj = rj32.astype(buf_dt) if buf_dt != jnp.float32 else rj32
+    if np.dtype(buf_dt) == np.float64:
+        rj = _to_jax(r, np.dtype(np.float64))
+    prep_src = rj if storage == "bf16" else rj32
+    sc._f32_view = None
+    sc.data = put_rows(sc.data, rj, idx_j)
+    with jax.enable_x64(False):
+        for key in list(sc._prepared):
+            cp_e, cbp_e = sc._prepared.pop(key)
+            # Per-shard prep geometry: shard s's local rows are padded
+            # to a tile multiple, so global row g sits at prep row
+            # (g // ns) * ns_pad + g % ns.
+            ns_pad = cp_e.shape[0] // n_shards
+            pos_np = ((idx_np // ns) * ns_pad
+                      + idx_np % ns).astype(np.int32)
+            pos = _to_jax(pos_np, np.dtype(np.int32))
+            cpc, cbc = _prep_chunk_fn(*key)(prep_src)
+            cp_e = put_rows(cp_e, cpc[:m], pos)
+            cbp_e = put_cols(cbp_e, cbc[:, :m], pos)
+            sc._prepared[key] = (cp_e, cbp_e)
 
 
 class Corpus:
@@ -703,81 +802,12 @@ class Corpus:
         global tail), so the data scatter is direct; float prepared
         forms carry per-shard tile padding, so their positions are
         remapped shard-locally."""
-        import jax
-
-        sc = self._device  # ShardedCorpus
         n_shards = self.mesh.shape[self.config.mesh_axes[1]]
-        ns = sc.data.shape[0] // n_shards
-        m = r.shape[0]
-        put_rows, put_cols = _scatter_fns()
-        idx_j = _to_jax(idx_np.astype(np.int32), np.dtype(np.int32))
+        _scatter_rows_sharded(self._device, n_shards, self.storage,
+                              self.dim, r, idx_np)
 
-        if self._quantized:
-            if self.storage == "int4":
-                from ..kernels.fused_topk import feature_geometry
 
-                ck, dpp, _ = feature_geometry(self.dim)
-                codes_np, scales_np = _quantize_rows_int4_np(r, ck, dpp)
-            else:
-                codes_np, scales_np = _quantize_rows_np(r)
-            codes_np = np.pad(
-                codes_np,
-                ((0, 0), (0, sc.data.shape[1] - codes_np.shape[1])))
-            rj = _to_jax(codes_np, np.dtype(np.int8))
-            scales_j = _to_jax(scales_np, np.dtype(np.float32))
-            sc.scales = put_rows(sc.scales, scales_j, idx_j)
-            sc._f32_view = None
-            # Alias discipline (same as the single-device path): every
-            # shared-storage prepared form holds the SAME code buffer,
-            # which must be donated exactly once with no surviving
-            # references; cbp rows are deduped by identity because
-            # different k-regime keys share one bias operand.
-            shared = {}
-            for key in list(sc._prepared):
-                entry = sc._prepared.pop(key)
-                cp_e, cbp_e = entry
-                aliased = cp_e is sc.data
-                del entry, cp_e
-                if not aliased or cbp_e.shape[1] != sc.data.shape[0]:
-                    continue  # copy-geometry prep: rebuild lazily
-                if id(cbp_e) in shared:
-                    shared[id(cbp_e)][1].append(key)
-                else:
-                    shared[id(cbp_e)] = (cbp_e, [key])
-            sc.data = put_rows(sc.data, rj, idx_j)
-            with jax.enable_x64(False):
-                for cbp_e, keys in list(shared.values()):
-                    cbc = _quant_bias_chunk_fn(
-                        keys[0][0], self.storage)(rj, scales_j)
-                    new_cbp = put_cols(cbp_e, cbc, idx_j)
-                    for key in keys:
-                        sc._prepared[key] = (sc.data, new_cbp)
-            return
 
-        import jax.numpy as jnp
-
-        buf_dt = sc.data.dtype
-        rj32 = _to_jax(r, np.dtype(np.float32))
-        rj = rj32.astype(buf_dt) if buf_dt != jnp.float32 else rj32
-        if np.dtype(buf_dt) == np.float64:
-            rj = _to_jax(r, np.dtype(np.float64))
-        prep_src = rj if self.storage == "bf16" else rj32
-        sc._f32_view = None
-        sc.data = put_rows(sc.data, rj, idx_j)
-        with jax.enable_x64(False):
-            for key in list(sc._prepared):
-                cp_e, cbp_e = sc._prepared.pop(key)
-                # Per-shard prep geometry: shard s's local rows are padded
-                # to a tile multiple, so global row g sits at prep row
-                # (g // ns) * ns_pad + g % ns.
-                ns_pad = cp_e.shape[0] // n_shards
-                pos_np = ((idx_np // ns) * ns_pad
-                          + idx_np % ns).astype(np.int32)
-                pos = _to_jax(pos_np, np.dtype(np.int32))
-                cpc, cbc = _prep_chunk_fn(*key)(prep_src)
-                cp_e = put_rows(cp_e, cpc[:m], pos)
-                cbp_e = put_cols(cbp_e, cbc[:, :m], pos)
-                sc._prepared[key] = (cp_e, cbp_e)
 
     def __len__(self) -> int:
         return self.n

@@ -30,9 +30,11 @@ _tried = False
 def _build() -> bool:
     if not os.path.exists(_SRC):
         return False
+    # -fno-math-errno only drops errno bookkeeping (results unchanged);
+    # it is what lets gcc vectorize nearbyintf into roundps
     cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-o", _SO, _SRC,
+        "g++", "-O3", "-march=native", "-fno-math-errno", "-shared",
+        "-fPIC", "-std=c++17", "-o", _SO, _SRC,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -47,8 +49,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO):
-        if not _build():
+    stale = (os.path.exists(_SO) and os.path.exists(_SRC)
+             and os.path.getmtime(_SRC) > os.path.getmtime(_SO))
+    if not os.path.exists(_SO) or stale:
+        if not _build() and not os.path.exists(_SO):
             return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -76,6 +80,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         p(ctypes.c_int32), p(ctypes.c_float), i64, i64,
         p(ctypes.c_uint32), p(ctypes.c_double),
     ]
+    if hasattr(lib, "pmm_quantize_i8"):
+        lib.pmm_quantize_i8.restype = None
+        lib.pmm_quantize_i8.argtypes = [
+            p(ctypes.c_float), i64, i64, p(ctypes.c_int8),
+            p(ctypes.c_float),
+        ]
     _lib = lib
     return _lib
 
@@ -128,6 +138,28 @@ def native_pack_list(
             "Dimension mismatch: ragged List rows have inconsistent lengths"
         )
     return out
+
+
+def native_quantize_i8(c: np.ndarray):
+    """Fused one-pass per-row symmetric int8 quantization via the C++
+    kernel.  Returns (codes (n, dim) i8, scales (n,) f32), or None when
+    the native library is unavailable or dtype isn't f32 (caller falls
+    back to the NumPy path — the two produce bit-identical results)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pmm_quantize_i8") \
+            or c.dtype != np.float32:
+        return None
+    c = np.ascontiguousarray(c)
+    n, dim = c.shape
+    codes = np.empty((n, dim), np.int8)
+    scales = np.empty(n, np.float32)
+    lib.pmm_quantize_i8(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, dim,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return codes, scales
 
 
 def native_available() -> bool:

@@ -579,12 +579,12 @@ class TestClusteredMesh:
         i3, v3 = c3.topk(q, 6, "cosine")
         np.testing.assert_array_equal(i1, i3)
 
-    def test_add_rejected_on_mesh(self, mesh8):
+    def test_add_validates_on_mesh(self, mesh8):
         rng = np.random.default_rng(45)
         _, c = blobs(rng, 900, 1, 16)
         cm = pmt.ClusteredCorpus(c, clusters=4, mesh=mesh8, config=CFG)
-        with pytest.raises(ValueError, match="single-device"):
-            cm.add(np.ones((2, 16), np.float32))
+        with pytest.raises(ValueError, match="Dimension mismatch"):
+            cm.add(np.ones((2, 17), np.float32))
 
     def test_large_k_fallback_on_mesh(self, mesh8):
         rng = np.random.default_rng(46)
@@ -718,6 +718,136 @@ class TestClusteredArrowSurface:
         # config= is the handle's job, same contract as Corpus
         with pytest.raises(ValueError, match="config= has no effect"):
             pmt.matmul_arrow(qa, cc, config=CFG)
+
+
+class TestClusteredMeshMutation:
+    """Mesh add (host gather + place + re-shard) and mesh update
+    (in-place sharded scatter at the rows' permuted slots) — both
+    storage-native, results matching the single-device handle."""
+
+    @pytest.mark.parametrize("storage", ["f32", "bf16", "int8", "int4"])
+    def test_mesh_add_matches_single_device(self, mesh8, storage):
+        rng = np.random.default_rng(96)
+        q, c = blobs(rng, 1500, 8, 16)
+        more = blobs(rng, 300, 1, 16)[1]
+        cm = pmt.ClusteredCorpus(c, clusters=8, storage=storage,
+                                 mesh=mesh8, config=CFG)
+        cs = pmt.ClusteredCorpus(c, clusters=8, storage=storage,
+                                 config=CFG)
+        assert cm.add(more) == 1800
+        assert cs.add(more) == 1800
+        assert cm.drift == pytest.approx(300 / 1800)
+        mi, mv = cm.topk(q, 6)
+        si, sv = cs.topk(q, 6)
+        np.testing.assert_array_equal(mi, si)
+        np.testing.assert_allclose(mv, sv, rtol=1e-4, atol=1e-5)
+        # new rows are findable (probed too — they joined real clusters)
+        ni, _ = cm.topk(more[:4], 1)
+        assert (ni[:, 0] >= 1500).all()
+
+    @pytest.mark.parametrize("storage", ["f32", "bf16", "int8", "int4"])
+    def test_mesh_update_matches_single_device(self, mesh8, storage):
+        rng = np.random.default_rng(97)
+        q, c = blobs(rng, 2000, 10, 16)
+        cm = pmt.ClusteredCorpus(c, clusters=8, storage=storage,
+                                 mesh=mesh8, config=CFG)
+        cs = pmt.ClusteredCorpus(c, clusters=8, storage=storage,
+                                 config=CFG)
+        cm.topk(q, 5)  # build prepared forms BEFORE the patch-in-place
+        idx = np.array([0, 7, 1999, 512])
+        new = blobs(rng, 4, 1, 16)[1]
+        cm.update(idx, new)
+        cs.update(idx, new)
+        assert cm.drift == cs.drift == pytest.approx(4 / 2000)
+        mi, mv = cm.topk(q, 5)
+        si, sv = cs.topk(q, 5)
+        np.testing.assert_array_equal(mi, si)
+        np.testing.assert_allclose(mv, sv, rtol=1e-4, atol=1e-5)
+        # the updated values serve exactly (self-query hits itself)
+        ui, _ = cm.topk(new, 1)
+        np.testing.assert_array_equal(ui[:, 0], idx.astype(np.uint32))
+
+    def test_mesh_update_revives_tombstone(self, mesh8):
+        rng = np.random.default_rng(98)
+        q, c = blobs(rng, 1200, 5, 16)
+        cm = pmt.ClusteredCorpus(c, clusters=6, mesh=mesh8, config=CFG)
+        cm.delete([11])
+        i, _ = cm.topk(c[11][None], 1)
+        assert i[0, 0] != 11
+        cm.update([11], c[11][None])
+        i2, _ = cm.topk(c[11][None], 1)
+        assert i2[0, 0] == 11
+
+    def test_mesh_add_keeps_probed_recall(self, mesh8):
+        """A tile-growing mesh add must not degrade probed recall on the
+        resident data: align unstripes to canonical order before
+        re-striping (stripe-of-stripe would re-concentrate each
+        cluster's tiles on one shard — the collapse striping prevents)."""
+        rng = np.random.default_rng(100)
+        q, c = blobs(rng, 4000, 30, 32, n_centers=16)
+        cm = pmt.ClusteredCorpus(c, clusters=16, mesh=mesh8, config=CFG)
+        ei0, _ = cm.topk(q, 10)
+        r0 = recall(cm.topk(q, 10, probe=0.5)[0], ei0)
+        # same-distribution rows overflow cluster slack -> tiles append
+        more = (c[rng.integers(0, 4000, 1200)]
+                + 0.01 * rng.standard_normal((1200, 32))).astype(np.float32)
+        tiles_before = cm.layout.n_tiles
+        cm.add(more)
+        assert cm.layout.n_tiles > tiles_before  # growth actually happened
+        ei1, _ = cm.topk(q, 10)
+        r1 = recall(cm.topk(q, 10, probe=0.5)[0], ei1)
+        assert r1 > max(0.85, r0 - 0.1), (r0, r1)
+
+    def test_mesh_slack_only_add_is_in_place(self, mesh8):
+        """An add that fits existing slack must not re-shard: the padded
+        height, sharded buffers, and layout object identity (modulo the
+        new rows) stay, and the new rows serve immediately."""
+        rng = np.random.default_rng(101)
+        q, c = blobs(rng, 2000, 5, 16)
+        cm = pmt.ClusteredCorpus(c, clusters=8, mesh=mesh8, config=CFG)
+        data_before = cm._sharded.data
+        slack = int((cm.layout.perm < 0).sum())
+        m = min(8, slack)
+        assert m > 0
+        more = (c[:m] + 0.1).astype(np.float32)
+        cm.add(more)
+        assert cm.layout.perm.shape[0] == data_before.shape[0]
+        ni, _ = cm.topk(more, 1)
+        np.testing.assert_array_equal(
+            ni[:, 0], np.arange(2000, 2000 + m, dtype=np.uint32))
+
+    def test_mesh_save_load_probed_identical(self, mesh8, tmp_path):
+        """Loading with the same mesh must not restripe: layout and
+        probed results are bit-identical to the saved handle's."""
+        rng = np.random.default_rng(102)
+        q, c = blobs(rng, 2500, 8, 16)
+        cm = pmt.ClusteredCorpus(c, clusters=10, mesh=mesh8, config=CFG)
+        p = tmp_path / "striped.npz"
+        cm.save(p)
+        c2 = pmt.ClusteredCorpus.load(p, mesh=mesh8, config=CFG)
+        np.testing.assert_array_equal(c2.layout.perm, cm.layout.perm)
+        i1, v1 = cm.topk(q, 5, probe=0.4)
+        i2, v2 = c2.topk(q, 5, probe=0.4)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(v1, v2)
+
+    def test_mesh_add_then_rebuild_recovers_probe(self, mesh8):
+        rng = np.random.default_rng(99)
+        q, c = blobs(rng, 2500, 20, 32, n_centers=12)
+        cm = pmt.ClusteredCorpus(c, clusters=12, mesh=mesh8, config=CFG)
+        shift = np.full((1, 32), 25.0, np.float32)
+        centers = shift + rng.standard_normal((6, 32)) * 5.0
+        drift = (centers[rng.integers(0, 6, 1500)]
+                 + rng.standard_normal((1500, 32))).astype(np.float32)
+        cm.add(drift)
+        qd = (centers[rng.integers(0, 6, 30)]
+              + rng.standard_normal((30, 32))).astype(np.float32)
+        ei, _ = cm.topk(qd, 8)
+        r_before = recall(cm.topk(qd, 8, probe=0.25)[0], ei)
+        cm.rebuild()
+        assert cm.drift == 0.0
+        r_after = recall(cm.topk(qd, 8, probe=0.25)[0], ei)
+        assert r_after > max(r_before, 0.9), (r_before, r_after)
 
 
 class TestClusteredRebuild:

@@ -286,3 +286,36 @@ def test_topk_arrow_mask():
     out = pmt.topk_arrow(q, c, k=1, metric="dot", mask=mask).to_pylist()
     assert out[0][0]["index"] == 1
     assert out[1][0]["index"] == 3
+
+
+class TestNativeQuantize:
+    """The C++ fused int8 quantizer must be bit-interchangeable with the
+    NumPy fallback: corpora built through either path (or a mix — e.g. a
+    native-built corpus updated on a box without a toolchain) must hold
+    identical codes."""
+
+    def test_bit_identical_to_numpy_fallback(self):
+        from polars_matmul_tpu.interop.native import native_quantize_i8
+
+        if not native_available():
+            pytest.skip("no native toolchain")
+        rng = np.random.default_rng(7)
+        c = rng.standard_normal((500, 48)).astype(np.float32)
+        c[3] = 0.0          # zero row: scale 1.0, codes 0
+        c[4] = -c[4]        # sign symmetry
+        amax = np.abs(c).max(axis=1)
+        s = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        ref = np.rint(c / s[:, None]).astype(np.int8)
+        codes, scales = native_quantize_i8(c)
+        np.testing.assert_array_equal(scales, s)
+        np.testing.assert_array_equal(codes, ref)
+
+    def test_f64_input_matches_f32_path(self):
+        from polars_matmul_tpu.api.search import _quantize_rows_np
+
+        rng = np.random.default_rng(8)
+        c = rng.standard_normal((100, 16)).astype(np.float32)
+        c32 = _quantize_rows_np(c)                      # native if available
+        c64 = _quantize_rows_np(c.astype(np.float64))   # NumPy chunked path
+        np.testing.assert_array_equal(c32[0], c64[0])
+        np.testing.assert_array_equal(c32[1], c64[1])

@@ -117,15 +117,33 @@ def test_lifecycle_fuzz_clustered(storage, tmp_path):
     (slack refill, tile growth, freed holes) is the subtle machinery
     here.  Exhaustive queries must match the oracle exactly; probed
     queries must return exact scores over whatever they visited."""
+    _run_clustered_fuzz(storage, tmp_path, mesh=None)
+
+
+@pytest.mark.parametrize("storage", ["f32", "int8"])
+def test_lifecycle_fuzz_clustered_mesh(storage, tmp_path):
+    """The clustered fuzz with the corpus sharded over 8 devices: add is
+    a host gather + re-shard, update an in-place sharded scatter (rows
+    keep their permuted slots), rebuild/load re-shard the new layout."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    _run_clustered_fuzz(storage, tmp_path, mesh=pmt.make_mesh(1, 8))
+
+
+def _run_clustered_fuzz(storage, tmp_path, mesh):
     import zlib
 
     from polars_matmul_tpu.config import SearchConfig
 
-    rng = np.random.default_rng(zlib.crc32(("cl" + storage).encode()))
+    rng = np.random.default_rng(zlib.crc32(
+        ("cl" + storage + ("m" if mesh is not None else "")).encode()))
     dim, k = 16, 4
     cfg = SearchConfig(block_q=8, block_n=128)
     c = rng.standard_normal((300, dim)).astype(np.float32)
-    h = pmt.ClusteredCorpus(c, clusters=5, storage=storage, config=cfg)
+    h = pmt.ClusteredCorpus(c, clusters=5, storage=storage, config=cfg,
+                            mesh=mesh)
     shadow = c.copy()
     alive = np.ones(300, bool)
     metrics = ["cosine", "dot", "euclidean"]
@@ -154,7 +172,7 @@ def test_lifecycle_fuzz_clustered(storage, tmp_path):
         elif op == 3:                                 # save/load round-trip
             p = tmp_path / f"fzc_{storage}_{step}.npz"
             h.save(p)
-            h = pmt.ClusteredCorpus.load(p, config=cfg)
+            h = pmt.ClusteredCorpus.load(p, config=cfg, mesh=mesh)
         elif op == 4 and step % 2:                    # re-cluster (native)
             h.rebuild(clusters=int(rng.integers(2, 9)), seed=step)
 
