@@ -103,4 +103,44 @@ void pmm_quantize_i8(const float* values, int64_t n, int64_t dim,
   }
 }
 
+// Per-row symmetric int4 quantization, nibble-packed per K-chunk in one
+// fused pass (layout contract: kernels/fused_topk.py::quantize_int4 —
+// within each ck-wide chunk, byte j holds feature j in the low nibble
+// and feature j+ck/2 in the high nibble; features past dim pack as 0).
+// Semantics mirror api/search.py::_quantize_rows_int4_np exactly
+// (divide, round-half-even, clip to ±7).
+static inline int pmm_q4(const float* row, int64_t f, int64_t dim,
+                         float s) {
+  if (f >= dim) return 0;
+  float v = std::nearbyintf(row[f] / s);
+  if (v > 7.0f) v = 7.0f;
+  if (v < -7.0f) v = -7.0f;
+  return (int)v;
+}
+
+void pmm_quantize_i4(const float* values, int64_t n, int64_t dim,
+                     int64_t ck, int64_t dpp, int8_t* packed,
+                     float* scales) {
+  const int64_t half = ck / 2, nchunks = dpp / ck, width = dpp / 2;
+  for (int64_t i = 0; i < n; ++i) {
+    const float* row = values + i * dim;
+    float amax = 0.0f;
+    for (int64_t j = 0; j < dim; ++j) {
+      float a = std::fabs(row[j]);
+      if (a > amax) amax = a;
+    }
+    const float s = amax > 0.0f ? amax / 7.0f : 1.0f;
+    scales[i] = s;
+    int8_t* dst = packed + i * width;
+    for (int64_t c = 0; c < nchunks; ++c) {
+      const int64_t f0 = c * ck;
+      for (int64_t j = 0; j < half; ++j) {
+        const int lo = pmm_q4(row, f0 + j, dim, s);
+        const int hi = pmm_q4(row, f0 + half + j, dim, s);
+        dst[c * half + j] = (int8_t)((lo & 0xF) | ((hi & 0xF) << 4));
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -295,7 +295,14 @@ def _quantize_rows_int4_np(c: np.ndarray, ck: int, dpp: int):
     """Host-side per-row symmetric int4 quantization, nibble-packed per
     K-chunk (layout contract: kernels.fused_topk.quantize_int4),
     row-chunked so the f32/int32 temporaries stay bounded — this is the
-    capacity tier, aimed at corpora too big to hold twice."""
+    capacity tier, aimed at corpora too big to hold twice.  Dispatches
+    to the fused one-pass C++ kernel for f32 input (bit-identical)."""
+    from ..interop.native import native_quantize_i4
+
+    if c.dtype == np.float32:
+        out = native_quantize_i4(np.ascontiguousarray(c), ck, dpp)
+        if out is not None:
+            return out
     n, dim = c.shape
     packed = np.empty((n, dpp // 2), np.int8)
     scales = np.empty(n, np.float32)

@@ -86,6 +86,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             p(ctypes.c_float), i64, i64, p(ctypes.c_int8),
             p(ctypes.c_float),
         ]
+    if hasattr(lib, "pmm_quantize_i4"):
+        lib.pmm_quantize_i4.restype = None
+        lib.pmm_quantize_i4.argtypes = [
+            p(ctypes.c_float), i64, i64, i64, i64, p(ctypes.c_int8),
+            p(ctypes.c_float),
+        ]
     _lib = lib
     return _lib
 
@@ -160,6 +166,28 @@ def native_quantize_i8(c: np.ndarray):
         scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return codes, scales
+
+
+def native_quantize_i4(c: np.ndarray, ck: int, dpp: int):
+    """Fused one-pass per-row int4 quantize + nibble-pack via the C++
+    kernel (layout contract: kernels/fused_topk.py::quantize_int4).
+    Returns (packed (n, dpp//2) i8, scales (n,) f32) or None for the
+    NumPy fallback — the two are bit-identical."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pmm_quantize_i4") \
+            or c.dtype != np.float32:
+        return None
+    c = np.ascontiguousarray(c)
+    n, dim = c.shape
+    packed = np.empty((n, dpp // 2), np.int8)
+    scales = np.empty(n, np.float32)
+    lib.pmm_quantize_i4(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, dim, ck, dpp,
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return packed, scales
 
 
 def native_available() -> bool:

@@ -319,3 +319,26 @@ class TestNativeQuantize:
         c64 = _quantize_rows_np(c.astype(np.float64))   # NumPy chunked path
         np.testing.assert_array_equal(c32[0], c64[0])
         np.testing.assert_array_equal(c32[1], c64[1])
+
+    def test_int4_bit_identical_to_numpy_fallback(self):
+        from polars_matmul_tpu.interop.native import native_quantize_i4
+        from polars_matmul_tpu.kernels.fused_topk import feature_geometry
+
+        if not native_available():
+            pytest.skip("no native toolchain")
+        rng = np.random.default_rng(9)
+        for dim in (16, 100, 256):
+            ck, dpp, _ = feature_geometry(dim)
+            c = rng.standard_normal((200, dim)).astype(np.float32)
+            c[1] = 0.0
+            amax = np.abs(c).max(axis=1)
+            s = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+            codes = np.clip(np.rint(c / s[:, None]), -7, 7).astype(np.int32)
+            codes = np.pad(codes, ((0, 0), (0, dpp - dim)))
+            ch = codes.reshape(200, dpp // ck, ck)
+            ref = ((ch[:, :, : ck // 2] & 0xF)
+                   | ((ch[:, :, ck // 2:] & 0xF) << 4)
+                   ).astype(np.int8).reshape(200, dpp // 2)
+            packed, scales = native_quantize_i4(c, ck, dpp)
+            np.testing.assert_array_equal(scales, s, err_msg=f"dim={dim}")
+            np.testing.assert_array_equal(packed, ref, err_msg=f"dim={dim}")
