@@ -53,7 +53,27 @@ from .search import (
     compute_dtype,
 )
 
-_BIG_U32 = np.uint32(np.iinfo(np.int32).max)
+def _fallback_fn(_tag, kk: int, metric):
+    """Jitted exhaustive-XLA fallback (cached per (k, metric): a fresh
+    closure per call would retrace and recompile every topk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import reference
+
+    big = jnp.int32(np.iinfo(np.int32).max)
+
+    @jax.jit
+    def run(qj, dense, mk, perm):
+        vals, idx = reference.topk_search(
+            qj.astype(jnp.float32), dense, kk, metric, mask=mk,
+            precision="highest")
+        safe = jnp.clip(idx, 0, perm.shape[0] - 1)
+        gidx = jnp.take(perm, safe)
+        gidx = jnp.where(gidx < 0, big, gidx)
+        return _pack_pair(vals.astype(jnp.float32), gidx)
+
+    return run
 
 
 def _probed_fn(kk: int, metric: Metric, cfg: SearchConfig, tn: int,
@@ -95,10 +115,17 @@ def _scatter_fn(_tag, ext: int, _no_scales: bool):
     """Row scatter for ClusteredCorpus.add: optionally grow by ``ext``
     padded rows, then write the new rows (and scales) at their permuted
     positions.  Cached per (ext, has-scales) — jit handles shape retraces."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
+    # Donate the corpus buffers: without donation XLA allocates a full
+    # second copy per add/update — a 2x transient that would OOM a
+    # corpus sized to HBM (the int4 capacity tier's whole point).
+    donate = (0,) if _no_scales else (0, 3)
+
+    @functools.partial(jax.jit, donate_argnums=donate)
     def scatter(base, pos_d, vals_d, *s):
         if ext:
             base = jnp.pad(base, ((0, ext), (0, 0)))
@@ -168,6 +195,8 @@ class ClusteredCorpus:
 
         if clusters is None:
             clusters = self._default_clusters(self.n)
+        elif int(clusters) < 1:
+            raise ValueError(f"clusters must be >= 1, got {clusters}")
 
         # --- cluster (sampled k-means, then full chunked assignment) ----
         cf = np.ascontiguousarray(c, dtype=np.float32)
@@ -330,17 +359,7 @@ class ClusteredCorpus:
         tn = self._tn
         n_shards = self.mesh.shape[self.config.mesh_axes[1]]
         T = lay.n_tiles
-        lt = max(1, -(-T // n_shards))
-        total = lt * n_shards
-        self._lt = lt
         old_rows = lay.perm.shape[0]
-        if total == T and (n_shards == 1
-                           or (self._striped_for == n_shards
-                               and self._stripe_lt == lt)):
-            # already aligned and striped for this geometry: applying the
-            # stripe again would scramble a saved layout, breaking
-            # save/load probed-result identity
-            return None
         # canonicalize first — UNDO any existing stripe.  Striping on top
         # of a stripe composes to a map that re-concentrates a cluster's
         # tiles on one shard (e.g. lt % n_shards == 0 sends runs of
@@ -353,15 +372,33 @@ class ClusteredCorpus:
             if t0 <= T:
                 t = np.arange(t0, dtype=np.int64)
                 src_tile[:t0] = (t % s0) * lt0 + t // s0
+        # drop dead alignment tiles from the canonical order — _place can
+        # never refill them (cluster -1 matches no assignment), so
+        # carrying them forward would leak up to n_shards-1 tiles per
+        # add-overflow cycle, growing payloads and probe work unboundedly
+        live_t = src_tile[lay.tile_cluster[src_tile] != -1]
+        if live_t.size:
+            src_tile = live_t
+        tc = src_tile.size
+        lt = max(1, -(-tc // n_shards))
+        total = lt * n_shards
+        self._lt = lt
+        if T == total and (n_shards == 1
+                           or (self._striped_for == n_shards
+                               and self._stripe_lt == lt)):
+            # already aligned and striped for this geometry: applying the
+            # stripe again would scramble a saved layout, breaking
+            # save/load probed-result identity
+            return None
         self._striped_for = n_shards
         self._stripe_lt = lt
         # stripe: new position j (shard j//lt, slot j%lt) takes canonical
         # tile (j%lt)*n_shards + j//lt — a bijection spreading each
         # cluster's run of tiles across the shards; positions past the
-        # canonical tile count are dead padding
+        # canonical live-tile count are dead padding
         j = np.arange(total, dtype=np.int64)
         ct = (j % lt) * n_shards + j // lt
-        old_tile = np.where(ct >= T, T, src_tile[np.minimum(ct, T - 1)])
+        old_tile = np.where(ct >= tc, T, src_tile[np.minimum(ct, tc - 1)])
         gather = np.minimum(
             (old_tile[:, None] * tn
              + np.arange(tn, dtype=np.int64)).reshape(-1), old_rows)
@@ -847,12 +884,12 @@ class ClusteredCorpus:
         False (harmless — their bias is already -inf)."""
         if user_mk is None and self._tombstones is None:
             return None
+        if user_mk is None and self._perm_mask_dev is not None:
+            return self._perm_mask_dev  # before the O(n) host combine
         combined = (np.ones(self.n, bool) if user_mk is None
                     else user_mk.astype(bool))
         if self._tombstones is not None:
             combined = combined & ~self._tombstones
-        if user_mk is None and self._perm_mask_dev is not None:
-            return self._perm_mask_dev
         perm = self.layout.perm
         pm = np.zeros(self.layout.n_padded, bool)
         live = perm >= 0
@@ -894,27 +931,12 @@ class ClusteredCorpus:
         """Exhaustive XLA path for problems the fused kernel declines
         (k > k_pad, use_pallas=False).  probe= is ignored here — the
         result is exact, strictly better recall than any probe."""
-        import jax
-        import jax.numpy as jnp
-
-        from ..ops import reference
-
         dense = self._dense_view()
         mkj = self._permuted_mask(user_mk)
         live = self._live_dev
         mk = live if mkj is None else (mkj & live)
-        big = jnp.int32(np.iinfo(np.int32).max)
-
-        @jax.jit
-        def run(qj, dense, mk, perm):
-            vals, idx = reference.topk_search(
-                qj.astype(jnp.float32), dense, kk, metric, mask=mk,
-                precision="highest")
-            safe = jnp.clip(idx, 0, perm.shape[0] - 1)
-            gidx = jnp.take(perm, safe)
-            gidx = jnp.where(gidx < 0, big, gidx)
-            return _pack_pair(vals.astype(jnp.float32), gidx)
-
+        run = _cached_fn(self._packed_fns, ("fallback", kk, metric),
+                         _fallback_fn)
         packed = np.asarray(run(qj, dense, mk, self._perm_dev))
         v, i = _unpack_pair(packed, kk)
         return i.astype(np.uint32), v.astype(np.float64)
@@ -1043,6 +1065,8 @@ class ClusteredCorpus:
         n = self.n
         if clusters is None:
             clusters = self._default_clusters(n)
+        elif int(clusters) < 1:
+            raise ValueError(f"clusters must be >= 1, got {clusters}")
 
         # -- gather the native payload in ORIGINAL row order (host) ------
         base_host, scales_host = self._gather_native_host()
@@ -1112,17 +1136,9 @@ class ClusteredCorpus:
         same constructor keywords (clusters=, storage=, mesh=,
         config=).  The handle then serves ``topk_arrow``/
         ``matmul_arrow`` and the polars ``.pmm`` namespace directly."""
-        import pyarrow as pa
+        from ..interop.arrow import extract_embedding_column
 
-        from ..interop import arrow as ai
-
-        if hasattr(column, "to_arrow"):  # polars Series
-            column = column.to_arrow()
-        if isinstance(column, pa.ChunkedArray):
-            column = column.combine_chunks()
-        dt = ai.promote_pair(ai._value_type(column),
-                             ai._value_type(column))
-        return cls(ai.extract_matrix(column, dt), **kwargs)
+        return cls(extract_embedding_column(column), **kwargs)
 
     def matmul(self, queries: ArrayLike) -> np.ndarray:
         """Raw pairwise Q·Cᵀ panel (n_q, n) in ORIGINAL row order.
@@ -1177,7 +1193,14 @@ class ClusteredCorpus:
         tiles visited per 256-query block: a float is a fraction of all
         tiles (the bytes-read budget), an int a tile count, None an
         exhaustive scan.  Returns (indices u32, scores f64) in ORIGINAL
-        row ids, exactly like ``Corpus.topk``."""
+        row ids, exactly like ``Corpus.topk``.
+
+        Compute is f32 by design: the constructor stores the corpus
+        f32-or-quantized (clustering is an approximation tier), so f64
+        queries are downcast here — unlike ``Corpus``, which keeps an
+        exact f64 path for f64 data.  Exactness claims (``probe=None``,
+        "exact over visited rows") are relative to this f32/quantized
+        storage."""
         from ..kernels.fused_topk import query_tile_rows, supports
 
         metric = Metric.parse(metric)

@@ -924,17 +924,9 @@ class Corpus:
         ``matmul_arrow`` calls (pass it as the ``corpus`` argument) and
         the polars ``.pmm`` namespace directly.
         """
-        import pyarrow as pa
+        from ..interop.arrow import extract_embedding_column
 
-        from ..interop import arrow as ai
-
-        if hasattr(column, "to_arrow"):  # polars Series
-            column = column.to_arrow()
-        if isinstance(column, pa.ChunkedArray):
-            column = column.combine_chunks()
-        dt = ai.promote_pair(ai._value_type(column),
-                             ai._value_type(column))
-        return cls(ai.extract_matrix(column, dt), **kwargs)
+        return cls(extract_embedding_column(column), **kwargs)
 
     def update(self, indices: ArrayLike, rows: ArrayLike) -> None:
         """Overwrite existing corpus rows in place (upsert).

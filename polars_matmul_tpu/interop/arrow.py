@@ -68,6 +68,18 @@ def promote_pair(left_vt, right_vt) -> np.dtype:
     return np.dtype(np.float64)
 
 
+def extract_embedding_column(column) -> np.ndarray:
+    """Arrow (or polars) embedding column -> dense (n, dim) matrix in its
+    promoted dtype — the shared ``from_arrow`` front door for both handle
+    types (Corpus, ClusteredCorpus)."""
+    if hasattr(column, "to_arrow"):  # polars Series
+        column = column.to_arrow()
+    if isinstance(column, pa.ChunkedArray):
+        column = column.combine_chunks()
+    dt = promote_pair(_value_type(column), _value_type(column))
+    return extract_matrix(column, dt)
+
+
 def extract_matrix(
     arr: pa.Array | pa.ChunkedArray,
     dtype: Optional[np.dtype] = None,

@@ -831,6 +831,28 @@ class TestClusteredMeshMutation:
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_array_equal(v1, v2)
 
+    def test_mesh_add_does_not_leak_dead_tiles(self, mesh8):
+        """Repeated add-overflow cycles must not accumulate dead
+        alignment tiles: align drops them from the canonical order
+        before re-striping, so the dead count stays < n_shards."""
+        rng = np.random.default_rng(103)
+        q, c = blobs(rng, 1800, 6, 16)
+        cm = pmt.ClusteredCorpus(c, clusters=6, mesh=mesh8, config=CFG)
+        shadow = c
+        for i in range(4):
+            batch = (c[rng.integers(0, 1800, 400)]
+                     + 0.01 * rng.standard_normal((400, 16))
+                     ).astype(np.float32)
+            cm.add(batch)
+            shadow = np.vstack([shadow, batch])
+            dead = int((cm.layout.tile_cluster == -1).sum())
+            assert dead < 8, (i, dead)
+        # still correct after the cycles
+        i1, v1 = cm.topk(q, 5)
+        i2, v2 = pmt.Corpus(shadow, config=CFG).topk(q, 5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)
+
     def test_mesh_add_then_rebuild_recovers_probe(self, mesh8):
         rng = np.random.default_rng(99)
         q, c = blobs(rng, 2500, 20, 32, n_centers=12)
