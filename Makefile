@@ -3,8 +3,10 @@
 
 native: polars_matmul_tpu/interop/_pmm_native.so
 
+# keep flags in sync with interop/native.py::_build (-fno-math-errno only
+# drops errno bookkeeping; it lets gcc vectorize nearbyintf into roundps)
 polars_matmul_tpu/interop/_pmm_native.so: native/pmm_native.cpp
-	g++ -O3 -shared -fPIC -std=c++17 -o $@ $<
+	g++ -O3 -march=native -fno-math-errno -shared -fPIC -std=c++17 -o $@ $<
 
 test: native
 	python -m pytest tests/ -x -q
