@@ -150,6 +150,54 @@ def main():
         print(f"{probe:8.2f} {p:6d} {t*1e3:10.3f} {gb/t:12.1f} "
               f"{rec:10.3f}")
 
+    # -- drift -> rebuild mechanics ---------------------------------------
+    # add() places new rows against the centroids fitted at ingestion; the
+    # `drift` signal counts those stale placements.  rebuild() re-fits,
+    # re-lays out storage-native (exhaustive results invariant — checked
+    # below) and COMPACTS the layout (overflow tiles and their slack go
+    # away, so every probe fraction reads fewer bytes).  The recall
+    # effect of re-fitting is workload-dependent (block-union probing can
+    # even benefit from accidental concentration): the drift signal says
+    # when to RE-MEASURE recall, not that it collapsed.
+    import polars_matmul_tpu as pmt
+
+    rng2 = np.random.default_rng(7)
+    nc, dim2 = min(args.rows, 120_000), 64
+    centers = rng2.standard_normal((40, dim2)).astype(np.float32) * 4.0
+    base = (centers[rng2.integers(0, 40, nc)]
+            + rng2.standard_normal((nc, dim2))).astype(np.float32)
+    cc = pmt.ClusteredCorpus(base, clusters=40)
+    new_centers = (np.full((1, dim2), 18.0, np.float32)
+                   + rng2.standard_normal((12, dim2)) * 6.0)
+    drift_rows = (new_centers[rng2.integers(0, 12, nc // 2)]
+                  + rng2.standard_normal((nc // 2, dim2))).astype(np.float32)
+    cc.add(drift_rows)
+    qd = (new_centers[rng2.integers(0, 12, 16)]
+          + rng2.standard_normal((16, dim2))).astype(np.float32)
+    ei, ev = cc.topk(qd, 10)
+
+    def rec_at(pr):
+        pi, _ = cc.topk(qd, 10, probe=pr)
+        return np.mean([len(set(a) & set(b)) / 10 for a, b in zip(pi, ei)])
+
+    r_before = rec_at(0.2)
+    d_before, tiles_before = cc.drift, cc.layout.n_tiles
+    t0 = time.perf_counter()
+    cc.rebuild()
+    t_rebuild = time.perf_counter() - t0
+    ei2, ev2 = cc.topk(qd, 10)
+    exhaustive_ok = bool(
+        np.array_equal(ei2, ei)
+        or np.allclose(np.sort(ev2, 1), np.sort(ev, 1), rtol=1e-6))
+    r_after = rec_at(0.2)
+    print(f"\ndrift -> rebuild ({nc} rows + {nc // 2} drifted, probe=0.2):")
+    print(f"  drift signal {d_before:.2f} -> {cc.drift:.2f}; "
+          f"tiles {tiles_before} -> {cc.layout.n_tiles} (compaction); "
+          f"rebuild {t_rebuild*1e3:.0f} ms")
+    print(f"  exhaustive invariant: {exhaustive_ok}; "
+          f"probed recall@10 {r_before:.3f} -> {r_after:.3f} "
+          f"(workload-dependent; drift says re-measure)")
+
 
 if __name__ == "__main__":
     main()
