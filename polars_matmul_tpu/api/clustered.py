@@ -879,6 +879,28 @@ class ClusteredCorpus:
     _striped_for = None  # shard count the layout's tiles are striped for
     _stripe_lt = None    # tiles per shard at stripe time (undo geometry)
 
+    def _route_order(self, q: np.ndarray, metric: Metric):
+        """Stable query order grouping rows by their best cluster — the
+        host-side mirror of ``ops.cluster.centroid_scores`` ranking (only
+        the grouping key matters, so host f32 is fine).  Returns None
+        when every query already agrees on a cluster (routing no-op)."""
+        cf = np.ascontiguousarray(q, dtype=np.float32)
+        cent = np.asarray(self.centroids, np.float32)
+        if metric is Metric.COSINE:
+            cf = cf / np.maximum(
+                np.linalg.norm(cf, axis=1, keepdims=True), 1e-20)
+            cn = cent / np.maximum(
+                np.linalg.norm(cent, axis=1, keepdims=True), 1e-20)
+            s = cf @ cn.T
+        elif metric is Metric.EUCLIDEAN:
+            s = 2.0 * (cf @ cent.T) - (cent * cent).sum(1)[None, :]
+        else:
+            s = cf @ cent.T
+        best = np.argmax(s, axis=1)
+        if (best == best[0]).all():
+            return None
+        return np.argsort(best, kind="stable")
+
     def _permuted_mask(self, user_mk: Optional[np.ndarray]):
         """(n_padded,) device bool in permuted space, or None.  Slack rows
         False (harmless — their bias is already -inf)."""
@@ -1188,12 +1210,22 @@ class ClusteredCorpus:
         *,
         probe: Union[float, int, None] = None,
         mask: Optional[ArrayLike] = None,
+        route: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Top-k over the clustered corpus.  ``probe`` bounds the corpus
         tiles visited per 256-query block: a float is a fraction of all
         tiles (the bytes-read budget), an int a tile count, None an
         exhaustive scan.  Returns (indices u32, scores f64) in ORIGINAL
         row ids, exactly like ``Corpus.topk``.
+
+        ``route`` (default True) reorders multi-block probed batches so
+        queries wanting the same cluster share a probe block: the tile
+        budget is a per-block union, so coherent blocks waste less of it
+        on other queries' tiles (a diverse 1000-query batch dilutes each
+        query's effective budget otherwise).  Results come back in the
+        caller's row order; exhaustive scans and single-block batches
+        are unaffected.  Pass ``route=False`` for probe-block-stable
+        results across calls with different query orders.
 
         Compute is f32 by design: the constructor stores the corpus
         f32-or-quantized (clustering is an approximation tier), so f64
@@ -1220,6 +1252,17 @@ class ClusteredCorpus:
                 np.empty((q.shape[0], 0), np.uint32),
                 np.empty((q.shape[0], 0), np.float64),
             )
+        if route and probe is not None:
+            tm_r = query_tile_rows(q.shape[0], self.dim, self.config, kk)
+            order = (self._route_order(q, metric)
+                     if q.shape[0] > tm_r else None)
+            if order is not None:
+                i_r, v_r = self.topk(q[order], k, metric, probe=probe,
+                                     mask=mask, route=False)
+                inv = np.empty_like(order)
+                inv[order] = np.arange(order.size)
+                return (np.ascontiguousarray(i_r[inv]),
+                        np.ascontiguousarray(v_r[inv]))
         if self.mesh is not None:
             return self._mesh_topk(q, kk, metric, probe, user_mk)
         p, exhaustive = resolve_probe(probe, self.layout.n_tiles)

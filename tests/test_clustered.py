@@ -720,6 +720,62 @@ class TestClusteredArrowSurface:
             pmt.matmul_arrow(qa, cc, config=CFG)
 
 
+class TestQueryRouting:
+    """route=True groups a diverse probed batch by best cluster so the
+    per-block tile-union budget isn't diluted; results return in caller
+    order.  Measured on this shape: recall .25 -> .77 at probe=0.2."""
+
+    def _setup(self, seed=5, nq=600):
+        rng = np.random.default_rng(seed)
+        nb, dim = 30, 32
+        centers = rng.standard_normal((nb, dim)).astype(np.float32) * 5.0
+        c = (centers[rng.integers(0, nb, 20000)]
+             + rng.standard_normal((20000, dim))).astype(np.float32)
+        q = (centers[rng.integers(0, nb, nq)]
+             + rng.standard_normal((nq, dim))).astype(np.float32)
+        return q, c, nb
+
+    def test_routing_recovers_diluted_recall(self):
+        q, c, nb = self._setup()
+        cc = pmt.ClusteredCorpus(c, clusters=nb, config=CFG)
+        ei, _ = cc.topk(q, 10)
+        iu, _ = cc.topk(q, 10, probe=0.2, route=False)
+        ir, _ = cc.topk(q, 10, probe=0.2, route=True)
+        ru, rr = recall(iu, ei), recall(ir, ei)
+        assert rr > ru + 0.15, (ru, rr)
+
+    def test_routed_results_map_back_to_callers_rows(self):
+        # self-queries: with a generous probe every query must find
+        # ITSELF first — any permutation bug misaligns rows
+        rng = np.random.default_rng(6)
+        q, c, nb = self._setup(seed=6)
+        cc = pmt.ClusteredCorpus(c, clusters=nb, config=CFG)
+        sel = rng.choice(20000, 500, replace=False)
+        i, v = cc.topk(c[sel], 1, probe=0.5, route=True)
+        hit = i[:, 0] == sel.astype(np.uint32)
+        assert hit.mean() > 0.95, hit.mean()  # probe misses allowed, few
+
+    def test_routing_composes_with_mask_and_mesh(self, mesh8):
+        q, c, nb = self._setup(seed=7, nq=520)
+        cm = pmt.ClusteredCorpus(c, clusters=nb, mesh=mesh8, config=CFG)
+        mask = np.ones(20000, bool)
+        ei, _ = cm.topk(q, 5)
+        band = ei[:, 0].astype(np.int64)
+        mask[band] = False  # ban every top hit
+        ir, _ = cm.topk(q, 5, probe=0.4, mask=mask, route=True)
+        real = ir != np.iinfo(np.int32).max
+        assert not np.isin(ir[real].astype(np.int64), band).any()
+
+    def test_route_false_single_block_identical(self):
+        # a single-block batch never routes: identical results either way
+        q, c, nb = self._setup(seed=8, nq=8)
+        cc = pmt.ClusteredCorpus(c, clusters=nb, config=CFG)
+        i1, v1 = cc.topk(q, 5, probe=0.3, route=True)
+        i2, v2 = cc.topk(q, 5, probe=0.3, route=False)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(v1, v2)
+
+
 class TestClusteredMeshMutation:
     """Mesh add (host gather + place + re-shard) and mesh update
     (in-place sharded scatter at the rows' permuted slots) — both
