@@ -581,7 +581,8 @@ class ClusteredCorpus:
 
         p_local, exhaustive = resolve_probe(probe, self._lt)
         pr = (None if exhaustive else
-              (self._cent_repl, self._tc_sharded, int(p_local)))
+              (self._cent_repl, self._tc_sharded, int(p_local),
+               self._tn))
         qj = _to_jax(np.ascontiguousarray(q, np.float32),
                      np.dtype(np.float32))
         mk = self._mesh_mask(user_mk)

@@ -16,7 +16,7 @@ with no extra keying.
 from __future__ import annotations
 
 import dataclasses
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import Optional, Tuple
 
 import numpy as np
@@ -126,19 +126,24 @@ class ShardedCorpus:
         return self._f32_view
 
     def prepared_for(self, metric: Metric, mesh, cfg: SearchConfig,
-                     k: int = 1):
+                     k: int = 1, tn: Optional[int] = None):
         """Cached per-shard (cp, cbp) from kernels.fused_topk.prepare_corpus.
 
         Large shards are prepared in row chunks with donated output
         buffers (one-shot prep transiently holds ~3x the shard bytes,
         chunked ~2x + one chunk), mirroring Corpus._prepared_for.
+        ``tn`` overrides the tile height (probed layouts pin it to their
+        tile_cluster granularity regardless of k).
         """
         from ..kernels.fused_topk import corpus_tile_rows, prepare_corpus
 
         # The prep is padded for a specific corpus tile height, which the
         # tiling knobs determine — key on it so a different SearchConfig
-        # cannot silently reuse a geometry-mismatched prep.
-        tn = corpus_tile_rows(self.data.shape[1], cfg, k)
+        # cannot silently reuse a geometry-mismatched prep.  Derive it
+        # from the LOGICAL dim (quantized shards carry packed/padded
+        # widths that would misgate the shared-storage path).
+        if tn is None:
+            tn = corpus_tile_rows(self.dim or self.data.shape[1], cfg, k)
         key = (metric.value, cfg.precision, tn)
         if key in self._prepared:
             return self._prepared[key]
@@ -202,31 +207,39 @@ class ShardedCorpus:
                             mesh, P(None, c_axis)),
                     )
 
-                    def make_update(rows, r0):
-                        def upd(buf_, codes_, scales_):
+                    def make_update(rows):
+                        # r0 rides as a TRACED operand so all full-size
+                        # chunks share one compiled program (a fresh
+                        # closure per chunk would compile a shard_map
+                        # program per chunk — seconds each).
+                        def upd(buf_, r0_, codes_, scales_):
                             off = jax.lax.axis_index(c_axis) * ns
+                            r0i = r0_[0]
                             c_ = jax.lax.dynamic_slice_in_dim(
-                                codes_, r0, rows, 0)
+                                codes_, r0i, rows, 0)
                             s_ = jax.lax.dynamic_slice_in_dim(
-                                scales_, r0, rows, 0)
+                                scales_, r0i, rows, 0)
                             cbc = bias_fn(
-                                c_, s_, metric, n_true - off - r0)
+                                c_, s_, metric, n_true - off - r0i)
                             return jax.lax.dynamic_update_slice(
-                                buf_, cbc, (jnp.int32(0), jnp.int32(r0)))
+                                buf_, cbc, (jnp.int32(0), r0i))
 
                         mapped = _shard_map(
                             upd, mesh,
-                            in_specs=(P(None, c_axis), P(c_axis, None),
-                                      P(c_axis)),
+                            in_specs=(P(None, c_axis), P(),
+                                      P(c_axis, None), P(c_axis)),
                             out_specs=P(None, c_axis),
                         )
                         return jax.jit(mapped, donate_argnums=(0,))
 
+                    fn_full = make_update(min(per, ns))
                     r0 = 0
                     while r0 < ns:
                         rows = min(per, ns - r0)
-                        buf = make_update(rows, r0)(
-                            buf, self.data, self.scales)
+                        fn = (fn_full if rows == min(per, ns)
+                              else make_update(rows))
+                        buf = fn(buf, jnp.asarray([r0], jnp.int32),
+                                 self.data, self.scales)
                         r0 += rows
                     cbp = jax.block_until_ready(buf)
             self._prepared[key] = (self.data, cbp)
@@ -279,35 +292,42 @@ class ShardedCorpus:
                 jax.sharding.NamedSharding(mesh, P(None, c_axis)),
             )
 
-            def make_update(rows, r0):
+            def make_update(rows):
                 # Each shard slices ITS local rows [r0, r0 + rows) — a
                 # per-shard operation, so it lives inside the shard_map.
-                def update_local(buf_cp_, buf_cb_, data_, *rest_):
-                    c_ = jax.lax.dynamic_slice_in_dim(data_, r0, rows, 0)
+                # r0 is a TRACED operand: full-size chunks share one
+                # compiled program instead of one per chunk.
+                def update_local(buf_cp_, buf_cb_, r0_, data_, *rest_):
+                    r0i = r0_[0]
+                    c_ = jax.lax.dynamic_slice_in_dim(data_, r0i, rows, 0)
                     s_args = tuple(
-                        jax.lax.dynamic_slice_in_dim(s_, r0, rows, 0)
+                        jax.lax.dynamic_slice_in_dim(s_, r0i, rows, 0)
                         for s_ in rest_
                     )
                     cpc, cbc = prep(c_, *s_args)
                     bp = jax.lax.dynamic_update_slice(
-                        buf_cp_, cpc, (jnp.int32(r0), jnp.int32(0)))
+                        buf_cp_, cpc, (r0i, jnp.int32(0)))
                     bb = jax.lax.dynamic_update_slice(
-                        buf_cb_, cbc, (jnp.int32(0), jnp.int32(r0)))
+                        buf_cb_, cbc, (jnp.int32(0), r0i))
                     return bp, bb
 
                 mapped = _shard_map(
                     update_local, mesh,
-                    in_specs=(P(c_axis, None), P(None, c_axis),
+                    in_specs=(P(c_axis, None), P(None, c_axis), P(),
                               *data_specs),
                     out_specs=(P(c_axis, None), P(None, c_axis)),
                 )
                 return jax.jit(mapped, donate_argnums=(0, 1))
 
+            fn_full = make_update(min(rows_per_chunk, ns))
             r0 = 0
             while r0 < ns:
                 rows = min(rows_per_chunk, ns - r0)
-                buf_cp, buf_cb = make_update(rows, r0)(
-                    buf_cp, buf_cb, *data_args)
+                fn = (fn_full if rows == min(rows_per_chunk, ns)
+                      else make_update(rows))
+                buf_cp, buf_cb = fn(buf_cp, buf_cb,
+                                    jnp.asarray([r0], jnp.int32),
+                                    *data_args)
                 r0 += rows
             self._prepared[key] = jax.block_until_ready((buf_cp, buf_cb))
         return self._prepared[key]
@@ -369,9 +389,16 @@ def shard_corpus(c, mesh, config: Optional[SearchConfig] = None,
                              storage=storage,
                              has_capacity=capacity is not None)
     n_pad = _round_up(cap, n_shards)
-    if n_pad != n:
-        c = jnp.pad(c, ((0, n_pad - n), (0, 0)))
     sharding = NamedSharding(mesh, P(axis, None))
+    if n_pad != n:
+        # pad on HOST: jnp.pad would materialize the whole padded corpus
+        # on one device before resharding — a staging copy that can OOM
+        # a chip the sharded result fits on comfortably
+        ch = np.asarray(c)
+        padded = np.zeros((n_pad, ch.shape[1]), ch.dtype)
+        padded[:n] = ch
+        return ShardedCorpus(jax.device_put(padded, sharding), n,
+                             has_capacity=capacity is not None)
     return ShardedCorpus(jax.device_put(c, sharding), n,
                          has_capacity=capacity is not None)
 
@@ -453,7 +480,10 @@ def _topk_callable(mesh, k, k_local, ns, metric: Metric,
         return vals, gidx
 
     if prepared and probed is not None:
-        p_local, tm = probed
+        # tn is the LAYOUT's tile height: tile_cluster ids address the
+        # corpus at that granularity, so the kernel must tile at it too
+        # (its own k-aware default diverges at k > 16).
+        p_local, tm, tn_probe = probed
 
         def local_topk(q_, nl_, cp_, cb_, cent_, tc_, *m_):
             tiles = probe_tiles(q_, cent_, tc_, p=p_local, tm=tm,
@@ -461,7 +491,7 @@ def _topk_callable(mesh, k, k_local, ns, metric: Metric,
             mk = m_[0] if m_ else None
             return finish(nl_, *fused_topk_prepared(
                 q_, cp_, cb_, k_local, metric, mask=mk, config=cfg,
-                tiles=tiles,
+                tiles=tiles, tn=tn_probe,
             ))
 
         corpus_in_specs = (P(c_axis, None), P(None, c_axis), P(None, None),
@@ -657,19 +687,26 @@ def distributed_topk(
         # Cached on the corpus: depends only on (shape, n_true).
         m_args = (corpus.live_mask(mesh, cfg),)
     if use_prepared:
-        cp, cbp = corpus.prepared_for(metric, mesh, cfg, k_local)
         if probe is not None:
-            from ..kernels.fused_topk import query_tile_rows
+            from ..kernels.fused_topk import (corpus_tile_rows,
+                                              query_tile_rows)
 
-            cent, tc, p_local = probe
+            cent, tc, p_local, *pr_rest = probe
+            # the layout's tile height governs both the prep geometry
+            # and the kernel tiling — tile ids address the corpus at it
+            tn_lay = (int(pr_rest[0]) if pr_rest
+                      else corpus_tile_rows(dim, cfg, 1))
+            cp, cbp = corpus.prepared_for(metric, mesh, cfg, k_local,
+                                          tn=tn_lay)
             d_shards = mesh.shape[cfg.mesh_axes[0]]
             m_local = (q.shape[0] // d_shards if d_shards > 1
                        else q.shape[0])
             tm = query_tile_rows(max(1, m_local), dim, cfg, k_local)
             fn = _topk_callable(mesh, k, k_local, ns, metric, cfg,
                                 prepared=True, masked=masked,
-                                probed=(int(p_local), tm))
+                                probed=(int(p_local), tm, tn_lay))
             return fn(q, n_true, cp, cbp, cent, tc, *m_args)
+        cp, cbp = corpus.prepared_for(metric, mesh, cfg, k_local)
         fn = _topk_callable(mesh, k, k_local, ns, metric, cfg,
                             prepared=True, masked=masked)
         return fn(q, n_true, cp, cbp, *m_args)

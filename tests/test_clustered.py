@@ -586,6 +586,28 @@ class TestClusteredMesh:
         with pytest.raises(ValueError, match="Dimension mismatch"):
             cm.add(np.ones((2, 17), np.float32))
 
+    def test_mesh_probed_large_k_uses_layout_tiles(self, mesh8):
+        """k > 16 flips the kernel's k-aware tile geometry (auto tiles:
+        bn 2048 -> 4096); the probed mesh path must pin the LAYOUT's
+        tile height instead — tile ids address the corpus at layout
+        granularity, and the kernel's own default read past the shard
+        (or raised) at k=32."""
+        rng = np.random.default_rng(104)
+        q, c = blobs(rng, 36864, 8, 32, n_centers=18)
+        cfg = SearchConfig(k_pad=64)  # default auto tiles, k=32 capacity
+        cm = pmt.ClusteredCorpus(c, clusters=18, mesh=mesh8, config=cfg)
+        i, v = cm.topk(q, 32, "dot", probe=0.5)
+        assert i.shape == (8, 32)
+        real = i != np.iinfo(np.int32).max
+        assert real.any()
+        s = q.astype(np.float64) @ c.astype(np.float64).T
+        for r in range(8):
+            got = v[r][real[r]]
+            want = s[r, i[r][real[r]].astype(np.int64)]
+            # exact-over-visited-rows: garbage tile addressing breaks
+            # the (index, score) pairing immediately
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-2)
+
     def test_large_k_fallback_on_mesh(self, mesh8):
         rng = np.random.default_rng(46)
         q, c = blobs(rng, 1200, 6, 16)
