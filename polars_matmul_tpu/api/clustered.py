@@ -71,6 +71,9 @@ def _fallback_fn(_tag, kk: int, metric):
         safe = jnp.clip(idx, 0, perm.shape[0] - 1)
         gidx = jnp.take(perm, safe)
         gidx = jnp.where(gidx < 0, big, gidx)
+        # unfilled slots arrive as index sentinels — keep them (the
+        # clipped gather above would map them to a real row's id)
+        gidx = jnp.where(idx == big, big, gidx)
         return _pack_pair(vals.astype(jnp.float32), gidx)
 
     return run

@@ -99,9 +99,15 @@ def feature_chunk(dim: int) -> int:
     products accumulating in a VMEM scratch tile until the last chunk
     runs the epilogue + selection.  Removes the old dim <= 8192 kernel
     limit (beyond it the XLA fallback was used).
+
+    The single-chunk cap is 4096, not 8192: _pick_block_n only shrinks
+    the CORPUS tile, so a single-chunk 8192-wide 256-row query tile
+    (8.4 MB) plus a double-buffered corpus tile cannot fit the ~16 MB
+    VMEM at any bn — chunked mode caps the query tile at 128 rows and
+    bounds every resident tile.
     """
     dp = _round_up(dim, 128)
-    return dp if dp <= 8192 else _K_CHUNK
+    return dp if dp <= 4096 else _K_CHUNK
 
 
 def feature_geometry(dim: int):
@@ -149,6 +155,10 @@ def _select_extract(s, carry_vals, carry_idx, lane_n, n_base, k, kp, tm):
         hot_c = lane_k == pc[:, None]
         g_c = jnp.sum(jnp.where(hot_c, ci, 0), axis=1)        # cheap gather
         g = jnp.where(use_c, g_c, n_base + ps)
+        # exhausted row (every candidate -inf): emit the index sentinel —
+        # a consumed carry slot keeps its stale ci, which argmax over an
+        # all--inf cv would otherwise re-emit as a duplicate real index
+        g = jnp.where(m == _NEG_INF, _BIG_I32, g)
         slot = lane_k == t
         out_v = jnp.where(slot, m[:, None], out_v)
         out_i = jnp.where(slot, g[:, None], out_i)
@@ -289,6 +299,10 @@ def _merge_narrow(cv, ci, mv, mi, k: int, kp: int, tm: int):
         use_k = (vk > vc) | ((vk == vc) & (ik < ic))
         v = jnp.where(use_k, vk, vc)
         g = jnp.where(use_k, ik, ic)
+        # exhausted row: emit the index sentinel — on an all--inf tie the
+        # lexicographic rule would prefer a masked/pad row's REAL (lower)
+        # index over the carry's sentinel, leaking excluded rows
+        g = jnp.where(v == _NEG_INF, _BIG_I32, g)
         slot = lane_kp == t
         out_v = jnp.where(slot, v[:, None], out_v)
         out_i = jnp.where(slot, g[:, None], out_i)
@@ -614,14 +628,17 @@ def _pick_block_n(dim: int, block_q: int, block_n: int, kp: int) -> int:
         )
         if tile_bytes <= budget:
             break
-        bn //= 2
+        # keep the 128-lane-group invariant: the kernel's groups =
+        # bn // 128 floor would silently skip a tile's last partial
+        # group on bucket selection if halving broke the multiple
+        bn = max(128, bn // 2 // 128 * 128)
     return max(bn, 128)
 
 
 def supports(q_shape, c_shape, dtype, k: int, cfg: SearchConfig) -> bool:
     """Whether the Pallas kernel handles this problem (else XLA fallback).
 
-    The kernel runs correctly at ANY dim (K-chunked above 8192), but the
+    The kernel runs correctly at ANY dim (K-chunked above 4096), but the
     measured crossover on v5e says to use it above ``max_fused_dim`` only
     when materializing the (m, n) score matrix would be the real
     constraint: at 256x2048x12288, XLA normalize+matmul+top_k runs 401 us
@@ -857,31 +874,18 @@ def prepare_corpus(c: jax.Array, metric, *, tn: int, precision: str,
         cbp = prepare_int4_bias(cp, scales_p, metric, n)
         return cp, cbp
     if precision == "int8c":
+        # int8: pad first, then share prepare_int8_bias (the same (2,
+        # rows) scale|bias math the shared-storage mesh path uses — the
+        # cosine dequant-scale cancellation lives in one place).
         if c.dtype != jnp.int8:
             c, scales = quantize_int8(c)
-        codesf = c.astype(jnp.float32)
-        code_norm = jnp.sqrt(jnp.sum(codesf * codesf, axis=1))
-        if metric is Metric.COSINE:
-            # s = (q/|q| . codes) * 1/|codes|: the dequant scale cancels
-            # against the normalization, so cosine pays NO extra
-            # quantization error from the scale itself.
-            cs = jnp.where(code_norm > 0, 1.0 / code_norm, 0.0)
-            cb = jnp.zeros((n,), jnp.float32)
-        elif metric is Metric.EUCLIDEAN:
-            cs = scales.astype(jnp.float32)
-            cb = -(cs * code_norm) ** 2
-        else:
-            cs = scales.astype(jnp.float32)
-            cb = jnp.zeros((n,), jnp.float32)
         np_ = _round_up(n, tn)
         _, dpp, _ = feature_geometry(dim)
         cp = jnp.pad(c, ((0, np_ - n), (0, dpp - dim)))
-        # Row 0: dequant scale (pad rows get 0 — any finite value works,
-        # their dot products are 0).  Row 1: additive bias, pad tail -inf.
-        csp = jnp.pad(cs.reshape(1, n), ((0, 0), (0, np_ - n)))
-        cbp = jnp.pad(cb.reshape(1, n), ((0, 0), (0, np_ - n)),
-                      constant_values=-np.inf)
-        return cp, jnp.concatenate([csp, cbp], axis=0)
+        scales_p = jnp.pad(scales.astype(jnp.float32), (0, np_ - n),
+                           constant_values=1.0)
+        cbp = prepare_int8_bias(cp, scales_p, metric, n)
+        return cp, cbp
     if c.dtype != jnp.float32:
         # bf16-stored corpora arrive quantized; prep math (norms, bias)
         # runs in f32.  Chunked callers pass bf16 chunks so the f32 copy
@@ -1168,6 +1172,13 @@ def fused_topk_prepared(
     """
     cfg = resolve(config)
     metric = Metric.parse(metric)
+    if k > cfg.k_pad:
+        # The carry refs are (tm, k_pad): a larger k would silently
+        # truncate to k_pad columns (or die on an out-of-bounds ref
+        # slice).  The dispatching surfaces fall back before this.
+        raise ValueError(
+            f"k={k} exceeds config.k_pad={cfg.k_pad}; raise k_pad or use "
+            f"the unprepared/fallback path")
     if q.dtype != jnp.float32:
         # Half-precision query ingestion (Corpus.topk uploads f16/bf16
         # queries at half the host->device bytes): upcast on device, so

@@ -118,7 +118,9 @@ def topk_search(
     (reference matmul.rs:446-447).  ``mask`` (n_corpus,) bool excludes
     corpus rows from selection (filtered search — no reference analog);
     slots beyond the number of matching rows carry sentinel scores
-    (-inf similarity / +inf distance).
+    (-inf similarity / +inf distance) and int32-max indices — the same
+    contract as the fused kernel, so callers can detect unfilled slots
+    uniformly.
     """
     metric = Metric.parse(metric)
     scores = pairwise_scores(q, c, metric, precision=precision)
@@ -126,4 +128,8 @@ def topk_search(
         worst = -jnp.inf if metric.higher_is_better else jnp.inf
         scores = jnp.where(mask[None, :], scores, worst)
     vals, idx = topk_from_scores(scores, k, metric.higher_is_better)
+    if mask is not None:
+        # lax.top_k returns a REAL row index for the -inf slots; emit the
+        # index sentinel so excluded rows never leak into results
+        idx = jnp.where(vals == worst, jnp.iinfo(jnp.int32).max, idx)
     return vals, idx.astype(jnp.int32)

@@ -214,6 +214,33 @@ def test_fused_topk_fuzz_shapes_and_tilings():
             ) from e
 
 
+@pytest.mark.parametrize("sel", ["extract", "bucket", "insert"])
+@pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+def test_underfilled_slots_carry_index_sentinels(sel, metric):
+    """Fewer matching rows than k, spread over several corpus tiles:
+    every unfilled slot must be (-inf/+inf score, int32-max index).
+    Regression (reviewer-confirmed): 'extract' re-emitted a consumed
+    carry slot's stale index, 'bucket' leaked MASKED rows' real indices
+    through the lexicographic tie-break on all--inf values."""
+    rng = np.random.default_rng(17)
+    m, n, d, k = 5, 600, 32, 7
+    q = rng.standard_normal((m, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    mask = np.zeros(n, bool)
+    matches = [10, 20, 350]          # 3 matches < k, two tiles at bn=256
+    mask[matches] = True
+    cfg = SearchConfig(selection=sel, block_q=8, block_n=256)
+    v, i = fused_topk(q, c, k, metric, mask=mask, config=cfg,
+                      interpret=True)
+    v, i = np.asarray(v), np.asarray(i)
+    big = np.iinfo(np.int32).max
+    assert set(np.unique(i[:, :3])) <= set(matches), i[:, :3]
+    np.testing.assert_array_equal(i[:, 3:], np.full((m, k - 3), big))
+    bad = np.inf if metric == "euclidean" else -np.inf
+    assert np.all(v[:, 3:] == bad)
+    assert np.all(np.isfinite(v[:, :3]))
+
+
 class TestHighDimKChunking:
     """dim > max_fused_dim runs the kernel K-chunked: a third (minor)
     grid axis over 2048-wide feature chunks, partial dots accumulated in
@@ -258,7 +285,10 @@ class TestHighDimKChunking:
         from polars_matmul_tpu.kernels.fused_topk import feature_geometry
 
         assert feature_geometry(256) == (256, 256, 1)
-        assert feature_geometry(8192) == (8192, 8192, 1)
+        # single-chunk caps at 4096: a 256-row 8192-wide Q tile alone is
+        # 8.4 MB, which no corpus-tile shrink can fit into VMEM
+        assert feature_geometry(4096) == (4096, 4096, 1)
+        assert feature_geometry(8192) == (2048, 8192, 4)
         assert feature_geometry(8193) == (2048, 10240, 5)
         assert feature_geometry(12288) == (2048, 12288, 6)
 
