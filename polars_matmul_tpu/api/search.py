@@ -300,7 +300,7 @@ def _quantize_rows_int4_np(c: np.ndarray, ck: int, dpp: int):
     from ..interop.native import native_quantize_i4
 
     if c.dtype == np.float32:
-        out = native_quantize_i4(np.ascontiguousarray(c), ck, dpp)
+        out = native_quantize_i4(c, ck, dpp)  # wrapper owns the contig copy
         if out is not None:
             return out
     n, dim = c.shape
@@ -348,7 +348,7 @@ def _quantize_rows_np(c: np.ndarray):
     from ..interop.native import native_quantize_i8
 
     if c.dtype == np.float32:
-        out = native_quantize_i8(np.ascontiguousarray(c))
+        out = native_quantize_i8(c)  # wrapper owns the contig copy
         if out is not None:
             return out
     n, dim = c.shape
@@ -487,9 +487,12 @@ def _scatter_rows_sharded(sc, n_shards: int, storage: str, dim: int,
 
     buf_dt = sc.data.dtype
     rj32 = _to_jax(r, np.dtype(np.float32))
-    rj = rj32.astype(buf_dt) if buf_dt != jnp.float32 else rj32
+    # f64 buffers take the rows at full precision (an f32 round trip
+    # would launder the update through f32); bf16/f32 cast from f32
     if np.dtype(buf_dt) == np.float64:
         rj = _to_jax(r, np.dtype(np.float64))
+    else:
+        rj = rj32.astype(buf_dt) if buf_dt != jnp.float32 else rj32
     prep_src = rj if storage == "bf16" else rj32
     sc._f32_view = None
     sc.data = put_rows(sc.data, rj, idx_j)
@@ -758,9 +761,14 @@ class Corpus:
             shared = {}
             for key in list(self._prepared):
                 entry = self._prepared.pop(key)
-                cbp = entry[1]
-                del entry
-                if cbp.shape[1] != self._device.shape[0]:
+                cp_e, cbp = entry
+                # identity check, same invariant as _scatter_rows_sharded:
+                # only preps whose cp IS the shared code buffer may be
+                # patched — a copy-geometry prep with a coincidentally
+                # matching cbp width must rebuild lazily instead
+                aliased = cp_e is self._device
+                del entry, cp_e
+                if not aliased or cbp.shape[1] != self._device.shape[0]:
                     continue  # copy-path prep: rebuild lazily
                 if id(cbp) in shared:
                     shared[id(cbp)][1].append(key)
@@ -778,9 +786,12 @@ class Corpus:
             return
 
         rj32 = _to_jax(r, np.dtype(np.float32))
-        rj = rj32.astype(buf_dt) if buf_dt != jnp.float32 else rj32
+        # f64 buffers take the rows at full precision (an f32 round trip
+        # would launder the update through f32); bf16/f32 cast from f32
         if np.dtype(buf_dt) == np.float64:
             rj = _to_jax(r, np.dtype(np.float64))
+        else:
+            rj = rj32.astype(buf_dt) if buf_dt != jnp.float32 else rj32
         # bf16 storage: derive the prepared write from the STORED
         # (quantized) values, so a write and a later rebuild-from-storage
         # score the rows identically.

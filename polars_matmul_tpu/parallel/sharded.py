@@ -83,10 +83,16 @@ class ShardedCorpus:
         return self.data.shape
 
     def dense_f32(self, mesh, cfg: SearchConfig):
-        """Dense f32 shards (dequantized / upcast at shard granularity,
+        """Dense value shards (dequantized / upcast at shard granularity,
         cached) for paths that need real values: the XLA fallback and
         the distributed matmul."""
         if str(self.data.dtype) == "float32":
+            return self.data
+        if str(self.data.dtype) == "float64":
+            # f64 shards serve the exact f64 fallback/matmul paths AS IS
+            # (the both-f32 rule the single-device handle honors) — a
+            # downcast here silently truncated distinct rows to equal
+            # f32 values while returning f64-typed results
             return self.data
         dim = self.dim or self.data.shape[1]
         if self._f32_view is None:

@@ -227,12 +227,14 @@ def _run_clustered_fuzz(storage, tmp_path, mesh):
                     f"step {step} probed score drift at ({r},{col})"
                 )
 
-@pytest.mark.parametrize("storage", ["f32", "int8"])
+@pytest.mark.parametrize("storage", ["f32", "bf16", "int8", "int4"])
 def test_lifecycle_fuzz_mesh(storage, tmp_path):
     """Shadow-model fuzz for the mesh-sharded mutation surface:
-    update/delete/save/load on an 8-shard corpus (add is single-device
-    by contract).  The subtle machinery is the sharded scatter + the
-    per-shard prepared-form patching."""
+    add (within capacity) / update / delete / save / load on an 8-shard
+    corpus, across every storage tier.  The subtle machinery is the
+    sharded scatter + the per-shard prepared-form patching (the bf16
+    float-branch and int4 nibble-width patches each have their own
+    failure modes)."""
     import zlib
 
     import jax
@@ -281,10 +283,24 @@ def test_lifecycle_fuzz_mesh(storage, tmp_path):
         i, v = h.topk(q, k, metric)
         if storage == "f32":
             ref = shadow
-        else:
+        elif storage == "bf16":
+            import ml_dtypes
+
+            ref = shadow.astype(ml_dtypes.bfloat16).astype(np.float32)
+        elif storage == "int8":
             from polars_matmul_tpu.api.search import _quantize_rows_np
 
             codes, scales = _quantize_rows_np(shadow)
+            ref = codes.astype(np.float32) * scales[:, None]
+        else:
+            from polars_matmul_tpu.api.search import (
+                _quantize_rows_int4_np, _unpack_int4_np)
+            from polars_matmul_tpu.kernels.fused_topk import (
+                feature_geometry)
+
+            ck, dpp, _ = feature_geometry(dim)
+            packed, scales = _quantize_rows_int4_np(shadow, ck, dpp)
+            codes = _unpack_int4_np(packed, ck, dim)
             ref = codes.astype(np.float32) * scales[:, None]
         i0, smat = _oracle_topk(q, ref, k, alive, metric)
         mism = i != i0

@@ -655,3 +655,32 @@ class TestShardedAdd:
         with pytest.raises(ValueError, match="exceeds the mesh"):
             h.add(np.ones((100, 16), np.float32))
         assert h.add(np.empty((0, 16), np.float32)) == 50
+
+
+class TestF64Mesh:
+    """f64 corpora on a mesh must honor the both-f32 rule like the
+    single-device handle: the exact f64 XLA path serves them.
+    Regression (reviewer-caught): dense_f32 downcast f64 shards to f32,
+    silently collapsing sub-f32-resolution differences while returning
+    f64-typed results."""
+
+    def test_f64_mesh_matches_single_device(self, mesh8):
+        rng = np.random.default_rng(85)
+        base = rng.standard_normal((60, 16))
+        # pairs of rows identical at f32 resolution, distinct in f64
+        c = np.repeat(base, 2, axis=0)
+        c[1::2] *= 1.0 + 1e-12
+        q = base[:6] + 1e-13
+        hm = pmt.Corpus(c, mesh=mesh8)
+        hs = pmt.Corpus(c)
+        for metric in ("dot", "euclidean"):
+            im, vm = hm.topk(q, 5, metric)
+            is_, vs = hs.topk(q, 5, metric)
+            np.testing.assert_array_equal(im, is_, err_msg=metric)
+            np.testing.assert_allclose(vm, vs, rtol=1e-12, err_msg=metric)
+        pm = hm.matmul(q)
+        ps = hs.matmul(q)
+        assert pm.dtype == np.float64
+        # sharded panels may sum in a different order; f64-tight still
+        # (an f32-truncated corpus would be off by ~1e-7 relative)
+        np.testing.assert_allclose(pm, ps, rtol=1e-12)
