@@ -167,6 +167,7 @@ class ClusteredCorpus:
         seed: int = 0,
         kmeans_iters: int = 8,
         sample_rows: int = 131072,
+        reserve_tiles: int = 0,
     ):
         import jax
         import jax.numpy as jnp
@@ -212,6 +213,17 @@ class ClusteredCorpus:
             assign = assign_rows(cf, cent)
         self.layout: ClusterLayout = cluster_layout(
             assign, self.clusters, self._tn)
+        # Dead-tile reserve for in-place growth: ``reserve_tiles`` empty
+        # (cluster id -1) tiles are appended to the layout; when a
+        # cluster's slack fills, ``_place`` CLAIMS one instead of growing
+        # the padded height — so an add within reserve is an O(rows)
+        # scatter (no reinstall on mesh, no reallocation single-device).
+        self._reserve_tiles = int(reserve_tiles)
+        if self._reserve_tiles < 0:
+            raise ValueError(
+                f"reserve_tiles must be >= 0, got {reserve_tiles}")
+        if mesh is None:
+            self._extend_dead_tiles(self._reserve_tiles)
 
         if mesh is not None:
             self._align_layout_for_mesh()
@@ -269,6 +281,20 @@ class ClusteredCorpus:
     def _default_clusters(self, n: int) -> int:
         """Constructor default: about four corpus tiles per cluster."""
         return max(1, -(-n // (4 * self._tn)))
+
+    def _extend_dead_tiles(self, r_tiles: int) -> None:
+        """Append ``r_tiles`` DEAD tiles (cluster -1, all rows slack) to
+        the layout — the claimable in-place growth reserve (single-device;
+        the mesh path folds the reserve into its alignment padding)."""
+        if r_tiles <= 0:
+            return
+        lay = self.layout
+        tn = self._tn
+        perm = np.concatenate(
+            [lay.perm, np.full(r_tiles * tn, -1, np.int32)])
+        tcl = np.concatenate(
+            [lay.tile_cluster, np.full(r_tiles, -1, np.int32)])
+        self.layout = ClusterLayout(perm, lay.row_pos, tcl, lay.counts, tn)
 
     def _fit_sampled(self, get_rows, ids: np.ndarray, clusters: int,
                      sample_rows: int, kmeans_iters: int, seed: int):
@@ -375,15 +401,19 @@ class ClusteredCorpus:
             if t0 <= T:
                 t = np.arange(t0, dtype=np.int64)
                 src_tile[:t0] = (t % s0) * lt0 + t // s0
-        # drop dead alignment tiles from the canonical order — _place can
-        # never refill them (cluster -1 matches no assignment), so
-        # carrying them forward would leak up to n_shards-1 tiles per
-        # add-overflow cycle, growing payloads and probe work unboundedly
+        # drop dead tiles from the canonical order and re-derive the pad
+        # below — carrying them forward verbatim would leak up to
+        # n_shards-1 alignment tiles per add-overflow cycle, growing
+        # payloads and probe work unboundedly.  (_place CAN refill dead
+        # tiles — that is the in-place growth reserve — so the reserve is
+        # re-provisioned explicitly in lt, not by keeping stale ones.)
         live_t = src_tile[lay.tile_cluster[src_tile] != -1]
         if live_t.size:
             src_tile = live_t
         tc = src_tile.size
-        lt = max(1, -(-tc // n_shards))
+        # alignment + growth reserve: at least reserve_tiles dead tiles
+        # survive every (re)install, all claimable by _place
+        lt = max(1, -(-(tc + self._reserve_tiles) // n_shards))
         total = lt * n_shards
         self._lt = lt
         if T == total and (n_shards == 1
@@ -643,12 +673,13 @@ class ClusteredCorpus:
         ids = np.arange(self.n, self.n + m, dtype=np.int64)
         if self.mesh is not None:
             n_old_padded = self.layout.perm.shape[0]
+            old_tc = self.layout.tile_cluster
             pos = self._place(ids, assign)
             if self.layout.perm.shape[0] == n_old_padded:
-                # every row fit existing slack: the padded height is
-                # unchanged, so this is the same in-place donated
-                # per-shard scatter mesh update uses — no gather, no
-                # re-shard, no recompile
+                # every row fit existing slack or a claimed reserve tile:
+                # the padded height is unchanged, so this is the same
+                # in-place donated per-shard scatter mesh update uses —
+                # no gather, no re-shard, no recompile
                 from .search import _scatter_rows_sharded
 
                 n_shards = self.mesh.shape[self.config.mesh_axes[1]]
@@ -657,6 +688,18 @@ class ClusteredCorpus:
                                           self.storage, self.dim, cf, pos)
                 self._mesh_mask_dev = None   # the slack rows went live
                 self._perm_mask_dev = None
+                new_tc = self.layout.tile_cluster
+                if not np.array_equal(old_tc, new_tc):
+                    # a reserve tile was claimed: refresh the probe's
+                    # sharded tile->cluster map — O(n_tiles) int32, the
+                    # only non-row byte traffic of an in-reserve add
+                    from jax.sharding import (NamedSharding,
+                                              PartitionSpec as P)
+
+                    self._tc_sharded = jax.device_put(
+                        new_tc.astype(np.int32),
+                        NamedSharding(self.mesh,
+                                      P(self.config.mesh_axes[1])))
             else:
                 # tiles appended: splice on host and re-shard (align will
                 # unstripe to canonical order, then re-stripe so the new
@@ -798,24 +841,30 @@ class ClusteredCorpus:
     def _place(self, ids: np.ndarray, assign: np.ndarray,
                free_first: bool = False) -> np.ndarray:
         """Host-side placement: assign each id a position in the permuted
-        layout — its cluster's tile-tail slack first, whole appended
-        tiles on overflow — and install the grown ``self.layout``.
-        Returns the (m,) positions.  ``free_first`` releases the ids'
-        CURRENT positions back to slack before placing (the update path:
-        a moved row's old slot becomes a refillable hole, possibly reused
-        within the same batch)."""
+        layout — its cluster's tile-tail slack first, then CLAIMED dead
+        tiles (the ``reserve_tiles`` growth reserve / mesh alignment
+        padding, re-labeled to the cluster in place), whole appended
+        tiles only when the reserve is exhausted — and install the grown
+        ``self.layout``.  Returns the (m,) positions.  ``free_first``
+        releases the ids' CURRENT positions back to slack before placing
+        (the update path: a moved row's old slot becomes a refillable
+        hole, possibly reused within the same batch)."""
         lay = self.layout
         tn = self._tn
         perm = lay.perm.copy()
         counts = lay.counts.copy()
         row_pos = lay.row_pos.copy()
+        tile_cluster = lay.tile_cluster.copy()
         if free_first:
             old = row_pos[ids].astype(np.int64)
             perm[old] = -1
-            np.subtract.at(counts, lay.tile_cluster[old // tn], 1)
+            np.subtract.at(counts, tile_cluster[old // tn], 1)
         n_old_padded = perm.shape[0]
         slack_pos = np.flatnonzero(perm < 0)
-        slack_cl = lay.tile_cluster[slack_pos // tn]
+        slack_cl = tile_cluster[slack_pos // tn]
+        # Claimable dead tiles, lowest id first (all their rows are slack
+        # by construction — a dead tile never received a live row).
+        dead_tiles = list(np.flatnonzero(tile_cluster == -1))
 
         m = ids.shape[0]
         pos = np.full(m, -1, np.int64)
@@ -830,6 +879,14 @@ class ClusteredCorpus:
             take = min(sl.size, sel.size)
             pos[sel[:take]] = sl[:take]
             over = sel[take:]
+            while over.size and dead_tiles:
+                # claim a reserve tile: re-label it in place, fill its rows
+                t = int(dead_tiles.pop(0))
+                tile_cluster[t] = cl
+                take2 = min(tn, over.size)
+                pos[over[:take2]] = t * tn + np.arange(take2,
+                                                       dtype=np.int64)
+                over = over[take2:]
             if over.size:
                 nt = -(-over.size // tn)
                 append_tiles.extend([int(cl)] * nt)
@@ -844,7 +901,6 @@ class ClusteredCorpus:
         perm[pos[infill]] = ids[np.flatnonzero(infill)].astype(np.int32)
         if ext_perm:
             perm = np.concatenate([perm] + ext_perm)
-        tile_cluster = lay.tile_cluster
         if append_tiles:
             tile_cluster = np.concatenate(
                 [tile_cluster, np.array(append_tiles, np.int32)])
@@ -882,6 +938,7 @@ class ClusteredCorpus:
     _drift_rows = 0
     _striped_for = None  # shard count the layout's tiles are striped for
     _stripe_lt = None    # tiles per shard at stripe time (undo geometry)
+    _reserve_tiles = 0   # dead-tile growth reserve maintained on install
 
     def _route_order(self, q: np.ndarray, metric: Metric):
         """Stable query order grouping rows by their best cluster — the
@@ -1003,6 +1060,8 @@ class ClusteredCorpus:
         if self._striped_for:
             arrays["striped_for"] = np.int64(self._striped_for)
             arrays["stripe_lt"] = np.int64(self._stripe_lt)
+        if self._reserve_tiles:
+            arrays["reserve_tiles"] = np.int64(self._reserve_tiles)
         with open(path, "wb") as f:
             np.savez(f, **arrays)
 
@@ -1038,6 +1097,8 @@ class ClusteredCorpus:
             striped_for = (int(z["striped_for"])
                            if "striped_for" in z else None)
             stripe_lt = int(z["stripe_lt"]) if "stripe_lt" in z else None
+            reserve_tiles = (int(z["reserve_tiles"])
+                             if "reserve_tiles" in z else 0)
 
         self = cls.__new__(cls)
         self.config = resolve(config)
@@ -1057,6 +1118,9 @@ class ClusteredCorpus:
         # before install: align reads these to undo/skip the stripe
         self._striped_for = striped_for
         self._stripe_lt = stripe_lt
+        # saved dead tiles ride the layout itself; the attribute keeps
+        # future mesh re-aligns provisioning the same reserve
+        self._reserve_tiles = reserve_tiles
         self._install_payload(base, None if scales is None
                               else np.asarray(scales, np.float32))
         self._tombstones = None if tomb is None or not tomb.any() \

@@ -64,6 +64,47 @@ def device_step_seconds(step, q, *, chain_lo: int = 8, chain_hi: int = 72,
     return (t_hi - t_lo) / (chain_hi - chain_lo)
 
 
+# Winners cached per (device_kind, dim, k-regime, metric, base-precision):
+# tuning is empirical choice, so a process that autotunes the same problem
+# class twice should pay for the sweep once.
+_WINNER_CACHE: dict = {}
+
+
+def _k_regime(k: int) -> str:
+    """Dispatch-relevant k bucket (mirrors the kernel's crossovers:
+    selection strategy flips at 16, tile geometry above it)."""
+    return "small" if k <= 16 else "large"
+
+
+def default_candidates(cfg0: SearchConfig, k: int) -> list:
+    """The default sweep grid: tilings x selection strategies x prune,
+    plus the precision alternative — every axis the dispatch heuristics
+    pick from (VERDICT r01 item 7: the old grid tuned tilings only).
+    Each entry is a dict of SearchConfig overrides."""
+    prec = cfg0.precision
+    grid = [
+        # tile geometry (k > 16 favors fewer, bigger corpus tiles)
+        dict(block_q=128, block_n=1024, precision=prec),
+        dict(block_q=256, block_n=1024, precision=prec),
+        dict(block_q=128, block_n=2048, precision=prec),
+        dict(block_q=256, block_n=2048, precision=prec),
+        # selection strategies at the default tiling
+        dict(selection="extract"),
+        dict(selection="bucket"),
+        dict(selection="insert"),
+        # prune off (its max pass is overhead on few-tile corpora)
+        dict(prune="off"),
+        # exact-f32 alternative to the bf16x3 default
+        dict(block_q=256, block_n=2048, precision="highest"),
+    ]
+    if k > 16:
+        grid += [
+            dict(block_q=128, block_n=4096, precision=prec),
+            dict(block_q=256, block_n=4096, precision=prec),
+        ]
+    return grid
+
+
 def autotune(
     m: int = 1000,
     n: int = 10_000,
@@ -71,17 +112,21 @@ def autotune(
     k: int = 10,
     metric: str = "cosine",
     *,
-    candidates: Optional[Sequence[Tuple[int, int, str]]] = None,
+    candidates: Optional[Sequence] = None,
     base: Optional[SearchConfig] = None,
     set_default: bool = False,
     seed: int = 0,
     verbose: bool = False,
+    use_cache: bool = True,
 ) -> SearchConfig:
     """Measure fused-topk candidates on the live device; return the fastest.
 
-    ``candidates`` is an iterable of (block_q, block_n, precision); the
-    default grid covers the tilings that matter on v5e-class chips.  Pass
-    ``set_default=True`` to install the winner as the process default.
+    ``candidates`` entries are dicts of SearchConfig overrides (legacy
+    (block_q, block_n, precision) tuples still accepted); the default grid
+    covers tile geometry, selection strategy, prune, and precision — see
+    ``default_candidates``.  Winners are cached per (device_kind, dim,
+    k-regime, metric, precision); pass ``use_cache=False`` to re-measure.
+    Pass ``set_default=True`` to install the winner as the process default.
     """
     import jax
     import jax.numpy as jnp
@@ -100,14 +145,17 @@ def autotune(
         if set_default:
             set_default_config(cfg0)
         return cfg0
+
+    cache_key = None
     if candidates is None:
-        candidates = [
-            (128, 1024, cfg0.precision),
-            (256, 1024, cfg0.precision),
-            (128, 2048, cfg0.precision),
-            (256, 2048, cfg0.precision),
-            (256, 2048, "highest"),
-        ]
+        cache_key = (jax.devices()[0].device_kind, dim, _k_regime(k),
+                     str(metric), cfg0.precision)
+        if use_cache and cache_key in _WINNER_CACHE:
+            best = _WINNER_CACHE[cache_key]
+            if set_default:
+                set_default_config(best)
+            return best
+        candidates = default_candidates(cfg0, k)
 
     rng = np.random.default_rng(seed)
     q = jnp.asarray(rng.standard_normal((m, dim)), dtype=jnp.float32)
@@ -115,11 +163,20 @@ def autotune(
     jax.block_until_ready((q, c))
 
     best, best_t = cfg0, float("inf")
-    for bq, bn, prec in candidates:
-        # candidates are explicit choices: disable k-based retiling so the
-        # labels match what actually runs
-        cfg = cfg0.with_updates(block_q=bq, block_n=bn, precision=prec,
-                                auto_tile=False)
+    for cand in candidates:
+        if isinstance(cand, tuple):  # legacy (bq, bn, precision)
+            cand = dict(block_q=cand[0], block_n=cand[1],
+                        precision=cand[2])
+        # explicit tile choices disable k-based retiling so the labels
+        # match what actually runs
+        if "block_q" in cand or "block_n" in cand:
+            cand = dict(cand, auto_tile=False)
+        try:
+            cfg = cfg0.with_updates(**cand)
+        except ValueError as e:
+            log.warning("autotune: invalid candidate %r (%s); skipping",
+                        cand, e)
+            continue
 
         def step(qq, cfg=cfg):
             vals, _ = fused_topk(qq, c, k, metric, config=cfg)
@@ -128,20 +185,21 @@ def autotune(
         try:
             t = device_step_seconds(step, q)
         except Exception as e:  # e.g. scoped-VMEM OOM for oversized tiles
-            log.warning("autotune: candidate bq=%d bn=%d %s failed to "
-                        "compile/run (%s); skipping", bq, bn, prec,
-                        str(e)[:120])
+            log.warning("autotune: candidate %r failed to compile/run "
+                        "(%s); skipping", cand, str(e)[:120])
             continue
         if verbose:
-            print(f"autotune bq={bq} bn={bn} {prec}: {t*1e6:.1f} us")
+            print(f"autotune {cand}: {t*1e6:.1f} us")
         if t <= 0:
             # dispatch jitter swamped the signal; measurement invalid
-            log.warning("autotune: discarding noisy measurement for "
-                        "bq=%d bn=%d %s", bq, bn, prec)
+            log.warning("autotune: discarding noisy measurement for %r",
+                        cand)
             continue
         if t < best_t:
             best, best_t = cfg, t
 
+    if cache_key is not None:
+        _WINNER_CACHE[cache_key] = best
     if set_default:
         set_default_config(best)
     return best

@@ -1060,3 +1060,112 @@ class TestClusteredRebuild:
         i2, v2 = ref.topk(q, 5)
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# reserve_tiles: in-place growth reserve (VERDICT r01 item 8)
+# ---------------------------------------------------------------------------
+
+
+class TestReserveTiles:
+    def test_overflow_claims_reserve_without_growth(self):
+        rng = np.random.default_rng(95)
+        q, c = blobs(rng, 600, 8, 16, n_centers=3)
+        cc = pmt.ClusteredCorpus(c, clusters=3, config=CFG,
+                                 reserve_tiles=2)
+        lay = cc.layout
+        assert int((lay.tile_cluster == -1).sum()) == 2
+        # overflow ONE cluster's slack by a few rows (targeted: clones of
+        # c[0] assign to c[0]'s cluster): the add must claim a reserve
+        # tile, not grow the padded layout
+        cl = int(assign_rows(c[:1], np.asarray(cc.centroids))[0])
+        slack_cl = int((-lay.counts[cl]) % CFG.block_n)
+        extra = (c[0] + 1e-3 * rng.standard_normal(
+            (slack_cl + 5, 16))).astype(np.float32)
+        n0 = lay.n_padded
+        cc.add(extra)
+        assert cc.layout.n_padded == n0  # no growth
+        assert int((cc.layout.tile_cluster == -1).sum()) < 2  # claimed
+        ref = pmt.Corpus(np.vstack([c, extra]), config=CFG)
+        i1, v1 = cc.topk(q, 6)
+        i2, v2 = ref.topk(q, 6)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)
+
+    def test_reserve_exhausted_appends(self):
+        rng = np.random.default_rng(96)
+        q, c = blobs(rng, 400, 5, 16, n_centers=2)
+        cc = pmt.ClusteredCorpus(c, clusters=2, config=CFG,
+                                 reserve_tiles=1)
+        # far more rows than reserve + slack: must append and stay exact
+        extra = rng.standard_normal((5 * CFG.block_n, 16)).astype(
+            np.float32)
+        n0 = cc.layout.n_padded
+        cc.add(extra)
+        assert cc.layout.n_padded > n0
+        ref = pmt.Corpus(np.vstack([c, extra]), config=CFG)
+        i1, v1 = cc.topk(q, 6)
+        i2, v2 = ref.topk(q, 6)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)
+
+    def test_save_load_preserves_reserve(self, tmp_path):
+        rng = np.random.default_rng(97)
+        _, c = blobs(rng, 500, 1, 16)
+        cc = pmt.ClusteredCorpus(c, clusters=3, config=CFG,
+                                 reserve_tiles=2)
+        p = tmp_path / "cc.npz"
+        cc.save(p)
+        cc2 = pmt.ClusteredCorpus.load(p, config=CFG)
+        assert cc2._reserve_tiles == 2
+        assert int((cc2.layout.tile_cluster == -1).sum()) == 2
+
+    def test_validation(self):
+        rng = np.random.default_rng(98)
+        _, c = blobs(rng, 300, 1, 16)
+        with pytest.raises(ValueError, match="reserve_tiles"):
+            pmt.ClusteredCorpus(c, clusters=2, config=CFG,
+                                reserve_tiles=-1)
+
+
+class TestReserveTilesMesh:
+    def test_in_reserve_add_never_reinstalls(self, mesh8):
+        """The VERDICT item-8 gate: an add of <= 1 tile's rows on a mesh
+        handle with reserve must move O(tile) bytes — the full-corpus
+        gather + re-shard paths are instrumented to fail if touched."""
+        rng = np.random.default_rng(99)
+        centers = rng.standard_normal((3, 16)) * 10
+        c = (centers[np.repeat(np.arange(3), 300)]
+             + 0.1 * rng.standard_normal((900, 16))).astype(np.float32)
+        q = (centers[rng.integers(0, 3, 12)]
+             + 0.1 * rng.standard_normal((12, 16))).astype(np.float32)
+        cm = pmt.ClusteredCorpus(c, clusters=3, mesh=mesh8, config=CFG,
+                                 reserve_tiles=8)
+        lay = cm.layout
+        assert int((lay.tile_cluster == -1).sum()) >= 8
+
+        def boom(*a, **kw):
+            raise AssertionError("full-corpus transfer on in-reserve add")
+
+        cm._gather_native_host = boom
+        cm._install_payload = boom
+        # overflow one cluster's slack by a few rows: must claim reserve
+        cl = int(assign_rows(
+            np.asarray(centers[:1], np.float32),
+            np.asarray(cm.centroids))[0])
+        slack_cl = int((-lay.counts[cl]) % CFG.block_n)
+        extra = (centers[0] + 0.1 * rng.standard_normal(
+            (slack_cl + 7, 16))).astype(np.float32)
+        n0 = lay.n_padded
+        cm.add(extra)
+        assert cm.layout.n_padded == n0
+        ref = pmt.Corpus(np.vstack([c, extra]), config=CFG)
+        i1, v1 = cm.topk(q, 6)
+        i2, v2 = ref.topk(q, 6)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, rtol=1e-4, atol=1e-5)
+        # probed search sees the claimed tiles (tc_sharded refreshed):
+        # queries near center 0 find the added rows under a tight probe
+        pi, _ = cm.topk(q[:4], 8, "euclidean", probe=3)
+        ri, _ = ref.topk(q[:4], 8, "euclidean")
+        assert recall(pi, ri) > 0.8
