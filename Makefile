@@ -1,5 +1,11 @@
 # polars-matmul-tpu build/test/bench entry points
-.PHONY: native test test-fast bench clean
+.PHONY: native test test-fast bench bench-gate clean
+
+# Pinned TPU perf gates (round-2 v5e measurements + 20% regression
+# headroom; the gates only bite when the backend is a real TPU).
+# Update when bench.py's device_kernel_ms / device_kernel_k100_ms improve.
+GATE_K10_MS ?= 0.35
+GATE_K100_MS ?= 3.5
 
 native: polars_matmul_tpu/interop/_pmm_native.so
 
@@ -13,6 +19,11 @@ test: native
 
 bench: native
 	python bench.py
+
+# Regression guard for CI-on-TPU: fails (exit 2) when the device kernel
+# time exceeds the pinned thresholds at k=10 or k=100.
+bench-gate: native
+	python bench.py --gate $(GATE_K10_MS) --gate-k100 $(GATE_K100_MS)
 
 clean:
 	rm -f polars_matmul_tpu/interop/_pmm_native.so

@@ -53,13 +53,17 @@ class SearchConfig:
     block_n: int = 2048      # corpus rows per grid step (multiple of 128)
     # Padded width of the top-k carry (lane dimension); k is clamped to this.
     k_pad: int = 128
-    # Fused-kernel selection strategy: "extract" (k full-width argmax
-    # extraction steps), "insert" (candidate-count-bounded dynamic loop
-    # merge-inserting into the sorted carry — extraction work scales with
-    # how many tile values actually beat the running k-th best, not with
-    # k; subsumes tile pruning), or "bucket" (lane-class reduce + narrow
-    # merge).
-    selection: str = "extract"
+    # Fused-kernel selection strategy.  "auto" (default) picks by regime
+    # from measured v5e crossovers: "bucket" at k <= 16 (lane-class
+    # reduce + narrow merge, ~1.6x faster than extract on the canonical
+    # workload once its exactness fallback became static control flow),
+    # "extract" above (k full-width argmax extraction steps — the
+    # narrow-merge step count grows with k).  "insert" (candidate-count-
+    # bounded dynamic loop merge-inserting into the sorted carry) wins
+    # only on many-tile corpora where most tiles contribute nothing;
+    # measured 2x slower than extract on the 5-tile canonical workload
+    # because its dynamic fori_loop defeats Mosaic's unrolling.
+    selection: str = "auto"
     # Allow the dispatcher to retile for the problem (e.g. large k gets
     # fewer, bigger corpus tiles).  Set False to pin block_q/block_n.
     auto_tile: bool = True
@@ -110,7 +114,8 @@ class SearchConfig:
         # every one of these silently selected a default behavior before.
         for field, allowed in (
             ("prune", ("auto", "on", "off")),
-            ("selection", ("extract", "insert", "bucket")),
+            ("selection", ("auto", "extract", "insert", "bucket",
+                           "stack")),
             ("merge", ("allgather", "ring")),
             ("precision", ("default", "high", "highest",
                            "bf16x3", "bf16c", "int8c", "int4c")),

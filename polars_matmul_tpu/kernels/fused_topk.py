@@ -9,21 +9,26 @@ per-query running top-k carry lives in VMEM scratch across grid steps.
 
 Per corpus tile (grid minor axis, sequential on TPU):
   d = Q_i @ C_j^T on the MXU (f32 accumulation), then at most one VPU bias
-  pass, then the carry is merged with the tile's top-k.  Two selection
-  strategies are provided (SearchConfig.selection):
+  pass, then the carry is merged with the tile's top-k.  Selection
+  strategies (SearchConfig.selection, "auto" picks by measured regime):
 
-  "extract" — k iterative masked-argmax extractions over the full tile.
-      O(k * TN) VPU work per tile, but every op is a plain full-width
-      max/argmax/where that Mosaic schedules extremely well.
+  "bucket"  — the k <= 16 default: one full-width pass keeps each of the
+      128 lane classes' best-3 over the tile's groups (only the best-2
+      carry positions), then k lexicographic-max extractions run over
+      the 256 bucket winners — ~8x narrower than the tile.  Exact for
+      every input: the merge can only miss an element if >=3 of a row's
+      top-k fall in one lane class of one tile, which (m3 >= k-th best)
+      detects; detected tiles re-run the exact full-width extraction
+      under STATIC pl.when gating (see _select_bucket for why the old
+      dynamic refill loop was 7x more expensive than the selection).
 
-  "bucket"  — two-level: one full-width pass keeps each of the 128 lane
-      classes' best-3 over the tile's groups (only the best-2 carry
-      positions), then k lexicographic-max extractions run over the 256
-      bucket winners — ~G x narrower than the tile.  Exact for every input:
-      the merge can only miss an element if >=3 of a row's top-k fall in
-      one lane class of one tile, which is detected by (m3 >= k-th best)
-      and repaired in a lax.cond-gated refill loop (bounded by k rounds).
-      The common path runs no loop and never mutates the score tile.
+  "extract" — the k > 16 default: k iterative masked-argmax extractions
+      over the full tile.  O(k * TN) VPU work per tile, but every op is
+      a plain full-width max/argmax/where that Mosaic schedules
+      extremely well.
+
+  "insert"  — candidate-count-bounded dynamic merge-insertion; wins only
+      on many-tile corpora where most tiles contribute nothing.
 
 Metric handling (all metrics reduce to a plain dot product plus at most one
 cheap additive-bias pass; SURVEY.md §2.2 C7):
@@ -248,24 +253,201 @@ def _select_insert(s, carry_vals, carry_idx, lane_n, n_base, k, kp, tm):
 
 
 # ---------------------------------------------------------------------------
+# Strategy "stack": u-packed per-class best-D stacks + pop-merge (large k).
+# ---------------------------------------------------------------------------
+
+_INT_MIN = jnp.iinfo(jnp.int32).min
+_STACK_DEPTH = 8
+
+
+def _f32_to_u(bits):
+    """Monotone f32-bits -> sortable SIGNED i32 (an involution: applying
+    it to the result recovers the bits).  Positive floats keep their bit
+    pattern; negative floats get their low 31 bits inverted, so int32
+    compare == float compare (with -0.0 < +0.0, which never matters here:
+    a 0.0 score is produced identically on every path)."""
+    return bits ^ ((bits >> 31) & jnp.int32(0x7FFFFFFF))
+
+
+def _stack_geometry(block_n: int):
+    """(groups, low_bits, low_mask, depth): the group id is embedded in
+    the value's LOW MANTISSA BITS (reversed, so lower group == larger u
+    == wins max ties), which makes the per-class reduce a pure max/min
+    chain — no position tracking, the position IS in the value.  The
+    price is truncating scores by up to 2^low_bits - 1 ulps (<= 31 ulps
+    at 32 groups, ~4e-6 relative — under the bf16x3 matmul's own ~4e-6
+    and far inside the 1e-5 score contract)."""
+    groups = max(1, block_n // _LANES)
+    low_bits = max(1, (groups - 1).bit_length())
+    depth = min(_STACK_DEPTH, groups)
+    return groups, low_bits, (1 << low_bits) - 1, depth
+
+
+def _select_stack(s, carry_vals, carry_idx, extract_fb, n_base, k, kp, tm,
+                  block_n):
+    """carry <- top_k(carry u tile) via per-class sorted stacks (large k).
+
+    extract's cost is k FULL-WIDTH passes per tile; bucket's narrow merge
+    needs per-class depth >= the worst class collision count, which for
+    k ~ 100 over 128 classes is ~8 — too deep for its where-chain reduce.
+    This strategy makes depth-8 affordable by packing each value's group
+    id into its low mantissa bits (see _stack_geometry): the reduce is
+    then a pure jnp.maximum/minimum insertion-sort chain (2 VPU ops per
+    level per group, values only), producing per-class sorted stacks
+    st[0] >= st[1] >= ... >= st[D-1] in int-sortable u space.  The merge
+    pops k winners: each step takes max(st[0]) vs max(carry-u), consumes
+    the winner, and shifts the winning class's stack up one level — all
+    (tm, 128)-narrow ops, ~8x cheaper than a full-width pass at bn=4096.
+
+    Exactness: a row can only be wrong if >= D+1 of its new top-k fall
+    in ONE lane class of THIS tile; st[D] (the class's (D+1)-th best)
+    detects that exactly and routes the tile through the full-width
+    extraction, precisely like _select_bucket's fallback.  P(fire) ~
+    tm * C(k, D+1) / classes^D per tile — ~1e-5 per 128-row block at
+    k=100, D=8, 128 classes.  When groups <= D the stacks hold every
+    element of every class and the result is exact with no detection.
+
+    Tie contract: lowest-group-wins rides the reversed low bits, lowest
+    lane among equal u is taken by min-index extraction, and the carry
+    (earlier tiles = lower indices) wins clean-value ties because its
+    u is re-packed with all-ones low bits.
+    """
+    groups, low_bits, low_mask, depth = _stack_geometry(block_n)
+    det_depth = depth if groups > depth else None
+    n_levels = depth + (1 if det_depth is not None else 0)
+    clean = jnp.int32(~low_mask)
+
+    # ---- u-transform + group packing (full width) ----------------------
+    bits = jax.lax.bitcast_convert_type(s, jnp.int32)
+    u = _f32_to_u(bits)
+    giota = jax.lax.broadcasted_iota(jnp.int32, (tm, block_n), 1)
+    rev = jnp.int32(groups - 1) - (giota >> 7)  # lane // 128 = group id
+    u = (u & clean) | rev
+
+    # ---- per-class sorted stacks (values only; insertion chain) --------
+    st = [jnp.full((tm, _LANES), _INT_MIN, jnp.int32)
+          for _ in range(n_levels)]
+    for g in range(groups):
+        t = u[:, g * _LANES:(g + 1) * _LANES]
+        for i in range(n_levels):
+            hi = jnp.maximum(st[i], t)
+            t = jnp.minimum(st[i], t)
+            st[i] = hi
+    det = st[det_depth] if det_depth is not None else None
+    st = tuple(st[:depth])
+
+    # ---- carry snapshot in u space (low bits all-ones: wins clean ties)
+    cv = carry_vals[:]
+    ci = carry_idx[:]
+    cu = _f32_to_u(jax.lax.bitcast_convert_type(cv, jnp.int32))
+    cu = cu | jnp.int32(low_mask)
+    # empty carry slots (-inf) must stay BELOW every real tile value yet
+    # above stack-empty: u(-inf) is very negative already; nothing to do.
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tm, _LANES), 1)
+    lane_kp = jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
+    out_u0 = jnp.full((tm, kp), _INT_MIN, jnp.int32)
+    out_i0 = jnp.full((tm, kp), _BIG_I32, jnp.int32)
+    kth_u0 = jnp.full((tm,), _INT_MIN, jnp.int32)
+
+    def pop(t, state):
+        st, cu, out_u, out_i, kth_u = state
+        st0 = st[0]
+        mt = jnp.max(st0, axis=1)                       # (tm,) narrow
+        eq_t = st0 == mt[:, None]
+        ps = jnp.min(jnp.where(eq_t, lane, _BIG_I32), axis=1)
+        mc = jnp.max(cu, axis=1)
+        # first-max via eq + min-index (Mosaic lowers argmax only for f32)
+        eq_c = cu == mc[:, None]
+        pc = jnp.min(jnp.where(eq_c, lane_kp, _BIG_I32), axis=1)
+        use_c = mc >= mt
+        w_u = jnp.where(use_c, mc, mt)
+        g_t = jnp.int32(groups - 1) - (mt & jnp.int32(low_mask))
+        idx_t = n_base + g_t * _LANES + ps
+        hot_c = lane_kp == pc[:, None]
+        g_c = jnp.sum(jnp.where(hot_c, ci, 0), axis=1)
+        idx_w = jnp.where(use_c, g_c, idx_t)
+        slot = lane_kp == t
+        out_u = jnp.where(slot, w_u[:, None], out_u)
+        out_i = jnp.where(slot, idx_w[:, None], out_i)
+        kth_u = jnp.where(t == k - 1, w_u, kth_u)
+        cu = jnp.where(use_c[:, None] & hot_c, _INT_MIN, cu)
+        hot_t = eq_t & (lane == ps[:, None]) & (~use_c)[:, None]
+        new_st = tuple(
+            jnp.where(hot_t, st[i + 1], st[i]) for i in range(depth - 1)
+        ) + (jnp.where(hot_t, _INT_MIN, st[depth - 1]),)
+        return new_st, cu, out_u, out_i, kth_u
+
+    state = (st, cu, out_u0, out_i0, kth_u0)
+    if k <= 16:
+        for t in range(k):
+            state = pop(t, state)
+    else:
+        def pop4(t4, stt):
+            for uu in range(4):
+                stt = pop(t4 * 4 + uu, stt)
+            return stt
+
+        state = jax.lax.fori_loop(0, (k + 3) // 4, pop4, state)
+    _, _, out_u, out_i, kth_u = state
+
+    # ---- decode the whole panel at once ---------------------------------
+    u_clean = out_u & clean
+    vals = jax.lax.bitcast_convert_type(_f32_to_u(u_clean), jnp.float32)
+    # -inf scores (pad/mask rows) and never-written slots both decode to
+    # sentinels; the ceiling is the largest possible encoding of -inf.
+    # Computed at trace time (Mosaic has no scalar bitcast op).
+    ninf_bits = int(np.float32(_NEG_INF).view(np.int32))
+    ninf_u = jnp.int32(
+        (ninf_bits ^ ((ninf_bits >> 31) & 0x7FFFFFFF)) | low_mask
+    )
+    dead = out_u <= ninf_u
+    new_v = jnp.where(dead, _NEG_INF, vals)
+    new_i = jnp.where(dead, _BIG_I32, out_i)
+
+    if det is None:
+        carry_vals[:] = new_v
+        carry_idx[:] = new_i
+        return
+
+    # ---- exactness detection + static fallback (see _select_bucket) ----
+    kth_clean = (kth_u & clean)[:, None]
+    bad = jnp.max(jnp.where(
+        (det != _INT_MIN) & ((det & clean) >= kth_clean), 1, 0
+    ).astype(jnp.int32))
+
+    @pl.when(bad == 0)
+    def _():
+        carry_vals[:] = new_v
+        carry_idx[:] = new_i
+
+    @pl.when(bad != 0)
+    def _():
+        extract_fb(s, cv, ci)
+
+
+# ---------------------------------------------------------------------------
 # Strategy "bucket": lane-class top-3 reduce + narrow lexicographic merge.
 # ---------------------------------------------------------------------------
 
 
-def _bucket_top3(s, tm: int, groups: int):
+def _bucket_top3(s, tm: int, groups: int, cw: int = _LANES):
     """Per-lane-class best-3 values (positions for the best-2) over groups.
 
-    s: (TM, G*128).  All slices are vreg-aligned; each group update is a
+    s: (TM, G*cw) with ``cw`` lanes per class (a multiple of 128; wider
+    classes quadratically cut the chance that >=3 of a row's top-k share
+    a class, which is what triggers the exact-fallback in
+    _select_bucket).  All slices are vreg-aligned; each group update is a
     handful of single-vreg-row VPU ops.  Lowest group wins value ties, so
     candidate order respects global index order within a lane.
     """
-    m1 = s[:, 0:_LANES]
-    p1 = jnp.zeros((tm, _LANES), jnp.int32)
-    m2 = jnp.full((tm, _LANES), _NEG_INF, jnp.float32)
-    p2 = jnp.zeros((tm, _LANES), jnp.int32)
-    m3 = jnp.full((tm, _LANES), _NEG_INF, jnp.float32)
+    m1 = s[:, 0:cw]
+    p1 = jnp.zeros((tm, cw), jnp.int32)
+    m2 = jnp.full((tm, cw), _NEG_INF, jnp.float32)
+    p2 = jnp.zeros((tm, cw), jnp.int32)
+    m3 = jnp.full((tm, cw), _NEG_INF, jnp.float32)
     for g in range(1, groups):
-        sg = s[:, g * _LANES:(g + 1) * _LANES]
+        sg = s[:, g * cw:(g + 1) * cw]
         b1 = sg > m1
         b2 = sg > m2
         b3 = sg > m3
@@ -321,61 +503,87 @@ def _merge_narrow(cv, ci, mv, mi, k: int, kp: int, tm: int):
     return state[4], state[5]
 
 
-def _any_ge(a, thr):
-    """Scalar int32 flag: any(a >= thr).  int32 max-reduce, not jnp.any —
-    Mosaic's reduce_or proxy lowering materializes float constants with the
-    *global* x64 setting and breaks under jax_enable_x64."""
-    return jnp.max(jnp.where(a >= thr, 1, 0).astype(jnp.int32))
 
 
-def _select_bucket(s, carry_vals, carry_idx, lane, n_base, k, kp, tm, groups):
-    """carry <- top_k(carry u tile) via lane-class reduction + narrow merge."""
-    m1, p1, m2, p2, m3 = _bucket_top3(s, tm, groups)
+def _bucket_class_width(block_n: int) -> int:
+    """Lane-class width for the bucket reduce.
+
+    128 (one vreg of lanes), measured: 256-wide classes would halve the
+    exact-fallback trigger rate (C(k,3)/classes^2) and cost the same per
+    element in isolation — but combined WITH the pl.when fallback regions
+    they regress 0.19 -> 0.29 ms on the canonical k=10 workload (cw=256
+    alone: 0.197; regions alone at cw=128: 0.194; together: 0.288 —
+    plausibly a VMEM/register-pressure cliff from the 640-wide merge plus
+    the full-width extract body in one predicated program).  The fallback
+    fires rarely either way (~2 of 20 tiles on random canonical data)."""
+    return _LANES
+
+
+def _select_bucket(s, carry_vals, carry_idx, extract_fb, n_base, k, kp, tm,
+                   block_n):
+    """carry <- top_k(carry u tile), lane-class reduce + narrow merge.
+
+    One pass over the tile keeps each of the 128 lane classes' best-3
+    (positions for the best-2); the per-class best-2 form a 256-wide
+    candidate panel merged into the carry by a narrow lexicographic
+    extraction — both are cheap next to full-width re-scans.  Exactness:
+    a row's result can only be wrong if >=3 of its new top-k fall in ONE
+    lane class of THIS tile, which m3 (each class's 3rd best) detects
+    exactly: any detected row routes the whole tile through the exact
+    full-width extraction (``extract_fb``, reading the untouched carry).
+
+    The fallback is STATIC control flow (two pl.when regions): round 2
+    replaced round 1's dynamic lax.while_loop refill that re-reduced the
+    tile per round — measured 1.16 ms vs 0.147 ms without it on the
+    canonical k=10 workload (the while body kept the score tile live and
+    broke Mosaic's cross-grid-step pipelining), i.e. the repair cost ~7x
+    the selection it repaired.  The static version measures 0.194 ms on
+    the same workload (vs extract's 0.263): the detection's per-tile
+    scalar reduce costs ~2 us/tile of pipeline sync and the fallback
+    fires on ~2 of 20 (query-block, tile) pairs on random data —
+    P(fire) ~ tm * C(k,3) / classes^2 per tile.
+
+    This function both RETURNS nothing and WRITES the carry refs (unlike
+    the other strategies) because the two outcomes write disjointly.
+    """
+    cw = _bucket_class_width(block_n)
+    groups = block_n // cw
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tm, cw), 1)
+    cv = carry_vals[:]
+    ci = carry_idx[:]
+    m1, p1, m2, p2, m3 = _bucket_top3(s, tm, groups, cw)
     cand_v = jnp.concatenate([m1, m2], axis=1)
     cand_i = jnp.concatenate(
-        [n_base + p1 * _LANES + lane, n_base + p2 * _LANES + lane], axis=1
+        [n_base + p1 * cw + lane, n_base + p2 * cw + lane], axis=1
     )
-    new_v, new_i = _merge_narrow(carry_vals, carry_idx, cand_v, cand_i,
-                                 k, kp, tm)
+    new_v, new_i = _merge_narrow(cv, ci, cand_v, cand_i, k, kp, tm)
 
     if groups == 1:
         # Every element of the tile was a candidate; always exact.
-        return new_v, new_i
+        carry_vals[:] = new_v
+        carry_idx[:] = new_i
+        return
 
-    # Exactness repair (rare): some lane class may hold a 3rd element that
-    # beats the new k-th best.  Bounded by k rounds (an element with k
-    # better-or-equal-lower-index elements in its own class is not top-k).
-    def fail(st):
-        s, m1, p1, m2, p2, m3, nv, ni, r = st
-        return jnp.logical_and(
-            r < k, _any_ge(m3, nv[:, k - 1][:, None]) == 1
-        )
+    # Detection: some class's 3rd-best could belong in the top-k (>= so
+    # an equal-value-lower-index miss also fires; m3 > -inf so classes
+    # with <3 real elements never do — nothing was dropped there; a row
+    # whose k-th slot is still -inf fires on ANY finite m3, since every
+    # dropped element belongs in an underfilled carry).  int32 max-reduce
+    # rather than jnp.any: Mosaic's reduce_or proxy lowering materializes
+    # float constants with the *global* x64 setting and breaks under
+    # jax_enable_x64.
+    kth = new_v[:, k - 1:k]
+    bad = jnp.max(jnp.where(
+        (m3 > _NEG_INF) & (m3 >= kth), 1, 0).astype(jnp.int32))
 
-    def refill(st):
-        s, m1, p1, m2, p2, m3, nv, ni, r = st
-        parts = []
-        for g in range(groups):
-            sg = s[:, g * _LANES:(g + 1) * _LANES]
-            parts.append(
-                jnp.where((p1 == g) | (p2 == g), _NEG_INF, sg)
-            )
-        s = jnp.concatenate(parts, axis=1)
-        m1, p1, m2, p2, m3 = _bucket_top3(s, tm, groups)
-        cv = jnp.concatenate([m1, m2], axis=1)
-        ci = jnp.concatenate(
-            [n_base + p1 * _LANES + lane, n_base + p2 * _LANES + lane],
-            axis=1,
-        )
-        nv, ni = _merge_narrow(nv, ni, cv, ci, k, kp, tm)
-        return s, m1, p1, m2, p2, m3, nv, ni, r + 1
+    @pl.when(bad == 0)
+    def _():
+        carry_vals[:] = new_v
+        carry_idx[:] = new_i
 
-    st0 = (s, m1, p1, m2, p2, m3, new_v, new_i, jnp.int32(2))
-
-    def do_repair(st):
-        return jax.lax.while_loop(fail, refill, st)
-
-    st = jax.lax.cond(fail(st0), do_repair, lambda st: st, st0)
-    return st[6], st[7]
+    @pl.when(bad != 0)
+    def _():
+        extract_fb(s, cv, ci)
 
 
 # ---------------------------------------------------------------------------
@@ -436,7 +644,6 @@ def _kernel(
     n_j = pl.num_programs(1)
     kf = pl.program_id(2) if nk > 1 else None
     tm = q_ref.shape[0]
-    groups = block_n // _LANES
 
     @pl.when(j == 0 if nk == 1 else (j == 0) & (kf == 0))
     def _():
@@ -515,14 +722,19 @@ def _kernel(
             carry_idx[r0:r0 + g, :] = new_i
 
         def run_selection():
-            if selection == "bucket":
-                lane = jax.lax.broadcasted_iota(jnp.int32, (tm, _LANES), 1)
-                new_v, new_i = _select_bucket(
-                    s, carry_vals[:], carry_idx[:], lane, n_base, k, kp, tm,
-                    groups
-                )
-                carry_vals[:] = new_v
-                carry_idx[:] = new_i
+            if selection in ("bucket", "stack"):
+                def extract_fb(s_, cv_, ci_):
+                    lane_n = jax.lax.broadcasted_iota(
+                        jnp.int32, (tm, block_n), 1)
+                    new_v, new_i = _select_extract(
+                        s_, cv_, ci_, lane_n, n_base, k, kp, tm)
+                    carry_vals[:] = new_v
+                    carry_idx[:] = new_i
+
+                sel_fn = (_select_bucket if selection == "bucket"
+                          else _select_stack)
+                sel_fn(s, carry_vals, carry_idx, extract_fb,
+                       n_base, k, kp, tm, block_n)
             elif selection == "insert":
                 lane_n = jax.lax.broadcasted_iota(
                     jnp.int32, (tm, block_n), 1)
@@ -687,6 +899,16 @@ def _split_hi_lo(x, ck: "Optional[int]" = None):
     h = hi.reshape(m, nk, ck)
     low = lo.reshape(m, nk, ck)
     return jnp.concatenate([h, low], axis=2).reshape(m, nk * 2 * ck)
+
+
+def effective_selection(cfg: SearchConfig, k: int) -> str:
+    """Resolve selection="auto" by regime (measured v5e crossovers, see
+    ARCHITECTURE.md round-2 selection sweep): bucket's narrow-merge step
+    count grows with k while extract's full-width pass count does too —
+    bucket wins below the unroll threshold (k <= 16), extract above."""
+    if cfg.selection != "auto":
+        return cfg.selection
+    return "bucket" if k <= 16 else "extract"
 
 
 def effective_tiles(cfg: SearchConfig, k: int):
@@ -1203,7 +1425,7 @@ def fused_topk_prepared(
             q, cp, cbp,
             k=k, metric=metric, block_q=bq_eff, tn=tn,
             k_pad=cfg.k_pad, precision=cfg.precision,
-            selection=cfg.selection, use_bias=use_bias,
+            selection=effective_selection(cfg, k), use_bias=use_bias,
             interpret=interpret, prune=cfg.prune, mask_p=mask_p,
             tiles=tiles,
         )
@@ -1257,7 +1479,7 @@ def fused_topk(
             block_n=bn_eff,
             k_pad=cfg.k_pad,
             precision=cfg.precision,
-            selection=cfg.selection,
+            selection=effective_selection(cfg, k),
             interpret=interpret,
             prune=cfg.prune,
         )

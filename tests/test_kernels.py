@@ -85,6 +85,63 @@ def test_fused_topk_insert_tie_break():
     np.testing.assert_array_equal(idx, idx[0] + 4 * np.arange(5))
 
 
+def test_fused_topk_stack_multi_tile_large_k():
+    """selection="stack" at k near/above the 4x-unrolled fori threshold
+    across several corpus tiles, vs the oracle.  Score tolerance covers
+    the strategy's low-mantissa group packing (<= 2^low_bits - 1 ulps)."""
+    rng = np.random.default_rng(21)
+    q = rng.standard_normal((9, 48)).astype(np.float32)
+    c = rng.standard_normal((3000, 48)).astype(np.float32)
+    cfg = SearchConfig(selection="stack", block_q=8, block_n=1024)
+    for k in (3, 17, 100):
+        v0, i0 = topk_search(q, c, k, "cosine")
+        v1, i1 = fused_topk(q, c, k, "cosine", config=cfg, interpret=True)
+        assert_topk_equivalent(
+            np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+        )
+
+
+def test_fused_topk_stack_exactness_fallback():
+    """Adversarial input for selection="stack": more than _STACK_DEPTH of
+    one row's top-k land in ONE lane class of ONE tile, so the per-class
+    stacks alone would drop some of them.  The st[D] detection must route
+    the tile through the exact full-width extraction."""
+    from polars_matmul_tpu.kernels.fused_topk import _STACK_DEPTH
+
+    rng = np.random.default_rng(22)
+    n, d = 2048, 16
+    c = rng.standard_normal((n, d)).astype(np.float32) * 1e-3
+    q = np.ones((1, d), dtype=np.float32)
+    # Plant the 14 best scores (> _STACK_DEPTH + 1) in lane class 5 of the
+    # single 2048-wide tile: positions 5, 133, 261, ... (5 + 128*g).
+    hot = 5 + 128 * np.arange(14)
+    c[hot] = (q[0] / np.linalg.norm(q[0])) * (2.0 + np.arange(14))[:, None]
+    cfg = SearchConfig(selection="stack", block_q=8, block_n=2048)
+    k = 16
+    v0, i0 = topk_search(q, c, k, "dot")
+    v1, i1 = fused_topk(q, c, k, "dot", config=cfg, interpret=True)
+    # the 14 planted rows must all be found, exactly
+    np.testing.assert_array_equal(np.asarray(i1)[0, :14], hot[::-1])
+    assert_topk_equivalent(
+        np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+    )
+
+
+def test_fused_topk_stack_tie_break():
+    """Duplicate corpus rows under selection="stack": lowest index wins
+    within a tile (reversed group bits + min-lane pop), across groups,
+    and across the carry (earlier tiles win clean-value ties)."""
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((4, 16)).astype(np.float32)
+    c = np.concatenate([base] * 80)  # 4 tiles of 128 rows at block_n=128
+    q = base[:1]
+    cfg = SearchConfig(selection="stack", block_q=8, block_n=128)
+    _, idx = fused_topk(q, c, 17, "dot", config=cfg, interpret=True)
+    idx = np.asarray(idx)[0]
+    assert idx[0] < 4
+    np.testing.assert_array_equal(idx, idx[0] + 4 * np.arange(17))
+
+
 def test_fused_topk_zero_norm_rows():
     q = np.zeros((3, 8), dtype=np.float32)
     q[1, 0] = 1.0
@@ -171,7 +228,7 @@ def test_fused_topk_fuzz_shapes_and_tilings():
         k_hi = min(n, 60) if trial % 6 == 5 else min(n, 24)
         k = int(rng.integers(1, k_hi + 1))
         metric = metrics[trial % 3]
-        sel = ("extract", "bucket", "insert", "insert")[trial % 4]
+        sel = ("extract", "bucket", "insert", "stack")[trial % 4]
         bq = int(rng.choice([8, 16, 64, 256]))
         bn = int(rng.choice([128, 256, 1024]))
         prec = ("bf16x3", "highest")[trial % 2]
@@ -214,7 +271,7 @@ def test_fused_topk_fuzz_shapes_and_tilings():
             ) from e
 
 
-@pytest.mark.parametrize("sel", ["extract", "bucket", "insert"])
+@pytest.mark.parametrize("sel", ["extract", "bucket", "insert", "stack"])
 @pytest.mark.parametrize("metric", ["cosine", "euclidean"])
 def test_underfilled_slots_carry_index_sentinels(sel, metric):
     """Fewer matching rows than k, spread over several corpus tiles:
