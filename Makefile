@@ -1,11 +1,11 @@
 # polars-matmul-tpu build/test/bench entry points
 .PHONY: native test test-fast bench bench-gate clean
 
-# Pinned TPU perf gates (round-2 v5e measurements + 20% regression
+# Pinned TPU perf gates (round-2 v5e measurements + ~20% regression
 # headroom; the gates only bite when the backend is a real TPU).
 # Update when bench.py's device_kernel_ms / device_kernel_k100_ms improve.
-GATE_K10_MS ?= 0.35
-GATE_K100_MS ?= 3.5
+GATE_K10_MS ?= 0.40
+GATE_K100_MS ?= 0.75
 
 native: polars_matmul_tpu/interop/_pmm_native.so
 

@@ -56,13 +56,15 @@ class SearchConfig:
     # Fused-kernel selection strategy.  "auto" (default) picks by regime
     # from measured v5e crossovers: "bucket" at k <= 16 (lane-class
     # reduce + narrow merge, ~1.6x faster than extract on the canonical
-    # workload once its exactness fallback became static control flow),
-    # "extract" above (k full-width argmax extraction steps — the
-    # narrow-merge step count grows with k).  "insert" (candidate-count-
-    # bounded dynamic loop merge-inserting into the sorted carry) wins
-    # only on many-tile corpora where most tiles contribute nothing;
-    # measured 2x slower than extract on the 5-tile canonical workload
-    # because its dynamic fori_loop defeats Mosaic's unrolling.
+    # workload once its exactness fallback became static control flow);
+    # "gstack" above 16 on dense corpora spanning <= 128 global 128-row
+    # groups (per-class best-8 stacks persisted ACROSS corpus tiles, one
+    # k-pop merge per query block, lax.cond exact re-run on the rare
+    # detection hit); "extract" otherwise (k full-width argmax passes
+    # per tile).  "stack" (per-tile stacks) and "insert" (candidate-
+    # count-bounded dynamic merge) are kept for A/B: insert's dynamic
+    # fori_loop defeats Mosaic's unrolling (measured 2x slower than
+    # extract on the canonical workload).
     selection: str = "auto"
     # Allow the dispatcher to retile for the problem (e.g. large k gets
     # fewer, bigger corpus tiles).  Set False to pin block_q/block_n.
@@ -115,7 +117,7 @@ class SearchConfig:
         for field, allowed in (
             ("prune", ("auto", "on", "off")),
             ("selection", ("auto", "extract", "insert", "bucket",
-                           "stack")),
+                           "stack", "gstack")),
             ("merge", ("allgather", "ring")),
             ("precision", ("default", "high", "highest",
                            "bf16x3", "bf16c", "int8c", "int4c")),

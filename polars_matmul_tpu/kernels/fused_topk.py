@@ -427,6 +427,121 @@ def _select_stack(s, carry_vals, carry_idx, extract_fb, n_base, k, kp, tm,
 
 
 # ---------------------------------------------------------------------------
+# Strategy "gstack": stacks persisted ACROSS corpus tiles, one pop per block.
+# ---------------------------------------------------------------------------
+
+
+def _gstack_geometry(total_groups: int):
+    """(low_bits, low_mask, depth, n_levels) for stacks spanning the WHOLE
+    corpus: the group id packed into the value's low mantissa bits is the
+    GLOBAL 128-row group (reversed, lower group = larger u = wins ties),
+    so the strategy only applies when total_groups <= 128 (low_bits <= 7,
+    score truncation <= 127 ulps ~ 1.5e-5 relative — inside the bf16x3
+    matmul's own error and the 2e-5 score contract).  n_levels includes
+    the frozen detection level (st[depth]) when the corpus has more than
+    `depth` groups per class; below that the stacks are lossless."""
+    low_bits = max(1, (total_groups - 1).bit_length())
+    depth = min(_STACK_DEPTH, total_groups)
+    det = total_groups > depth
+    return low_bits, (1 << low_bits) - 1, depth, depth + (1 if det else 0)
+
+
+def _gstack_ninf_u(low_mask: int):
+    """Largest possible packed encoding of -inf, at trace time (Mosaic
+    has no scalar bitcast op)."""
+    b = int(np.float32(_NEG_INF).view(np.int32))
+    return jnp.int32((b ^ ((b >> 31) & 0x7FFFFFFF)) | low_mask)
+
+
+def _gstack_update(st_ref, s, j, gpt, total_groups, low_mask, n_levels):
+    """Insert one corpus tile's scores into the persistent per-class
+    stacks (st_ref: (n_levels, TM, 128) i32 VMEM scratch, sorted
+    descending in u space per class).  The insertion chain is pure
+    jnp.maximum/minimum — position tracking rides the packed group bits,
+    so each level costs 2 VPU ops per group.  Levels round-trip VMEM once
+    per TILE (read all, chain in registers across groups, write all)."""
+    clean = jnp.int32(~low_mask)
+    u = _f32_to_u(jax.lax.bitcast_convert_type(s, jnp.int32))
+    st = [st_ref[i] for i in range(n_levels)]
+    # global group of slice g is j*gpt + g (j is the traced tile index)
+    base_rev = jnp.int32(total_groups - 1) - j * jnp.int32(gpt)
+    for g in range(gpt):
+        t = (u[:, g * _LANES:(g + 1) * _LANES] & clean) | (base_rev - g)
+        for i in range(n_levels):
+            hi = jnp.maximum(st[i], t)
+            t = jnp.minimum(st[i], t)
+            st[i] = hi
+    for i in range(n_levels):
+        st_ref[i] = st[i]
+
+
+def _gstack_decode(u_panel, k, total_groups, low_mask, depth, n_levels,
+                   m_valid):
+    """XLA-side finish for the gstack kernel: top-k over the raw u panel,
+    decode, and the exactness flag.  Runs OUTSIDE the Pallas kernel —
+    measured 0.02 ms for lax.top_k(128) on a (1024, 1152) f32 panel, vs
+    ~3 µs per SEQUENTIAL in-kernel pop step (a k-pop merge at k=100 cost
+    more than the whole per-tile extract strategy it replaced).  Two
+    measured traps baked in here:
+
+      - lax.top_k on S32 lowers ~20x slower than on F32 (0.36 ms vs
+        0.02 on the (1024, 1152) panel), so the panel is mapped to f32
+        through the order isomorphism (the _f32_to_u involution) first.
+        Dead entries (<= any packed -inf) are collapsed to the exact
+        -inf encoding beforehand — their raw group bits would decode to
+        NaN, which is unordered and breaks top_k.
+      - detection must ignore PADDED query rows (m..mp): their scores
+        are identically 0.0 (zero rows), an all-tied row where every
+        class's deepest level equals the k-th best — firing the exact
+        re-run on every call.
+
+    u ordering is exactly the search order: (truncated score desc, global
+    group asc via the reversed packed bits); two distinct corpus rows in
+    the same class always differ in group, so equal u across panel slots
+    means same group + same class-lane order — and lax.top_k breaks ties
+    by LOWER panel position, which within a level slab is lane order,
+    i.e. ascending corpus index.  Returns (vals, idx, bad) with dead
+    slots (never filled / masked / pad) as (-inf, int32-max) sentinels.
+    """
+    clean = jnp.int32(~low_mask)
+    ninf_u = _gstack_ninf_u(low_mask)
+    ninf_exact = jnp.int32(
+        int(np.float32(_NEG_INF).view(np.int32))
+        ^ ((int(np.float32(_NEG_INF).view(np.int32)) >> 31) & 0x7FFFFFFF)
+    )
+    u_live = jnp.where(u_panel <= ninf_u, ninf_exact, u_panel)
+    f_panel = jax.lax.bitcast_convert_type(_f32_to_u(u_live), jnp.float32)
+    fv, sp = jax.lax.top_k(f_panel, k)
+    sv = _f32_to_u(jax.lax.bitcast_convert_type(fv, jnp.int32))
+    vals = jax.lax.bitcast_convert_type(_f32_to_u(sv & clean), jnp.float32)
+    grp = jnp.int32(total_groups - 1) - (sv & jnp.int32(low_mask))
+    idx = grp * _LANES + jnp.remainder(sp, _LANES)
+    dead = sv <= ninf_u
+    vals = jnp.where(dead, _NEG_INF, vals)
+    idx = jnp.where(dead, _BIG_I32, idx)
+    if n_levels == depth:
+        # total_groups <= depth: the stacks hold EVERY element of every
+        # class — lossless, nothing to detect.
+        bad = jnp.zeros((), jnp.bool_)
+    else:
+        # A row is wrong only if >= n_levels+1 of its top-k share one
+        # lane class, in which case the deepest level (each class's
+        # n_levels-th best, itself a candidate in the panel) is >= the
+        # computed k-th best.  Packed -inf (masked/pad) never fires; a
+        # real deep value vs a dead k-th slot always does (it belongs in
+        # an underfilled result).
+        det = u_panel[:, (n_levels - 1) * _LANES:]
+        kth = sv[:, k - 1:k]
+        live_row = (
+            jnp.arange(u_panel.shape[0]) < m_valid
+        )[:, None]
+        bad = jnp.any(
+            live_row & (det > ninf_u) & ((det & clean) >= (kth & clean))
+        )
+    return vals, idx, bad
+
+
+# ---------------------------------------------------------------------------
 # Strategy "bucket": lane-class top-3 reduce + narrow lexicographic merge.
 # ---------------------------------------------------------------------------
 
@@ -621,6 +736,7 @@ def _kernel(
     nk: int = 1,
     prune: bool = False,
     use_tiles: bool = False,
+    total_groups: int = 0,   # gstack only: global 128-row group count
 ):
     if use_tiles:
         # Probed search (clustered corpus): grid axis 1 walks a per-query-
@@ -635,11 +751,19 @@ def _kernel(
         mb_ref, *rest = rest
     else:
         mb_ref = None
-    if nk > 1:
+    carry_vals = carry_idx = vals_ref = idx_ref = st_ref = acc = None
+    if selection == "gstack":
+        # Single output: the raw u panel (TM, n_levels*128); the XLA side
+        # (_gstack_decode) does top-k + index decode + detection.
+        if nk > 1:
+            panel_ref, st_ref, acc = rest
+        else:
+            panel_ref, st_ref = rest
+        _, low_mask, depth, n_levels = _gstack_geometry(total_groups)
+    elif nk > 1:
         vals_ref, idx_ref, carry_vals, carry_idx, acc = rest
     else:
         vals_ref, idx_ref, carry_vals, carry_idx = rest
-        acc = None
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
     kf = pl.program_id(2) if nk > 1 else None
@@ -647,8 +771,12 @@ def _kernel(
 
     @pl.when(j == 0 if nk == 1 else (j == 0) & (kf == 0))
     def _():
-        carry_vals[:] = jnp.full((tm, kp), _NEG_INF, dtype=jnp.float32)
-        carry_idx[:] = jnp.full((tm, kp), _BIG_I32, dtype=jnp.int32)
+        if selection == "gstack":
+            for i in range(n_levels):
+                st_ref[i] = jnp.full((tm, _LANES), _INT_MIN, jnp.int32)
+        else:
+            carry_vals[:] = jnp.full((tm, kp), _NEG_INF, dtype=jnp.float32)
+            carry_idx[:] = jnp.full((tm, kp), _BIG_I32, dtype=jnp.int32)
 
     # --- MXU: raw dot products for this (corpus, K-chunk) tile --------------
     if precision == "bf16x3":
@@ -709,6 +837,41 @@ def _kernel(
             n_base = tiles_ref[pl.program_id(0), j] * block_n
         else:
             n_base = j * block_n
+
+        if selection == "gstack":
+            gpt = block_n // _LANES
+
+            def build():
+                _gstack_update(st_ref, s, j, gpt, total_groups, low_mask,
+                               n_levels)
+
+            if prune:
+                # Tile gate (exact): an element at or below the weakest
+                # class-best has >= 128 better-or-tied-earlier elements,
+                # so it cannot be top-k (k <= kp = 128).  tau decodes the
+                # truncated bound, making the test conservative; a class
+                # best that is not a real element yet — INT_MIN (never
+                # filled) or packed -inf (masked/pad rows only) — decodes
+                # to NaN, so those force a build via the <= ninf_u guard
+                # (NaN comparisons are false, which would wrongly SKIP).
+                tau_u = jnp.min(st_ref[0], axis=1, keepdims=True)
+                tau = jax.lax.bitcast_convert_type(
+                    _f32_to_u(tau_u & jnp.int32(~low_mask)), jnp.float32)
+                rmax = jnp.max(s, axis=1, keepdims=True)
+                need = (rmax > tau) | (tau_u <= _gstack_ninf_u(low_mask))
+                upd = jnp.max(jnp.where(need, 1, 0).astype(jnp.int32))
+
+                @pl.when(upd == 1)
+                def _():
+                    build()
+            else:
+                build()
+
+            @pl.when(j == n_j - 1)
+            def _():
+                for i in range(n_levels):
+                    panel_ref[:, i * _LANES:(i + 1) * _LANES] = st_ref[i]
+            return
 
         def extract_rows(r0, g):
             # top-k of (carry u tile) for query rows [r0, r0+g) — rows are
@@ -901,14 +1064,35 @@ def _split_hi_lo(x, ck: "Optional[int]" = None):
     return jnp.concatenate([h, low], axis=2).reshape(m, nk * 2 * ck)
 
 
-def effective_selection(cfg: SearchConfig, k: int) -> str:
-    """Resolve selection="auto" by regime (measured v5e crossovers, see
-    ARCHITECTURE.md round-2 selection sweep): bucket's narrow-merge step
-    count grows with k while extract's full-width pass count does too —
-    bucket wins below the unroll threshold (k <= 16), extract above."""
-    if cfg.selection != "auto":
-        return cfg.selection
-    return "bucket" if k <= 16 else "extract"
+def _resolve_selection(selection: str, k: int, total_groups: int,
+                       use_tiles: bool) -> str:
+    """Resolve selection="auto" by measured v5e regime (ARCHITECTURE.md
+    round-2 selection sweep), with the problem geometry in hand (this
+    runs inside _run_prepared where the padded corpus size is known):
+
+      k <= 16          -> "bucket"  (lane-class reduce + narrow merge)
+      k  > 16, dense   -> "gstack"  when the corpus spans <= 128 global
+                          128-row groups (the group id must fit the
+                          packed low mantissa bits)
+      otherwise        -> "extract" (k full-width passes per tile)
+
+    An explicit "gstack" outside its envelope raises rather than
+    silently degrading.
+    """
+    if selection == "auto":
+        if k <= 16:
+            return "bucket"
+        if not use_tiles and total_groups <= _LANES:
+            return "gstack"
+        return "extract"
+    if selection == "gstack" and (use_tiles or total_groups > _LANES):
+        raise ValueError(
+            "selection='gstack' requires a dense (non-probed) scan over "
+            f"at most {_LANES * _LANES} padded corpus rows; got "
+            f"{total_groups} groups" + (" (probed)" if use_tiles else "")
+            + " — use selection='auto'"
+        )
+    return selection
 
 
 def effective_tiles(cfg: SearchConfig, k: int):
@@ -1204,19 +1388,7 @@ def _run_prepared(
     prune_eff = (n_tiles >= 16) if prune == "auto" else (prune == "on")
 
     use_mask = mask_p is not None
-    kernel = functools.partial(
-        _kernel,
-        k=k,
-        kp=k_pad,
-        block_n=tn,
-        use_bias=use_bias,
-        use_mask=use_mask,
-        selection=selection,
-        precision=kern_precision,
-        nk=nk,
-        prune=prune_eff,
-        use_tiles=use_tiles,
-    )
+    selection = _resolve_selection(selection, k, np_ // _LANES, use_tiles)
 
     # Probed search: index maps pull each visited corpus block's id from
     # the scalar-prefetched tile list instead of the grid position, so
@@ -1260,18 +1432,6 @@ def _run_prepared(
         in_specs.append(pl.BlockSpec((1, tn), b_map))
         operands.append(mask_p.astype(jnp.float32))
 
-    out_specs = [
-        pl.BlockSpec((tm, k_pad), o_map),
-        pl.BlockSpec((tm, k_pad), o_map),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((mp, k_pad), jnp.float32),
-        jax.ShapeDtypeStruct((mp, k_pad), jnp.int32),
-    ]
-    scratch = [
-        pltpu.VMEM((tm, k_pad), jnp.float32),
-        pltpu.VMEM((tm, k_pad), jnp.int32),
-    ] + ([pltpu.VMEM((tm, tn), jnp.float32)] if nk > 1 else [])
     # Probed search scores n_tiles*tn corpus rows per query block (and
     # each block DMAs its own tile list); the dense scan scores all np_.
     rows_per_block = n_tiles * tn
@@ -1282,27 +1442,67 @@ def _run_prepared(
                         + mp * k_pad * 2) * 4,
         transcendentals=0,
     )
-    if use_tiles:
-        if tiles.shape[0] != mp // tm:
-            raise ValueError(
-                f"tiles has {tiles.shape[0]} rows; this problem runs "
-                f"{mp // tm} query blocks of {tm} rows"
-            )
-        vals, idx = pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=grid,
-                in_specs=in_specs,
-                out_specs=out_specs,
-                scratch_shapes=scratch,
-            ),
-            out_shape=out_shape,
-            cost_estimate=cost,
-            interpret=interpret,
-        )(tiles.astype(jnp.int32), *operands)
-    else:
-        vals, idx = pl.pallas_call(
+    if use_tiles and tiles.shape[0] != mp // tm:
+        raise ValueError(
+            f"tiles has {tiles.shape[0]} rows; this problem runs "
+            f"{mp // tm} query blocks of {tm} rows"
+        )
+
+    def call(sel):
+        # The whole pallas_call is rebuilt per selection so gstack's rare
+        # exactness fallback can re-run the extract kernel under lax.cond
+        # (both branches trace once; only the fired one executes).
+        kernel = functools.partial(
+            _kernel,
+            k=k,
+            kp=k_pad,
+            block_n=tn,
+            use_bias=use_bias,
+            use_mask=use_mask,
+            selection=sel,
+            precision=kern_precision,
+            nk=nk,
+            prune=prune_eff,
+            use_tiles=use_tiles,
+            total_groups=np_ // _LANES if sel == "gstack" else 0,
+        )
+        if sel == "gstack":
+            _, _, _, n_levels = _gstack_geometry(np_ // _LANES)
+            out_specs = [pl.BlockSpec((tm, n_levels * _LANES), o_map)]
+            out_shape = [
+                jax.ShapeDtypeStruct((mp, n_levels * _LANES), jnp.int32)
+            ]
+            scratch = [pltpu.VMEM((n_levels, tm, _LANES), jnp.int32)]
+        else:
+            out_specs = [
+                pl.BlockSpec((tm, k_pad), o_map),
+                pl.BlockSpec((tm, k_pad), o_map),
+            ]
+            out_shape = [
+                jax.ShapeDtypeStruct((mp, k_pad), jnp.float32),
+                jax.ShapeDtypeStruct((mp, k_pad), jnp.int32),
+            ]
+            scratch = [
+                pltpu.VMEM((tm, k_pad), jnp.float32),
+                pltpu.VMEM((tm, k_pad), jnp.int32),
+            ]
+        if nk > 1:
+            scratch.append(pltpu.VMEM((tm, tn), jnp.float32))
+        if use_tiles:
+            return pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=grid,
+                    in_specs=in_specs,
+                    out_specs=out_specs,
+                    scratch_shapes=scratch,
+                ),
+                out_shape=out_shape,
+                cost_estimate=cost,
+                interpret=interpret,
+            )(tiles.astype(jnp.int32), *operands)
+        return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
@@ -1313,6 +1513,20 @@ def _run_prepared(
             interpret=interpret,
         )(*operands)
 
+    if selection == "gstack":
+        total_groups = np_ // _LANES
+        _, low_mask, depth, n_levels = _gstack_geometry(total_groups)
+        (u_panel,) = call("gstack")
+        vals, idx, bad = _gstack_decode(
+            u_panel, k, total_groups, low_mask, depth, n_levels, m)
+        vals, idx = jax.lax.cond(
+            bad,
+            lambda: tuple(x[:, :k] for x in call("extract")),
+            lambda: (vals, idx),
+        )
+        return vals[:m], idx[:m]
+
+    vals, idx = call(selection)
     return vals[:m, :k], idx[:m, :k]
 
 
@@ -1425,7 +1639,7 @@ def fused_topk_prepared(
             q, cp, cbp,
             k=k, metric=metric, block_q=bq_eff, tn=tn,
             k_pad=cfg.k_pad, precision=cfg.precision,
-            selection=effective_selection(cfg, k), use_bias=use_bias,
+            selection=cfg.selection, use_bias=use_bias,
             interpret=interpret, prune=cfg.prune, mask_p=mask_p,
             tiles=tiles,
         )
@@ -1479,7 +1693,7 @@ def fused_topk(
             block_n=bn_eff,
             k_pad=cfg.k_pad,
             precision=cfg.precision,
-            selection=effective_selection(cfg, k),
+            selection=cfg.selection,
             interpret=interpret,
             prune=cfg.prune,
         )

@@ -92,6 +92,9 @@ def default_candidates(cfg0: SearchConfig, k: int) -> list:
         dict(selection="extract"),
         dict(selection="bucket"),
         dict(selection="insert"),
+        # gstack only applies within its envelope (dense scan, <= 16384
+        # padded rows); autotune skips candidates that raise
+        dict(selection="gstack"),
         # prune off (its max pass is overhead on few-tile corpora)
         dict(prune="off"),
         # exact-f32 alternative to the bf16x3 default

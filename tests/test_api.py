@@ -752,12 +752,19 @@ class TestInt8Storage:
             out, q @ self._dequant(c64).T, rtol=1e-5, atol=1e-5)
         i, v = h.topk(q, 3)
         assert len(h._prepared) == 1                 # pallas path reachable
-        i2, _ = h.topk(q, 200)                       # k > k_pad: XLA fallback
+        i2, v2 = h.topk(q, 200)                      # k > k_pad: XLA fallback
         assert i2.shape == (4, 60)
         assert h._f32_view is not None
-        # the fallback ranks the same dequantized values
-        i3, _ = pmt.topk(q, self._dequant(c64), 60)
-        np.testing.assert_array_equal(i2, i3)
+        # the fallback ranks the same dequantized values.  The kernel
+        # path (gstack at k > 16) truncates scores by up to a few ulps
+        # (group packing), so quantized near-ties may swap vs the exact
+        # XLA ranking — pair-consistency, not exact index equality.
+        i3, v3 = pmt.topk(q, self._dequant(c64), 60)
+        mism = np.asarray(i2) != np.asarray(i3)
+        v2, v3 = np.asarray(v2), np.asarray(v3)
+        assert np.all(np.abs(v2[mism] - v3[mism])
+                      <= 1e-5 + 1e-5 * np.abs(v2[mism])), (
+            "index mismatch without score tie")
 
     def test_precision_override_ignored(self):
         rng = np.random.default_rng(124)

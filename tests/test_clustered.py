@@ -329,14 +329,23 @@ class TestClusteredCorpus:
 
     def test_large_k_retile_regime(self):
         """k > 16 flips the kernel to the big-tile query geometry; the
-        probe's query-block count must follow."""
+        probe's query-block count must follow.  At k > 16 the exhaustive
+        scan runs the gstack selection, whose few-ulp score truncation
+        resolves near-ties by LAYOUT position — permuted (clustered) vs
+        original (Corpus) order may swap indices within that band, so
+        the identity assertion is pair-consistency, not bit equality
+        (k <= 16 identity stays exact and is asserted elsewhere)."""
         rng = np.random.default_rng(14)
         q, c = blobs(rng, 2000, 20, 16)
         cc = pmt.ClusteredCorpus(c, clusters=10, config=CFG)
         ref = pmt.Corpus(c, config=CFG)
-        ei, _ = cc.topk(q, 24, "cosine", probe=None)
-        ri, _ = ref.topk(q, 24, "cosine")
-        np.testing.assert_array_equal(ei, ri)
+        ei, ev = cc.topk(q, 24, "cosine", probe=None)
+        ri, rv = ref.topk(q, 24, "cosine")
+        np.testing.assert_allclose(ev, rv, rtol=3e-5, atol=2e-5)
+        mism = np.asarray(ei) != np.asarray(ri)
+        assert np.all(np.abs(np.asarray(ev)[mism] - np.asarray(rv)[mism])
+                      <= 2e-5 + 3e-5 * np.abs(np.asarray(rv)[mism])), (
+            "index mismatch without score tie")
         pi, _ = cc.topk(q, 24, "cosine", probe=0.5)
         assert recall(pi, ri) > 0.8
 

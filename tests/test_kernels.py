@@ -142,6 +142,99 @@ def test_fused_topk_stack_tie_break():
     np.testing.assert_array_equal(idx, idx[0] + 4 * np.arange(17))
 
 
+def test_fused_topk_gstack_multi_tile():
+    """selection="gstack" (stacks persisted across corpus tiles, one pop
+    per query block) vs the oracle across tile counts and k regimes.
+    Score tolerance covers the global group packing (<= 127 ulps)."""
+    rng = np.random.default_rng(31)
+    for (m, n, d, k, bn) in [(9, 3000, 48, 100, 1024), (5, 700, 32, 7, 128),
+                             (16, 16384, 8, 37, 2048)]:
+        q = rng.standard_normal((m, d)).astype(np.float32)
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        c[n // 2] = c[0]
+        cfg = SearchConfig(selection="gstack", block_q=16, block_n=bn,
+                           precision="highest")
+        v0, i0 = topk_search(q, c, k, "cosine")
+        v1, i1 = fused_topk(q, c, k, "cosine", config=cfg, interpret=True)
+        assert_topk_equivalent(
+            np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0),
+            rtol=3e-5, atol=2e-5,
+        )
+
+
+def test_fused_topk_gstack_exactness_fallback():
+    """Adversarial gstack input: more than _STACK_DEPTH of one row's
+    top-k land in ONE lane class (across ALL tiles — the stacks are
+    global), so the frozen detection level must fire and route the whole
+    batch through the exact extract re-run (lax.cond)."""
+    from polars_matmul_tpu.kernels.fused_topk import _STACK_DEPTH
+
+    rng = np.random.default_rng(32)
+    n, d = 2048, 16
+    c = rng.standard_normal((n, d)).astype(np.float32) * 1e-3
+    q = np.ones((1, d), dtype=np.float32)
+    # 14 > _STACK_DEPTH + 1 planted winners, all in lane class 5, spread
+    # over several 128-row groups AND two 1024-row tiles.
+    hot = 5 + 128 * np.arange(14)
+    c[hot] = (q[0] / np.linalg.norm(q[0])) * (2.0 + np.arange(14))[:, None]
+    cfg = SearchConfig(selection="gstack", block_q=8, block_n=1024)
+    k = 16
+    v0, i0 = topk_search(q, c, k, "dot")
+    v1, i1 = fused_topk(q, c, k, "dot", config=cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1)[0, :14], hot[::-1])
+    assert_topk_equivalent(
+        np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+    )
+
+
+def test_fused_topk_gstack_tie_break():
+    """Duplicate corpus rows under selection="gstack": lowest index wins
+    across groups AND tiles (the reversed GLOBAL group bits make earlier
+    tiles win ties with no carry involved)."""
+    rng = np.random.default_rng(33)
+    base = rng.standard_normal((4, 16)).astype(np.float32)
+    c = np.concatenate([base] * 80)  # 320 rows -> 3 tiles at block_n=128
+    q = base[:1]
+    cfg = SearchConfig(selection="gstack", block_q=8, block_n=128)
+    _, idx = fused_topk(q, c, 17, "dot", config=cfg, interpret=True)
+    idx = np.asarray(idx)[0]
+    assert idx[0] < 4
+    np.testing.assert_array_equal(idx, idx[0] + 4 * np.arange(17))
+
+
+def test_fused_topk_gstack_envelope_errors():
+    """Explicit gstack outside its envelope (corpus > 128 global groups)
+    must raise, not silently degrade."""
+    rng = np.random.default_rng(34)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    c = rng.standard_normal((20_000, 16)).astype(np.float32)
+    cfg = SearchConfig(selection="gstack", block_q=8, block_n=128)
+    with pytest.raises(ValueError, match="gstack"):
+        fused_topk(q, c, 20, "dot", config=cfg, interpret=True)
+
+
+def test_fused_topk_gstack_masked_prune():
+    """gstack + prune (its tile gate is the weakest-class-best bound) +
+    mask: exact vs the oracle on a corpus spanning >= 16 tiles so
+    prune="on" actually gates."""
+    rng = np.random.default_rng(35)
+    m, n, d, k = 6, 4000, 24, 20
+    q = rng.standard_normal((m, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    mask = rng.random(n) < 0.6
+    mask[rng.choice(n, size=k, replace=False)] = True
+    cfg = SearchConfig(selection="gstack", block_q=8, block_n=128,
+                       prune="on", precision="highest")
+    import jax.numpy as jnp
+    v0, i0 = topk_search(q, c, k, "cosine", mask=jnp.asarray(mask))
+    v1, i1 = fused_topk(q, c, k, "cosine", mask=mask, config=cfg,
+                        interpret=True)
+    assert_topk_equivalent(
+        np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0),
+        rtol=3e-5, atol=2e-5,
+    )
+
+
 def test_fused_topk_zero_norm_rows():
     q = np.zeros((3, 8), dtype=np.float32)
     q[1, 0] = 1.0
@@ -271,7 +364,8 @@ def test_fused_topk_fuzz_shapes_and_tilings():
             ) from e
 
 
-@pytest.mark.parametrize("sel", ["extract", "bucket", "insert", "stack"])
+@pytest.mark.parametrize("sel", ["extract", "bucket", "insert", "stack",
+                                 "gstack"])
 @pytest.mark.parametrize("metric", ["cosine", "euclidean"])
 def test_underfilled_slots_carry_index_sentinels(sel, metric):
     """Fewer matching rows than k, spread over several corpus tiles:
