@@ -54,17 +54,15 @@ class SearchConfig:
     # Padded width of the top-k carry (lane dimension); k is clamped to this.
     k_pad: int = 128
     # Fused-kernel selection strategy.  "auto" (default) picks by regime
-    # from measured v5e crossovers: "bucket" at k <= 16 (lane-class
-    # reduce + narrow merge, ~1.6x faster than extract on the canonical
-    # workload once its exactness fallback became static control flow);
-    # "gstack" above 16 on dense corpora spanning <= 128 global 128-row
-    # groups (per-class best-8 stacks persisted ACROSS corpus tiles, one
-    # k-pop merge per query block, lax.cond exact re-run on the rare
-    # detection hit); "extract" otherwise (k full-width argmax passes
-    # per tile).  "stack" (per-tile stacks) and "insert" (candidate-
-    # count-bounded dynamic merge) are kept for A/B: insert's dynamic
-    # fori_loop defeats Mosaic's unrolling (measured 2x slower than
-    # extract on the canonical workload).
+    # from measured v5e crossovers (see _resolve_selection for the
+    # numbers): k <= 16 -> "bucket" (lane-class reduce + narrow merge)
+    # on few-tile corpora, "extract" (whose 64-row-group prune gating
+    # dominates) on many-tile ones; k > 16 -> "gstack" (per-class stacks
+    # persisted ACROSS corpus tiles + one XLA top_k over the panel,
+    # lax.cond exact re-run on the rare detection hit) within its dense
+    # <= 16384-row envelope, else "stack" (per-tile stacks).  "insert"
+    # (candidate-count-bounded dynamic merge) is kept for A/B: its
+    # dynamic fori_loop defeats Mosaic's unrolling.
     selection: str = "auto"
     # Allow the dispatcher to retile for the problem (e.g. large k gets
     # fewer, bigger corpus tiles).  Set False to pin block_q/block_n.

@@ -431,19 +431,34 @@ def _select_stack(s, carry_vals, carry_idx, extract_fb, n_base, k, kp, tm,
 # ---------------------------------------------------------------------------
 
 
-def _gstack_geometry(total_groups: int):
+def _gstack_depth(k: int) -> int:
+    """Per-class stack depth for gstack at this k.  Exactness never
+    depends on the depth — the deepest level is the detector and a miss
+    always fires it — the depth only sets the FIRE RATE of the exact
+    re-run: P(fire/row) ~ C(k, L) / 128^(L-1) (>= L of a row's top-k
+    landing in one of the 128 lane classes).  Chosen so a 1000-row batch
+    fires well under 1% of the time; smaller k gets a shallower build
+    and a narrower top_k panel."""
+    for k_max, levels in ((10, 5), (16, 6), (32, 7), (64, 8)):
+        if k <= k_max:
+            return levels
+    return _STACK_DEPTH + 1  # 9, k <= 128
+
+
+def _gstack_geometry(total_groups: int, k: int):
     """(low_bits, low_mask, depth, n_levels) for stacks spanning the WHOLE
     corpus: the group id packed into the value's low mantissa bits is the
     GLOBAL 128-row group (reversed, lower group = larger u = wins ties),
     so the strategy only applies when total_groups <= 128 (low_bits <= 7,
     score truncation <= 127 ulps ~ 1.5e-5 relative — inside the bf16x3
     matmul's own error and the 2e-5 score contract).  n_levels includes
-    the frozen detection level (st[depth]) when the corpus has more than
-    `depth` groups per class; below that the stacks are lossless."""
+    the frozen detection level (the deepest one) unless the corpus has
+    at most that many groups per class, where the stacks are lossless."""
     low_bits = max(1, (total_groups - 1).bit_length())
-    depth = min(_STACK_DEPTH, total_groups)
-    det = total_groups > depth
-    return low_bits, (1 << low_bits) - 1, depth, depth + (1 if det else 0)
+    n_levels = min(_gstack_depth(k), total_groups)
+    lossless = total_groups <= n_levels
+    depth = n_levels if lossless else n_levels - 1
+    return low_bits, (1 << low_bits) - 1, depth, n_levels
 
 
 def _gstack_ninf_u(low_mask: int):
@@ -759,7 +774,7 @@ def _kernel(
             panel_ref, st_ref, acc = rest
         else:
             panel_ref, st_ref = rest
-        _, low_mask, depth, n_levels = _gstack_geometry(total_groups)
+        _, low_mask, depth, n_levels = _gstack_geometry(total_groups, k)
     elif nk > 1:
         vals_ref, idx_ref, carry_vals, carry_idx, acc = rest
     else:
@@ -1065,26 +1080,34 @@ def _split_hi_lo(x, ck: "Optional[int]" = None):
 
 
 def _resolve_selection(selection: str, k: int, total_groups: int,
-                       use_tiles: bool) -> str:
+                       use_tiles: bool, n_tiles: int) -> str:
     """Resolve selection="auto" by measured v5e regime (ARCHITECTURE.md
     round-2 selection sweep), with the problem geometry in hand (this
     runs inside _run_prepared where the padded corpus size is known):
 
-      k <= 16          -> "bucket"  (lane-class reduce + narrow merge)
-      k  > 16, dense   -> "gstack"  when the corpus spans <= 128 global
-                          128-row groups (the group id must fit the
-                          packed low mantissa bits)
-      otherwise        -> "extract" (k full-width passes per tile)
+      k <= 16, < 16 tiles  -> "bucket"  (lane-class reduce + narrow
+                              merge; 0.20 vs extract's 0.26 ms on the
+                              canonical 5-tile workload)
+      k <= 16, >= 16 tiles -> "extract" (its 64-row-group prune gating
+                              dominates on many-tile corpora: 2M rows
+                              batch-256 measured 15.4 ms vs bucket's
+                              29.2 — bucket prunes whole-tile only)
+      k  > 16, dense       -> "gstack"  when the corpus spans <= 128
+                              global 128-row groups (the group id must
+                              fit the packed low mantissa bits); 0.55
+                              vs extract's 2.90 ms at canonical k=100
+      k  > 16, otherwise   -> "stack"   (per-tile stacks: 120 vs
+                              extract's 141 ms at 2M k=100 batch-256)
 
     An explicit "gstack" outside its envelope raises rather than
     silently degrading.
     """
     if selection == "auto":
         if k <= 16:
-            return "bucket"
+            return "bucket" if n_tiles < 16 else "extract"
         if not use_tiles and total_groups <= _LANES:
             return "gstack"
-        return "extract"
+        return "stack"
     if selection == "gstack" and (use_tiles or total_groups > _LANES):
         raise ValueError(
             "selection='gstack' requires a dense (non-probed) scan over "
@@ -1388,7 +1411,8 @@ def _run_prepared(
     prune_eff = (n_tiles >= 16) if prune == "auto" else (prune == "on")
 
     use_mask = mask_p is not None
-    selection = _resolve_selection(selection, k, np_ // _LANES, use_tiles)
+    selection = _resolve_selection(selection, k, np_ // _LANES, use_tiles,
+                                   n_tiles)
 
     # Probed search: index maps pull each visited corpus block's id from
     # the scalar-prefetched tile list instead of the grid position, so
@@ -1467,7 +1491,7 @@ def _run_prepared(
             total_groups=np_ // _LANES if sel == "gstack" else 0,
         )
         if sel == "gstack":
-            _, _, _, n_levels = _gstack_geometry(np_ // _LANES)
+            _, _, _, n_levels = _gstack_geometry(np_ // _LANES, k)
             out_specs = [pl.BlockSpec((tm, n_levels * _LANES), o_map)]
             out_shape = [
                 jax.ShapeDtypeStruct((mp, n_levels * _LANES), jnp.int32)
@@ -1515,7 +1539,7 @@ def _run_prepared(
 
     if selection == "gstack":
         total_groups = np_ // _LANES
-        _, low_mask, depth, n_levels = _gstack_geometry(total_groups)
+        _, low_mask, depth, n_levels = _gstack_geometry(total_groups, k)
         (u_panel,) = call("gstack")
         vals, idx, bad = _gstack_decode(
             u_panel, k, total_groups, low_mask, depth, n_levels, m)
