@@ -47,9 +47,18 @@ cheap additive-bias pass; SURVEY.md §2.2 C7):
 
 Tie-breaking is lowest-corpus-index-wins, identical to jax.lax.top_k
 (SURVEY.md §7 hard part #1: the contract the reference's unstable quickselect
-never pinned down).  Both strategies preserve it under exact duplicate
-scores ("extract" via first-maximum argmax over in-order lanes; "bucket" via
-lowest-group-wins reduction plus (value, index)-lexicographic merge).
+never pinned down).  "extract" preserves it exactly (first-maximum argmax
+over in-order lanes); "bucket" too (lowest-group-wins reduction plus
+(value, index)-lexicographic merge).  Known exception: "stack"/"gstack"
+can reorder EXACT duplicate scores landing in the same 128-row group but
+different lane classes — pop/panel order prefers the shallower stack
+LEVEL over the lower lane, so e.g. equal-scoring rows 0 and 1 may return
+index 1 first when class 0's stack pushed row 0 to a deeper level.
+Values are still correct and the index SET is exact; only the order
+among exact duplicates differs.  The reference itself gives no order
+guarantee under ties (unstable quickselect), so this stays inside the
+reference contract; tests that pin jax.lax.top_k order use
+bucket/extract or tie-free data.
 """
 
 from __future__ import annotations
@@ -284,7 +293,7 @@ def _stack_geometry(block_n: int):
 
 
 def _select_stack(s, carry_vals, carry_idx, extract_fb, n_base, k, kp, tm,
-                  block_n):
+                  block_n, row_live):
     """carry <- top_k(carry u tile) via per-class sorted stacks (large k).
 
     extract's cost is k FULL-WIDTH passes per tile; bucket's narrow merge
@@ -411,9 +420,15 @@ def _select_stack(s, carry_vals, carry_idx, extract_fb, n_base, k, kp, tm,
         return
 
     # ---- exactness detection + static fallback (see _select_bucket) ----
+    # row_live masks PADDED query rows (mp > m): their scores are
+    # identically 0.0 for dot/cosine (zero pad rows), an all-tied row
+    # where every class's deepest level equals the k-th best — without
+    # the mask the fallback fires on EVERY tile whenever m % tm != 0,
+    # silently degrading the whole block to extract cost (mirrors
+    # _gstack_decode's m_valid guard).
     kth_clean = (kth_u & clean)[:, None]
     bad = jnp.max(jnp.where(
-        (det != _INT_MIN) & ((det & clean) >= kth_clean), 1, 0
+        row_live & (det != _INT_MIN) & ((det & clean) >= kth_clean), 1, 0
     ).astype(jnp.int32))
 
     @pl.when(bad == 0)
@@ -650,7 +665,7 @@ def _bucket_class_width(block_n: int) -> int:
 
 
 def _select_bucket(s, carry_vals, carry_idx, extract_fb, n_base, k, kp, tm,
-                   block_n):
+                   block_n, row_live):
     """carry <- top_k(carry u tile), lane-class reduce + narrow merge.
 
     One pass over the tile keeps each of the 128 lane classes' best-3
@@ -701,10 +716,13 @@ def _select_bucket(s, carry_vals, carry_idx, extract_fb, n_base, k, kp, tm,
     # dropped element belongs in an underfilled carry).  int32 max-reduce
     # rather than jnp.any: Mosaic's reduce_or proxy lowering materializes
     # float constants with the *global* x64 setting and breaks under
-    # jax_enable_x64.
+    # jax_enable_x64.  row_live masks PADDED query rows (mp > m): their
+    # all-0.0 dot/cosine scores are an all-tied row where m3 == kth on
+    # every tile — without the mask a block with any pad rows pays the
+    # extract fallback PLUS the bucket reduce on 100% of tiles.
     kth = new_v[:, k - 1:k]
     bad = jnp.max(jnp.where(
-        (m3 > _NEG_INF) & (m3 >= kth), 1, 0).astype(jnp.int32))
+        row_live & (m3 > _NEG_INF) & (m3 >= kth), 1, 0).astype(jnp.int32))
 
     @pl.when(bad == 0)
     def _():
@@ -752,6 +770,7 @@ def _kernel(
     prune: bool = False,
     use_tiles: bool = False,
     total_groups: int = 0,   # gstack only: global 128-row group count
+    m_valid: int = 0,        # true (unpadded) query count, for detection
 ):
     if use_tiles:
         # Probed search (clustered corpus): grid axis 1 walks a per-query-
@@ -779,7 +798,8 @@ def _kernel(
         vals_ref, idx_ref, carry_vals, carry_idx, acc = rest
     else:
         vals_ref, idx_ref, carry_vals, carry_idx = rest
-    j = pl.program_id(1)
+    i0 = pl.program_id(0)  # at top level: program_id inside a pl.when
+    j = pl.program_id(1)   # body escapes the CPU interpret-mode lowering
     n_j = pl.num_programs(1)
     kf = pl.program_id(2) if nk > 1 else None
     tm = q_ref.shape[0]
@@ -849,7 +869,7 @@ def _kernel(
             s = jnp.where(mb_ref[:] > 0, s, _NEG_INF)
 
         if use_tiles:
-            n_base = tiles_ref[pl.program_id(0), j] * block_n
+            n_base = tiles_ref[i0, j] * block_n
         else:
             n_base = j * block_n
 
@@ -909,10 +929,14 @@ def _kernel(
                     carry_vals[:] = new_v
                     carry_idx[:] = new_i
 
+                row_live = (
+                    i0 * tm
+                    + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+                ) < m_valid
                 sel_fn = (_select_bucket if selection == "bucket"
                           else _select_stack)
                 sel_fn(s, carry_vals, carry_idx, extract_fb,
-                       n_base, k, kp, tm, block_n)
+                       n_base, k, kp, tm, block_n, row_live)
             elif selection == "insert":
                 lane_n = jax.lax.broadcasted_iota(
                     jnp.int32, (tm, block_n), 1)
@@ -1105,15 +1129,23 @@ def _resolve_selection(selection: str, k: int, total_groups: int,
     if selection == "auto":
         if k <= 16:
             return "bucket" if n_tiles < 16 else "extract"
-        if not use_tiles and total_groups <= _LANES:
+        if not use_tiles and total_groups <= _LANES and k <= _LANES:
             return "gstack"
         return "stack"
-    if selection == "gstack" and (use_tiles or total_groups > _LANES):
+    if selection == "gstack" and (
+        use_tiles or total_groups > _LANES or k > _LANES
+    ):
+        # k <= _LANES is a CORRECTNESS bound, not a tuning one: the
+        # kernel's prune gate ('an element at or below the weakest
+        # class-best has >= 128 better elements, so it cannot be top-k')
+        # only holds for k <= 128 — with k_pad raised above 128 a pruned
+        # tile could silently drop true top-k rows that the detection
+        # level never sees (skipped tiles never enter the stacks).
         raise ValueError(
             "selection='gstack' requires a dense (non-probed) scan over "
-            f"at most {_LANES * _LANES} padded corpus rows; got "
-            f"{total_groups} groups" + (" (probed)" if use_tiles else "")
-            + " — use selection='auto'"
+            f"at most {_LANES * _LANES} padded corpus rows with "
+            f"k <= {_LANES}; got {total_groups} groups, k={k}"
+            + (" (probed)" if use_tiles else "") + " — use selection='auto'"
         )
     return selection
 
@@ -1489,6 +1521,7 @@ def _run_prepared(
             prune=prune_eff,
             use_tiles=use_tiles,
             total_groups=np_ // _LANES if sel == "gstack" else 0,
+            m_valid=m,
         )
         if sel == "gstack":
             _, _, _, n_levels = _gstack_geometry(np_ // _LANES, k)

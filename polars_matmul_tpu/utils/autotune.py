@@ -11,7 +11,9 @@ never be re-served.
 
 from __future__ import annotations
 
+import json
 import logging
+import os
 import time
 from typing import Optional, Sequence, Tuple
 
@@ -64,16 +66,85 @@ def device_step_seconds(step, q, *, chain_lo: int = 8, chain_hi: int = 72,
     return (t_hi - t_lo) / (chain_hi - chain_lo)
 
 
-# Winners cached per (device_kind, dim, k-regime, metric, base-precision):
-# tuning is empirical choice, so a process that autotunes the same problem
-# class twice should pay for the sweep once.
+# Winners cached per (device_kind, dim, k-regime, n-regime, metric,
+# base-precision): tuning is empirical choice, so a process that autotunes
+# the same problem class twice should pay for the sweep once.  The
+# in-memory dict fronts a JSON file (see _cache_path) so winners survive
+# the process: a second process reuses them without re-measuring.
 _WINNER_CACHE: dict = {}
+_DISK_LOADED = [False]
 
 
 def _k_regime(k: int) -> str:
     """Dispatch-relevant k bucket (mirrors the kernel's crossovers:
     selection strategy flips at 16, tile geometry above it)."""
     return "small" if k <= 16 else "large"
+
+
+def _n_regime(n: int) -> str:
+    """Corpus-size bucket.  Winners depend strongly on n (the prune
+    crossover sits at ~16 tiles, gstack's dense envelope at 16,384 padded
+    rows), so n must be part of the cache key — a winner tuned at 10k
+    rows pinned onto a 2M-row corpus would freeze the wrong strategy."""
+    if n <= 16_384:
+        return "1seg"       # inside gstack's single-segment envelope
+    if n <= 1_048_576:
+        return "mid"
+    return "big"
+
+
+def _cache_path() -> str:
+    """Winners JSON path: $PMM_TPU_CACHE_DIR or ~/.cache/polars_matmul_tpu."""
+    root = os.environ.get("PMM_TPU_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "polars_matmul_tpu")
+    return os.path.join(root, "autotune.json")
+
+
+_CFG_FIELDS = ("block_q", "block_n", "k_pad", "selection", "auto_tile",
+               "precision", "prune")
+
+
+def _load_disk_cache() -> None:
+    """Merge persisted winners into _WINNER_CACHE (once per process)."""
+    if _DISK_LOADED[0]:
+        return
+    _DISK_LOADED[0] = True
+    try:
+        with open(_cache_path()) as f:
+            raw = json.load(f)
+    except (OSError, ValueError):
+        return
+    base = default_config()
+    for key_s, overrides in raw.items():
+        try:
+            cfg = base.with_updates(
+                **{k: v for k, v in overrides.items() if k in _CFG_FIELDS})
+        except (ValueError, TypeError):
+            continue  # stale entry from an older schema: ignore
+        _WINNER_CACHE.setdefault(tuple(json.loads(key_s)), cfg)
+
+
+def _save_disk_cache() -> None:
+    """Write every in-memory winner back to the JSON file (best effort:
+    a read-only filesystem must not break tuning)."""
+    path = _cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        base = default_config()
+        out = {}
+        for key, cfg in _WINNER_CACHE.items():
+            overrides = {
+                f: getattr(cfg, f) for f in _CFG_FIELDS
+                if getattr(cfg, f) != getattr(base, f)
+            }
+            out[json.dumps(list(key))] = overrides
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    except OSError as e:  # pragma: no cover - fs-dependent
+        log.warning("autotune: could not persist winners to %s (%s)",
+                    path, e)
 
 
 def default_candidates(cfg0: SearchConfig, k: int) -> list:
@@ -106,6 +177,17 @@ def default_candidates(cfg0: SearchConfig, k: int) -> list:
             dict(block_q=256, block_n=4096, precision=prec),
         ]
     return grid
+
+
+def _finalize_winner(best: SearchConfig) -> SearchConfig:
+    """A pinned selection='gstack' is only valid inside its envelope
+    (dense scan, <= 16384 padded rows, k <= 128): cached or installed as
+    the process default, it would RAISE on any larger corpus.  'auto'
+    resolves to gstack in the regime that won and degrades gracefully
+    everywhere else."""
+    if best.selection == "gstack":
+        return best.with_updates(selection="auto")
+    return best
 
 
 def autotune(
@@ -152,12 +234,14 @@ def autotune(
     cache_key = None
     if candidates is None:
         cache_key = (jax.devices()[0].device_kind, dim, _k_regime(k),
-                     str(metric), cfg0.precision)
-        if use_cache and cache_key in _WINNER_CACHE:
-            best = _WINNER_CACHE[cache_key]
-            if set_default:
-                set_default_config(best)
-            return best
+                     _n_regime(n), str(metric), cfg0.precision)
+        if use_cache:
+            _load_disk_cache()
+            if cache_key in _WINNER_CACHE:
+                best = _WINNER_CACHE[cache_key]
+                if set_default:
+                    set_default_config(best)
+                return best
         candidates = default_candidates(cfg0, k)
 
     rng = np.random.default_rng(seed)
@@ -201,8 +285,10 @@ def autotune(
         if t < best_t:
             best, best_t = cfg, t
 
+    best = _finalize_winner(best)
     if cache_key is not None:
         _WINNER_CACHE[cache_key] = best
+        _save_disk_cache()
     if set_default:
         set_default_config(best)
     return best

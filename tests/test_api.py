@@ -319,6 +319,47 @@ def test_autotune_returns_config():
     assert isinstance(t, float)
 
 
+def test_autotune_winner_persistence(tmp_path, monkeypatch):
+    """Winners survive the process: the JSON cache round-trips configs
+    keyed by (device, dim, k-regime, n-regime, metric, precision), and a
+    'second process' (fresh in-memory cache) reuses them without
+    re-measuring (VERDICT r02 item 8)."""
+    from polars_matmul_tpu.utils import autotune as at
+
+    monkeypatch.setenv("PMM_TPU_CACHE_DIR", str(tmp_path))
+    key = ("fake-v5e", 256, "small", "1seg", "cosine", "bf16x3")
+    winner = pmt.SearchConfig(block_q=128, block_n=1024, auto_tile=False)
+    monkeypatch.setattr(at, "_WINNER_CACHE", {key: winner})
+    at._save_disk_cache()
+
+    # fresh process: empty in-memory cache, disk not yet loaded
+    monkeypatch.setattr(at, "_WINNER_CACHE", {})
+    monkeypatch.setattr(at, "_DISK_LOADED", [False])
+    at._load_disk_cache()
+    got = at._WINNER_CACHE[key]
+    assert (got.block_q, got.block_n, got.auto_tile) == (128, 1024, False)
+
+    # corrupt file must not break loading
+    (tmp_path / "autotune.json").write_text("{not json")
+    monkeypatch.setattr(at, "_WINNER_CACHE", {})
+    monkeypatch.setattr(at, "_DISK_LOADED", [False])
+    at._load_disk_cache()
+    assert at._WINNER_CACHE == {}
+
+
+def test_autotune_n_in_key_and_gstack_rewrite():
+    """ADVICE r02: the cache key must include the corpus-size regime, and
+    a winning selection='gstack' must be rewritten to 'auto' so the cached
+    config stays valid outside gstack's envelope."""
+    from polars_matmul_tpu.utils import autotune as at
+
+    assert at._n_regime(10_000) != at._n_regime(2_000_000)
+    w = at._finalize_winner(pmt.SearchConfig(selection="gstack"))
+    assert w.selection == "auto"
+    w2 = at._finalize_winner(pmt.SearchConfig(selection="bucket"))
+    assert w2.selection == "bucket"
+
+
 class TestFilteredSearch:
     """mask= excludes corpus rows from selection (new capability; folded
     into the kernel's epilogue bias so it costs one vector op)."""

@@ -499,7 +499,15 @@ class TestTilePruning:
         v, i = fused_topk(q, c, k, metric, mask=mask, config=cfg)
         v0, i0 = topk_search(q, c, k, metric, mask=mask,
                              precision="highest")
-        np.testing.assert_array_equal(np.asarray(i), np.asarray(i0))
+        v, i, v0, i0 = map(np.asarray, (v, i, v0, i0))
+        # Index diffs are allowed only where the oracle scores sit inside
+        # the kernel's precision envelope (bf16x3 matmul ~4e-6 rel +
+        # stack/gstack low-bit truncation): two near-equal scores may
+        # swap order after truncation.  Everywhere else: exact.
+        mism = i != i0
+        assert np.all(
+            np.abs(v[mism] - v0[mism]) <= 1e-5 + 2e-5 * np.abs(v0[mism])
+        ), f"non-tie index mismatch at {np.argwhere(mism)}"
 
     @pytest.mark.parametrize("metric", ["cosine", "dot", "euclidean"])
     def test_exact_many_tiles(self, metric):
