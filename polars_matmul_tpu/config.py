@@ -55,14 +55,19 @@ class SearchConfig:
     k_pad: int = 128
     # Fused-kernel selection strategy.  "auto" (default) picks by regime
     # from measured v5e crossovers (see _resolve_selection for the
-    # numbers): k <= 16 -> "bucket" (lane-class reduce + narrow merge)
-    # on few-tile corpora, "extract" (whose 64-row-group prune gating
-    # dominates) on many-tile ones; k > 16 -> "gstack" (per-class stacks
-    # persisted ACROSS corpus tiles + one XLA top_k over the panel,
-    # lax.cond exact re-run on the rare detection hit) within its dense
-    # <= 16384-row envelope, else "stack" (per-tile stacks).  "insert"
-    # (candidate-count-bounded dynamic merge) is kept for A/B: its
-    # dynamic fori_loop defeats Mosaic's unrolling.
+    # numbers): 2 <= k <= 16 on a dense <= 16384-padded-row corpus ->
+    # "gpop" (per-class stacks persisted ACROSS corpus tiles + an
+    # in-kernel k-pop finish — no XLA finish dispatch at all); k == 1 or
+    # outside that envelope -> "bucket" (lane-class reduce + narrow
+    # merge) on few-tile corpora, "extract" (whose 64-row-group prune
+    # gating dominates) on many-tile ones; k > 16 -> "gstack" (same
+    # persistent stacks + one XLA approx_max_k finish over the flushed
+    # panel, lax.cond exact re-run on the rare detection hit), SEGMENTED
+    # beyond 16384 rows (per-128-group stacks flushed to one panel slab
+    # per segment), else "stack" (per-tile stacks: probed scans and
+    # non-power-of-two tilings).  "insert" (candidate-count-bounded
+    # dynamic merge) is kept for A/B: its dynamic fori_loop defeats
+    # Mosaic's unrolling.
     selection: str = "auto"
     # Allow the dispatcher to retile for the problem (e.g. large k gets
     # fewer, bigger corpus tiles).  Set False to pin block_q/block_n.
@@ -115,7 +120,7 @@ class SearchConfig:
         for field, allowed in (
             ("prune", ("auto", "on", "off")),
             ("selection", ("auto", "extract", "insert", "bucket",
-                           "stack", "gstack")),
+                           "stack", "gstack", "gpop")),
             ("merge", ("allgather", "ring")),
             ("precision", ("default", "high", "highest",
                            "bf16x3", "bf16c", "int8c", "int4c")),

@@ -64,6 +64,7 @@ bucket/extract or tie-free data.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -446,34 +447,66 @@ def _select_stack(s, carry_vals, carry_idx, extract_fb, n_base, k, kp, tm,
 # ---------------------------------------------------------------------------
 
 
-def _gstack_depth(k: int) -> int:
+def _gstack_depth(k: int, cells: int = _LANES) -> int:
     """Per-class stack depth for gstack at this k.  Exactness never
     depends on the depth — the deepest level is the detector and a miss
     always fires it — the depth only sets the FIRE RATE of the exact
-    re-run: P(fire/row) ~ C(k, L) / 128^(L-1) (>= L of a row's top-k
-    landing in one of the 128 lane classes).  Chosen so a 1000-row batch
-    fires well under 1% of the time; smaller k gets a shallower build
-    and a narrower top_k panel."""
-    for k_max, levels in ((10, 5), (16, 6), (32, 7), (64, 8)):
-        if k <= k_max:
-            return levels
-    return _STACK_DEPTH + 1  # 9, k <= 128
+    re-run: P(fire/row) ~ C(k, L) / cells^(L-1) (>= L of a row's top-k
+    landing in one of the ``cells`` (segment, lane-class) cells).
+
+    cells == 128 (the classic single-segment envelope) uses the
+    round-2-measured table: a 1000-row batch fires well under 1% of the
+    time.  SEGMENTED corpora (> 128 global groups, cells = 128 * n_segs)
+    get MANY more cells, so collisions spread thinner and fewer levels
+    reach the same fire rate (target P(fire/row) <= 1e-7 — the fallback
+    is a full extract re-run, ruinous at multi-million-row scale): e.g.
+    k=100 over a 2M-row corpus needs 5 levels, not 9, nearly halving
+    both build cost and panel width."""
+    if cells <= _LANES:
+        for k_max, levels in ((10, 5), (16, 6), (32, 7), (64, 8)):
+            if k <= k_max:
+                return levels
+        return _STACK_DEPTH + 1  # 9, k <= 128
+    levels = 3
+    while (levels < _STACK_DEPTH + 1
+           and math.comb(k, levels) / cells ** (levels - 1) > 1e-7):
+        levels += 1
+    return levels
 
 
 def _gstack_geometry(total_groups: int, k: int):
-    """(low_bits, low_mask, depth, n_levels) for stacks spanning the WHOLE
-    corpus: the group id packed into the value's low mantissa bits is the
-    GLOBAL 128-row group (reversed, lower group = larger u = wins ties),
-    so the strategy only applies when total_groups <= 128 (low_bits <= 7,
-    score truncation <= 127 ulps ~ 1.5e-5 relative — inside the bf16x3
-    matmul's own error and the 2e-5 score contract).  n_levels includes
-    the frozen detection level (the deepest one) unless the corpus has
-    at most that many groups per class, where the stacks are lossless."""
-    low_bits = max(1, (total_groups - 1).bit_length())
-    n_levels = min(_gstack_depth(k), total_groups)
-    lossless = total_groups <= n_levels
-    depth = n_levels if lossless else n_levels - 1
-    return low_bits, (1 << low_bits) - 1, depth, n_levels
+    """(low_bits, low_mask, depth, n_levels, n_segs) for the persistent
+    per-class stacks.
+
+    Single segment (total_groups <= 128): the group id packed into the
+    value's low mantissa bits is the GLOBAL 128-row group (reversed,
+    lower group = larger u = wins ties); low_bits <= 7, score truncation
+    <= 127 ulps ~ 1.5e-5 relative — inside the bf16x3 matmul's own error
+    and the 2e-5 score contract.  n_levels includes the frozen detection
+    level (the deepest one) unless the corpus has at most that many
+    groups per class, where the stacks are lossless.
+
+    SEGMENTED (total_groups > 128): the corpus splits into ceil(/128)
+    segments of 128 groups (16,384 rows); the packed id is the LOCAL
+    group within the current segment (low_bits = 7 always), stacks are
+    flushed to the segment's slab of a (m, n_segs*n_levels*128) HBM
+    panel and reset at each boundary, and one XLA finish spans all
+    segments.  Same truncation bound; every segment slab carries its own
+    detection level.  Tie note: WITHIN a segment lower group still wins
+    equal-score ties via the reversed bits, but ACROSS segments a
+    higher-segment row can out-sort a lower one (its local group id is
+    what's packed) — values stay exact, duplicate-score index order may
+    differ, the same documented exception as the stack/gstack
+    cross-level case."""
+    n_segs = max(1, -(-total_groups // _LANES))
+    if n_segs == 1:
+        low_bits = max(1, (total_groups - 1).bit_length())
+        n_levels = min(_gstack_depth(k), total_groups)
+        lossless = total_groups <= n_levels
+        depth = n_levels if lossless else n_levels - 1
+        return low_bits, (1 << low_bits) - 1, depth, n_levels, 1
+    n_levels = _gstack_depth(k, cells=_LANES * n_segs)
+    return 7, _LANES - 1, n_levels - 1, n_levels, n_segs
 
 
 def _gstack_ninf_u(low_mask: int):
@@ -483,18 +516,28 @@ def _gstack_ninf_u(low_mask: int):
     return jnp.int32((b ^ ((b >> 31) & 0x7FFFFFFF)) | low_mask)
 
 
-def _gstack_update(st_ref, s, j, gpt, total_groups, low_mask, n_levels):
+def _gstack_update(st_ref, s, j, gpt, total_groups, low_mask, n_levels,
+                   tiles_per_seg: int = 0):
     """Insert one corpus tile's scores into the persistent per-class
     stacks (st_ref: (n_levels, TM, 128) i32 VMEM scratch, sorted
     descending in u space per class).  The insertion chain is pure
     jnp.maximum/minimum — position tracking rides the packed group bits,
     so each level costs 2 VPU ops per group.  Levels round-trip VMEM once
-    per TILE (read all, chain in registers across groups, write all)."""
+    per TILE (read all, chain in registers across groups, write all).
+
+    Segmented mode (tiles_per_seg > 0): the packed id is the LOCAL group
+    within the current 128-group segment — j % tiles_per_seg is the
+    tile's position inside its segment (tiles_per_seg * gpt == 128)."""
     clean = jnp.int32(~low_mask)
     u = _f32_to_u(jax.lax.bitcast_convert_type(s, jnp.int32))
     st = [st_ref[i] for i in range(n_levels)]
-    # global group of slice g is j*gpt + g (j is the traced tile index)
-    base_rev = jnp.int32(total_groups - 1) - j * jnp.int32(gpt)
+    if tiles_per_seg:
+        # local group of slice g is (j % tiles_per_seg)*gpt + g
+        base_rev = (jnp.int32(_LANES - 1)
+                    - (j % tiles_per_seg) * jnp.int32(gpt))
+    else:
+        # global group of slice g is j*gpt + g (j is the traced tile idx)
+        base_rev = jnp.int32(total_groups - 1) - j * jnp.int32(gpt)
     for g in range(gpt):
         t = (u[:, g * _LANES:(g + 1) * _LANES] & clean) | (base_rev - g)
         for i in range(n_levels):
@@ -506,7 +549,7 @@ def _gstack_update(st_ref, s, j, gpt, total_groups, low_mask, n_levels):
 
 
 def _gstack_decode(u_panel, k, total_groups, low_mask, depth, n_levels,
-                   m_valid):
+                   m_valid, n_segs: int = 1):
     """XLA-side finish for the gstack kernel: top-k over the raw u panel,
     decode, and the exactness flag.  Runs OUTSIDE the Pallas kernel —
     measured 0.02 ms for lax.top_k(128) on a (1024, 1152) f32 panel, vs
@@ -541,14 +584,45 @@ def _gstack_decode(u_panel, k, total_groups, low_mask, depth, n_levels,
     )
     u_live = jnp.where(u_panel <= ninf_u, ninf_exact, u_panel)
     f_panel = jax.lax.bitcast_convert_type(_f32_to_u(u_live), jnp.float32)
-    fv, sp = jax.lax.top_k(f_panel, k)
+    if k > 16:
+        # approx_max_k(recall_target=1.0) is EXACT (the PartialReduce op
+        # degenerates to full reduction; docs: "when recall_target is
+        # 1.0 ... calculates the exact top-k") and measured 0.227 ms vs
+        # lax.top_k's 0.370 on the canonical (1024, 1152) k=100 panel
+        # (tools/exp_finish.py) — the finish was the k=100 bottleneck.
+        # Order among EQUAL panel values may differ from top_k's
+        # lower-position rule, which only widens the already-documented
+        # gstack duplicate-index-order exception (values stay exact).
+        fv, sp = jax.lax.approx_max_k(f_panel, k, recall_target=1.0)
+    else:
+        fv, sp = jax.lax.top_k(f_panel, k)
     sv = _f32_to_u(jax.lax.bitcast_convert_type(fv, jnp.int32))
     vals = jax.lax.bitcast_convert_type(_f32_to_u(sv & clean), jnp.float32)
-    grp = jnp.int32(total_groups - 1) - (sv & jnp.int32(low_mask))
+    if n_segs == 1:
+        grp = jnp.int32(total_groups - 1) - (sv & jnp.int32(low_mask))
+    else:
+        # segmented: packed id is the LOCAL group; the slot's segment is
+        # its panel position divided by the per-segment slab width.
+        seg = sp // jnp.int32(n_levels * _LANES)
+        grp = seg * _LANES + (jnp.int32(_LANES - 1)
+                              - (sv & jnp.int32(low_mask)))
     idx = grp * _LANES + jnp.remainder(sp, _LANES)
     dead = sv <= ninf_u
     vals = jnp.where(dead, _NEG_INF, vals)
     idx = jnp.where(dead, _BIG_I32, idx)
+    if n_segs > 1:
+        # Every segment slab carries its own detection level; a live deep
+        # value at or above the row's global k-th best fires the exact
+        # re-run (same rule as the single-segment case, per segment).
+        m_rows = u_panel.shape[0]
+        det = u_panel.reshape(m_rows, n_segs, n_levels, _LANES)[
+            :, :, n_levels - 1, :]
+        kth = (sv[:, k - 1:k] & clean)[:, :, None]
+        live_row = (jnp.arange(m_rows) < m_valid)[:, None, None]
+        bad = jnp.any(
+            live_row & (det > ninf_u) & ((det & clean) >= kth)
+        )
+        return vals, idx, bad
     if n_levels == depth:
         # total_groups <= depth: the stacks hold EVERY element of every
         # class — lossless, nothing to detect.
@@ -569,6 +643,74 @@ def _gstack_decode(u_panel, k, total_groups, low_mask, depth, n_levels,
             live_row & (det > ninf_u) & ((det & clean) >= (kth & clean))
         )
     return vals, idx, bad
+
+
+def _gpop_finish(st_ref, vals_ref, idx_ref, k, kp, tm, total_groups,
+                 low_mask, n_levels, row_live):
+    """In-kernel finish for the "gpop" selection (gstack build, k <= 16):
+    pop the k winners straight out of the persistent per-class stacks on
+    the LAST corpus tile — no u panel in HBM, no second XLA dispatch, no
+    lax.top_k.  Each pop is narrow (tm, 128) work: the stacks are sorted
+    per class, so the global max always sits in st[0]; consuming it
+    shifts the winning class's stack up one level.  k <= 16 keeps the
+    pop chain statically unrolled (one basic block for Mosaic).
+
+    Exactness and tie semantics match _gstack_decode exactly: the
+    deepest level doubles as the detector (snapshot BEFORE popping —
+    pops through all n_levels levels, like top_k over the whole panel),
+    equal-u candidates resolve to the lowest lane (same group => same
+    score; lowest lane == lowest corpus index), and the documented
+    cross-level duplicate-order exception carries over.  The detection
+    verdict is signalled through vals[:, kp-1] (a sentinel slot the
+    k <= 16 contract never reads): 1.0 => the XLA side re-runs the
+    exact extract kernel under lax.cond.
+    """
+    clean = jnp.int32(~low_mask)
+    ninf_u = _gstack_ninf_u(low_mask)
+    st = [st_ref[i] for i in range(n_levels)]
+    detect = total_groups > n_levels
+    det = st[n_levels - 1] if detect else None
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tm, _LANES), 1)
+    lane_kp = jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
+    out_u = jnp.full((tm, kp), _INT_MIN, jnp.int32)
+    out_i = jnp.full((tm, kp), _BIG_I32, jnp.int32)
+    kth_u = None
+    for t in range(k):
+        top = st[0]
+        mt = jnp.max(top, axis=1)                        # (tm,) narrow
+        eq = top == mt[:, None]
+        ps = jnp.min(jnp.where(eq, lane, _BIG_I32), axis=1)
+        grp = jnp.int32(total_groups - 1) - (mt & jnp.int32(low_mask))
+        idx_t = grp * _LANES + ps
+        slot = lane_kp == t
+        out_u = jnp.where(slot, mt[:, None], out_u)
+        out_i = jnp.where(slot, idx_t[:, None], out_i)
+        if t == k - 1:
+            kth_u = mt
+        hot = eq & (lane == ps[:, None])
+        for i in range(n_levels - 1):
+            st[i] = jnp.where(hot, st[i + 1], st[i])
+        st[n_levels - 1] = jnp.where(hot, _INT_MIN, st[n_levels - 1])
+    u_clean = out_u & clean
+    vals = jax.lax.bitcast_convert_type(_f32_to_u(u_clean), jnp.float32)
+    dead = out_u <= ninf_u
+    vals = jnp.where(dead, _NEG_INF, vals)
+    out_i = jnp.where(dead, _BIG_I32, out_i)
+    if detect:
+        # Same rule as _gstack_decode: a live deepest-level value at or
+        # above the row's k-th best means >= n_levels+1 of that row's
+        # top-k could share one lane class — the stacks may have dropped
+        # a true winner.  Pad query rows are masked (row_live); a dead
+        # k-th slot fires on ANY live deep value (underfilled rows must
+        # recover dropped elements).
+        bad = jnp.max(jnp.where(
+            row_live & (det > ninf_u)
+            & ((det & clean) >= (kth_u & clean)[:, None]), 1, 0
+        ).astype(jnp.int32))
+        vals = jnp.where(
+            (lane_kp == kp - 1) & (bad > 0), 1.0, vals)
+    vals_ref[:] = vals
+    idx_ref[:] = out_i
 
 
 # ---------------------------------------------------------------------------
@@ -786,6 +928,7 @@ def _kernel(
     else:
         mb_ref = None
     carry_vals = carry_idx = vals_ref = idx_ref = st_ref = acc = None
+    n_segs = 1
     if selection == "gstack":
         # Single output: the raw u panel (TM, n_levels*128); the XLA side
         # (_gstack_decode) does top-k + index decode + detection.
@@ -793,7 +936,17 @@ def _kernel(
             panel_ref, st_ref, acc = rest
         else:
             panel_ref, st_ref = rest
-        _, low_mask, depth, n_levels = _gstack_geometry(total_groups, k)
+        _, low_mask, depth, n_levels, n_segs = _gstack_geometry(
+            total_groups, k)
+    elif selection == "gpop":
+        # gstack build + in-kernel pop finish: standard (vals, idx)
+        # outputs, stacks as the only scratch (no carry, no panel).
+        if nk > 1:
+            vals_ref, idx_ref, st_ref, acc = rest
+        else:
+            vals_ref, idx_ref, st_ref = rest
+        _, low_mask, depth, n_levels, n_segs = _gstack_geometry(
+            total_groups, k)
     elif nk > 1:
         vals_ref, idx_ref, carry_vals, carry_idx, acc = rest
     else:
@@ -804,9 +957,18 @@ def _kernel(
     kf = pl.program_id(2) if nk > 1 else None
     tm = q_ref.shape[0]
 
-    @pl.when(j == 0 if nk == 1 else (j == 0) & (kf == 0))
+    if selection in ("gstack", "gpop") and n_segs > 1:
+        # Segmented: stacks reset at every 128-group segment boundary
+        # (tiles_per_seg * gpt == 128), not just at j == 0.
+        tiles_per_seg = _LANES // (block_n // _LANES)
+        start = j % tiles_per_seg == 0
+    else:
+        tiles_per_seg = 0
+        start = j == 0
+
+    @pl.when(start if nk == 1 else start & (kf == 0))
     def _():
-        if selection == "gstack":
+        if selection in ("gstack", "gpop"):
             for i in range(n_levels):
                 st_ref[i] = jnp.full((tm, _LANES), _INT_MIN, jnp.int32)
         else:
@@ -873,12 +1035,12 @@ def _kernel(
         else:
             n_base = j * block_n
 
-        if selection == "gstack":
+        if selection in ("gstack", "gpop"):
             gpt = block_n // _LANES
 
             def build():
                 _gstack_update(st_ref, s, j, gpt, total_groups, low_mask,
-                               n_levels)
+                               n_levels, tiles_per_seg)
 
             if prune:
                 # Tile gate (exact): an element at or below the weakest
@@ -902,10 +1064,26 @@ def _kernel(
             else:
                 build()
 
-            @pl.when(j == n_j - 1)
+            # Segmented gstack flushes its slab at every segment's last
+            # tile (the output index map rolls to the next slab after);
+            # single-segment and gpop finish once, on the last tile.
+            flush = (j == n_j - 1) if not tiles_per_seg else (
+                ((j + 1) % tiles_per_seg == 0) | (j == n_j - 1))
+
+            @pl.when(flush)
             def _():
-                for i in range(n_levels):
-                    panel_ref[:, i * _LANES:(i + 1) * _LANES] = st_ref[i]
+                if selection == "gstack":
+                    for i in range(n_levels):
+                        panel_ref[:, i * _LANES:(i + 1) * _LANES] = \
+                            st_ref[i]
+                else:
+                    row_live = (
+                        i0 * tm
+                        + jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
+                    ) < m_valid
+                    _gpop_finish(st_ref, vals_ref, idx_ref, k, kp, tm,
+                                 total_groups, low_mask, n_levels,
+                                 row_live)
             return
 
         def extract_rows(r0, g):
@@ -1104,47 +1282,75 @@ def _split_hi_lo(x, ck: "Optional[int]" = None):
 
 
 def _resolve_selection(selection: str, k: int, total_groups: int,
-                       use_tiles: bool, n_tiles: int) -> str:
+                       use_tiles: bool, n_tiles: int,
+                       k_pad: int = 128, gpt: int = 1) -> str:
     """Resolve selection="auto" by measured v5e regime (ARCHITECTURE.md
-    round-2 selection sweep), with the problem geometry in hand (this
+    round-2/3 selection sweeps), with the problem geometry in hand (this
     runs inside _run_prepared where the padded corpus size is known):
 
-      k <= 16, < 16 tiles  -> "bucket"  (lane-class reduce + narrow
-                              merge; 0.20 vs extract's 0.26 ms on the
-                              canonical 5-tile workload)
+      2 <= k <= 16, dense, <= 128 groups, k < k_pad
+                           -> "gpop"    (gstack build + in-kernel k-pop
+                              finish; 0.12-0.14 vs bucket's 0.22-0.26 ms
+                              on the canonical workload — round-3 sweep)
+      k == 1, or k <= 16 outside gpop's envelope, < 16 tiles
+                           -> "bucket"  (lane-class reduce + narrow
+                              merge; at k=1 measured 0.10 vs gpop's
+                              0.11-0.12 — the 5-level build loses to a
+                              single cheap reduce)
       k <= 16, >= 16 tiles -> "extract" (its 64-row-group prune gating
                               dominates on many-tile corpora: 2M rows
                               batch-256 measured 15.4 ms vs bucket's
                               29.2 — bucket prunes whole-tile only)
-      k  > 16, dense       -> "gstack"  when the corpus spans <= 128
-                              global 128-row groups (the group id must
-                              fit the packed low mantissa bits); 0.55
-                              vs extract's 2.90 ms at canonical k=100
-      k  > 16, otherwise   -> "stack"   (per-tile stacks: 120 vs
-                              extract's 141 ms at 2M k=100 batch-256)
+      k  > 16, dense       -> "gstack"  — single-segment when the corpus
+                              spans <= 128 global 128-row groups (0.55
+                              vs extract's 2.90 ms at canonical k=100),
+                              SEGMENTED beyond that whenever the tile's
+                              group count divides 128 (128 % gpt == 0,
+                              i.e. power-of-two block_n — always true
+                              for the built-in tilings)
+      k  > 16, otherwise   -> "stack"   (per-tile stacks: probed scans
+                              and non-power-of-two custom tilings)
 
-    An explicit "gstack" outside its envelope raises rather than
+    An explicit "gstack"/"gpop" outside its envelope raises rather than
     silently degrading.
     """
+    segmentable = total_groups <= _LANES or _LANES % gpt == 0
     if selection == "auto":
         if k <= 16:
+            if (2 <= k < k_pad and not use_tiles
+                    and total_groups <= _LANES):
+                return "gpop"
             return "bucket" if n_tiles < 16 else "extract"
-        if not use_tiles and total_groups <= _LANES and k <= _LANES:
+        if not use_tiles and segmentable and k <= _LANES:
             return "gstack"
         return "stack"
+    if selection == "gpop" and (
+        use_tiles or total_groups > _LANES or k > 16 or k >= k_pad
+    ):
+        raise ValueError(
+            "selection='gpop' requires a dense (non-probed) scan over at "
+            f"most {_LANES * _LANES} padded corpus rows with k <= 16 and "
+            f"k < k_pad (the kp-1 slot carries the detection flag); got "
+            f"{total_groups} groups, k={k}, k_pad={k_pad}"
+            + (" (probed)" if use_tiles else "") + " — use selection='auto'"
+        )
     if selection == "gstack" and (
-        use_tiles or total_groups > _LANES or k > _LANES
+        use_tiles or not segmentable or k > _LANES
     ):
         # k <= _LANES is a CORRECTNESS bound, not a tuning one: the
         # kernel's prune gate ('an element at or below the weakest
-        # class-best has >= 128 better elements, so it cannot be top-k')
-        # only holds for k <= 128 — with k_pad raised above 128 a pruned
-        # tile could silently drop true top-k rows that the detection
-        # level never sees (skipped tiles never enter the stacks).
+        # class-best has >= 128 better-or-tied elements in its segment,
+        # so it cannot be top-k') only holds for k <= 128 — with k_pad
+        # raised above 128 a pruned tile could silently drop true top-k
+        # rows that the detection level never sees (skipped tiles never
+        # enter the stacks).  Segmentation additionally needs the tile's
+        # group count to divide 128 so segment boundaries align with
+        # tile boundaries.
         raise ValueError(
-            "selection='gstack' requires a dense (non-probed) scan over "
-            f"at most {_LANES * _LANES} padded corpus rows with "
-            f"k <= {_LANES}; got {total_groups} groups, k={k}"
+            "selection='gstack' requires a dense (non-probed) scan with "
+            f"k <= {_LANES}, and beyond {_LANES * _LANES} padded corpus "
+            f"rows a power-of-two corpus tile (128 %% groups-per-tile == "
+            f"0); got {total_groups} groups, k={k}, {gpt} groups/tile"
             + (" (probed)" if use_tiles else "") + " — use selection='auto'"
         )
     return selection
@@ -1444,7 +1650,7 @@ def _run_prepared(
 
     use_mask = mask_p is not None
     selection = _resolve_selection(selection, k, np_ // _LANES, use_tiles,
-                                   n_tiles)
+                                   n_tiles, k_pad, tn // _LANES)
 
     # Probed search: index maps pull each visited corpus block's id from
     # the scalar-prefetched tile list instead of the grid position, so
@@ -1520,14 +1726,38 @@ def _run_prepared(
             nk=nk,
             prune=prune_eff,
             use_tiles=use_tiles,
-            total_groups=np_ // _LANES if sel == "gstack" else 0,
+            total_groups=np_ // _LANES if sel in ("gstack", "gpop") else 0,
             m_valid=m,
         )
         if sel == "gstack":
-            _, _, _, n_levels = _gstack_geometry(np_ // _LANES, k)
-            out_specs = [pl.BlockSpec((tm, n_levels * _LANES), o_map)]
+            _, _, _, n_levels, n_segs = _gstack_geometry(np_ // _LANES, k)
+            if n_segs > 1:
+                # Segmented: one panel slab per 128-group segment; the
+                # output index map revisits a slab for all of its
+                # segment's tiles (the kernel writes it on the last one)
+                # and rolls to the next slab at the boundary.
+                tps = (_LANES * _LANES) // tn
+                if nk == 1:
+                    po_map = lambda i, j: (i, j // tps)       # noqa: E731
+                else:
+                    po_map = lambda i, j, kf: (i, j // tps)   # noqa: E731
+            else:
+                po_map = o_map
+            out_specs = [pl.BlockSpec((tm, n_levels * _LANES), po_map)]
             out_shape = [
-                jax.ShapeDtypeStruct((mp, n_levels * _LANES), jnp.int32)
+                jax.ShapeDtypeStruct((mp, n_segs * n_levels * _LANES),
+                                     jnp.int32)
+            ]
+            scratch = [pltpu.VMEM((n_levels, tm, _LANES), jnp.int32)]
+        elif sel == "gpop":
+            _, _, _, n_levels, _ = _gstack_geometry(np_ // _LANES, k)
+            out_specs = [
+                pl.BlockSpec((tm, k_pad), o_map),
+                pl.BlockSpec((tm, k_pad), o_map),
+            ]
+            out_shape = [
+                jax.ShapeDtypeStruct((mp, k_pad), jnp.float32),
+                jax.ShapeDtypeStruct((mp, k_pad), jnp.int32),
             ]
             scratch = [pltpu.VMEM((n_levels, tm, _LANES), jnp.int32)]
         else:
@@ -1572,16 +1802,31 @@ def _run_prepared(
 
     if selection == "gstack":
         total_groups = np_ // _LANES
-        _, low_mask, depth, n_levels = _gstack_geometry(total_groups, k)
+        _, low_mask, depth, n_levels, n_segs = _gstack_geometry(
+            total_groups, k)
         (u_panel,) = call("gstack")
         vals, idx, bad = _gstack_decode(
-            u_panel, k, total_groups, low_mask, depth, n_levels, m)
+            u_panel, k, total_groups, low_mask, depth, n_levels, m,
+            n_segs)
         vals, idx = jax.lax.cond(
             bad,
             lambda: tuple(x[:, :k] for x in call("extract")),
             lambda: (vals, idx),
         )
         return vals[:m], idx[:m]
+
+    if selection == "gpop":
+        vals, idx = call("gpop")
+        # The kernel signals a detection hit through the kp-1 sentinel
+        # slot (never part of the k <= 16 result); the exact extract
+        # re-run fires rarely (same fire-rate math as gstack's depth).
+        bad = jnp.max(vals[:, k_pad - 1]) > 0.0
+        vals, idx = jax.lax.cond(
+            bad,
+            lambda: tuple(call("extract")),
+            lambda: (vals, idx),
+        )
+        return vals[:m, :k], idx[:m, :k]
 
     vals, idx = call(selection)
     return vals[:m, :k], idx[:m, :k]

@@ -163,9 +163,10 @@ def default_candidates(cfg0: SearchConfig, k: int) -> list:
         dict(selection="extract"),
         dict(selection="bucket"),
         dict(selection="insert"),
-        # gstack only applies within its envelope (dense scan, <= 16384
-        # padded rows); autotune skips candidates that raise
+        # gstack/gpop only apply within their envelopes (dense scan;
+        # gpop additionally k <= 16); autotune skips candidates that raise
         dict(selection="gstack"),
+        dict(selection="gpop"),
         # prune off (its max pass is overhead on few-tile corpora)
         dict(prune="off"),
         # exact-f32 alternative to the bf16x3 default
@@ -180,12 +181,12 @@ def default_candidates(cfg0: SearchConfig, k: int) -> list:
 
 
 def _finalize_winner(best: SearchConfig) -> SearchConfig:
-    """A pinned selection='gstack' is only valid inside its envelope
-    (dense scan, <= 16384 padded rows, k <= 128): cached or installed as
-    the process default, it would RAISE on any larger corpus.  'auto'
-    resolves to gstack in the regime that won and degrades gracefully
-    everywhere else."""
-    if best.selection == "gstack":
+    """A pinned selection='gstack'/'gpop' is only valid inside its
+    envelope (dense scan, power-of-two tiling / k <= 16): cached or
+    installed as the process default, it would RAISE on other problems.
+    'auto' resolves to the winner in the regime that won and degrades
+    gracefully everywhere else."""
+    if best.selection in ("gstack", "gpop"):
         return best.with_updates(selection="auto")
     return best
 

@@ -202,15 +202,63 @@ def test_fused_topk_gstack_tie_break():
     np.testing.assert_array_equal(idx, idx[0] + 4 * np.arange(17))
 
 
+def test_fused_topk_gstack_segmented():
+    """Corpora beyond 128 global groups (16,384 padded rows) run the
+    SEGMENTED gstack: per-128-group stacks flushed to one HBM panel slab
+    per segment, one XLA finish over all slabs.  Values exact within the
+    packing truncation; indices tie-equivalent (cross-segment
+    duplicate-score order is the documented exception)."""
+    rng = np.random.default_rng(34)
+    for (m, n, d, k, bn) in [(9, 40_000, 32, 100, 2048),
+                             (5, 20_000, 16, 20, 128),
+                             (16, 33_000, 8, 37, 1024)]:
+        q = rng.standard_normal((m, d)).astype(np.float32)
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        c[n // 2] = c[0]  # a duplicate crossing segments
+        cfg = SearchConfig(selection="gstack", block_q=16, block_n=bn,
+                           precision="highest")
+        v0, i0 = topk_search(q, c, k, "cosine")
+        v1, i1 = fused_topk(q, c, k, "cosine", config=cfg, interpret=True)
+        assert_topk_equivalent(
+            np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0),
+            rtol=3e-5, atol=2e-5,
+        )
+
+
+def test_fused_topk_gstack_segmented_fallback():
+    """Planted winners concentrated in one (segment, lane-class) cell —
+    deeper than the segmented stacks — must fire the per-segment
+    detection slab and route through the exact extract re-run."""
+    rng = np.random.default_rng(41)
+    n, d, k = 50_000, 16, 20
+    c = rng.standard_normal((n, d)).astype(np.float32) * 1e-3
+    q = np.ones((1, d), dtype=np.float32)
+    hot = 5 + 128 * np.arange(8)  # 8 > the ~5 segmented levels at k=20
+    c[hot] = (q[0] / np.linalg.norm(q[0])) * (2.0 + np.arange(8))[:, None]
+    cfg = SearchConfig(selection="gstack", block_q=8, block_n=1024)
+    v0, i0 = topk_search(q, c, k, "dot")
+    v1, i1 = fused_topk(q, c, k, "dot", config=cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1)[0, :8], hot[::-1])
+    assert_topk_equivalent(
+        np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+    )
+
+
 def test_fused_topk_gstack_envelope_errors():
-    """Explicit gstack outside its envelope (corpus > 128 global groups)
-    must raise, not silently degrade."""
+    """Explicit gstack outside its envelope (k > 128, or a segmented
+    corpus whose tile's group count does not divide 128) must raise, not
+    silently degrade."""
     rng = np.random.default_rng(34)
     q = rng.standard_normal((4, 16)).astype(np.float32)
     c = rng.standard_normal((20_000, 16)).astype(np.float32)
-    cfg = SearchConfig(selection="gstack", block_q=8, block_n=128)
+    cfg = SearchConfig(selection="gstack", block_q=8, block_n=384)
     with pytest.raises(ValueError, match="gstack"):
+        # 384 rows/tile = 3 groups; 128 % 3 != 0 -> segments misalign
         fused_topk(q, c, 20, "dot", config=cfg, interpret=True)
+    cfg2 = SearchConfig(selection="gstack", block_q=8, block_n=128,
+                        k_pad=256)
+    with pytest.raises(ValueError, match="gstack"):
+        fused_topk(q, c, 200, "dot", config=cfg2, interpret=True)
 
 
 def test_fused_topk_gstack_masked_prune():
@@ -224,6 +272,105 @@ def test_fused_topk_gstack_masked_prune():
     mask = rng.random(n) < 0.6
     mask[rng.choice(n, size=k, replace=False)] = True
     cfg = SearchConfig(selection="gstack", block_q=8, block_n=128,
+                       prune="on", precision="highest")
+    import jax.numpy as jnp
+    v0, i0 = topk_search(q, c, k, "cosine", mask=jnp.asarray(mask))
+    v1, i1 = fused_topk(q, c, k, "cosine", mask=mask, config=cfg,
+                        interpret=True)
+    assert_topk_equivalent(
+        np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0),
+        rtol=3e-5, atol=2e-5,
+    )
+
+
+def test_fused_topk_gpop_multi_tile():
+    """selection="gpop" (gstack build + in-kernel k-pop finish, k <= 16)
+    vs the oracle across tile counts.  Score tolerance covers the global
+    group packing (<= 127 ulps), exactly like gstack."""
+    rng = np.random.default_rng(36)
+    for (m, n, d, k, bn) in [(9, 3000, 48, 16, 1024), (5, 700, 32, 7, 128),
+                             (16, 16384, 8, 10, 2048), (3, 90, 8, 2, 128)]:
+        q = rng.standard_normal((m, d)).astype(np.float32)
+        c = rng.standard_normal((n, d)).astype(np.float32)
+        c[n // 2] = c[0]
+        cfg = SearchConfig(selection="gpop", block_q=16, block_n=bn,
+                           precision="highest")
+        v0, i0 = topk_search(q, c, k, "cosine")
+        v1, i1 = fused_topk(q, c, k, "cosine", config=cfg, interpret=True)
+        assert_topk_equivalent(
+            np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0),
+            rtol=3e-5, atol=2e-5,
+        )
+
+
+def test_fused_topk_gpop_exactness_fallback():
+    """Adversarial gpop input: more of one row's top-k land in ONE lane
+    class than the stacks are deep, so the in-kernel detection (deepest
+    level vs the popped k-th best, signalled through the kp-1 sentinel
+    slot) must fire and route the batch through the exact extract
+    re-run."""
+    rng = np.random.default_rng(37)
+    n, d = 2048, 16
+    c = rng.standard_normal((n, d)).astype(np.float32) * 1e-3
+    q = np.ones((1, d), dtype=np.float32)
+    # 14 planted winners, all in lane class 5 (> 6 stack levels at k=16),
+    # spread over several 128-row groups AND two 1024-row tiles.
+    hot = 5 + 128 * np.arange(14)
+    c[hot] = (q[0] / np.linalg.norm(q[0])) * (2.0 + np.arange(14))[:, None]
+    cfg = SearchConfig(selection="gpop", block_q=8, block_n=1024)
+    k = 16
+    v0, i0 = topk_search(q, c, k, "dot")
+    v1, i1 = fused_topk(q, c, k, "dot", config=cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1)[0, :14], hot[::-1])
+    assert_topk_equivalent(
+        np.asarray(i1), np.asarray(v1), np.asarray(i0), np.asarray(v0)
+    )
+
+
+def test_fused_topk_gpop_tie_break():
+    """Duplicate corpus rows under selection="gpop": lowest index wins
+    across groups AND tiles (reversed global group bits + lowest-lane
+    pop), mirroring gstack's contract."""
+    rng = np.random.default_rng(38)
+    base = rng.standard_normal((4, 16)).astype(np.float32)
+    c = np.concatenate([base] * 80)  # 320 rows -> 3 tiles at block_n=128
+    q = base[:1]
+    cfg = SearchConfig(selection="gpop", block_q=8, block_n=128)
+    _, idx = fused_topk(q, c, 13, "dot", config=cfg, interpret=True)
+    idx = np.asarray(idx)[0]
+    assert idx[0] < 4
+    np.testing.assert_array_equal(idx, idx[0] + 4 * np.arange(13))
+
+
+def test_fused_topk_gpop_envelope_errors():
+    """Explicit gpop outside its envelope (k > 16, corpus > 128 global
+    groups, or k >= k_pad) must raise, not silently degrade."""
+    rng = np.random.default_rng(39)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    c_small = rng.standard_normal((500, 16)).astype(np.float32)
+    c_big = rng.standard_normal((20_000, 16)).astype(np.float32)
+    cfg = SearchConfig(selection="gpop", block_q=8, block_n=128)
+    with pytest.raises(ValueError, match="gpop"):
+        fused_topk(q, c_small, 20, "dot", config=cfg, interpret=True)
+    with pytest.raises(ValueError, match="gpop"):
+        fused_topk(q, c_big, 10, "dot", config=cfg, interpret=True)
+    cfg16 = SearchConfig(selection="gpop", block_q=8, block_n=128,
+                         k_pad=16)
+    with pytest.raises(ValueError, match="gpop"):
+        fused_topk(q, c_small, 16, "dot", config=cfg16, interpret=True)
+
+
+def test_fused_topk_gpop_masked_prune():
+    """gpop + prune (the gstack weakest-class-best tile gate) + mask:
+    exact vs the oracle on a corpus spanning >= 16 tiles so prune="on"
+    actually gates."""
+    rng = np.random.default_rng(40)
+    m, n, d, k = 6, 4000, 24, 12
+    q = rng.standard_normal((m, d)).astype(np.float32)
+    c = rng.standard_normal((n, d)).astype(np.float32)
+    mask = rng.random(n) < 0.6
+    mask[rng.choice(n, size=k, replace=False)] = True
+    cfg = SearchConfig(selection="gpop", block_q=8, block_n=128,
                        prune="on", precision="highest")
     import jax.numpy as jnp
     v0, i0 = topk_search(q, c, k, "cosine", mask=jnp.asarray(mask))
@@ -365,7 +512,7 @@ def test_fused_topk_fuzz_shapes_and_tilings():
 
 
 @pytest.mark.parametrize("sel", ["extract", "bucket", "insert", "stack",
-                                 "gstack"])
+                                 "gstack", "gpop"])
 @pytest.mark.parametrize("metric", ["cosine", "euclidean"])
 def test_underfilled_slots_carry_index_sentinels(sel, metric):
     """Fewer matching rows than k, spread over several corpus tiles:

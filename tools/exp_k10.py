@@ -49,7 +49,7 @@ def main():
     assert jax.default_backend() == "tpu", "run on the real TPU"
     rows = []
     for k in (1, 10, 16):
-        for sel in ("bucket", "extract", "gstack", "stack"):
+        for sel in ("gpop", "bucket", "extract", "gstack"):
             ts = measure(k, sel)
             rows.append({
                 "k": k, "selection": sel,
@@ -61,7 +61,7 @@ def main():
             print(json.dumps(rows[-1]), flush=True)
     # m=1024 control: no padded query rows at all (isolates the detection
     # masking fix from any residual pad-row effect)
-    for sel in ("bucket", "gstack"):
+    for sel in ("gpop", "bucket"):
         ts = measure(10, sel, m=1024)
         print(json.dumps({"k": 10, "selection": sel, "m": 1024,
                           "ms_min": round(min(ts), 4),
