@@ -1,11 +1,12 @@
 # polars-matmul-tpu build/test/bench entry points
 .PHONY: native test test-fast bench bench-gate clean
 
-# Pinned TPU perf gates (round-2 v5e measurements + ~20% regression
+# Pinned TPU perf gates (round-3 v5e measurements + ~40% regression
 # headroom; the gates only bite when the backend is a real TPU).
+# Round-3: k=10 gpop 0.12-0.14 ms, k=100 gstack+approx finish 0.27-0.28.
 # Update when bench.py's device_kernel_ms / device_kernel_k100_ms improve.
-GATE_K10_MS ?= 0.40
-GATE_K100_MS ?= 0.75
+GATE_K10_MS ?= 0.20
+GATE_K100_MS ?= 0.40
 
 native: polars_matmul_tpu/interop/_pmm_native.so
 

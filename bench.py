@@ -39,6 +39,8 @@ import numpy as np
 # (regression guard for future rounds; the driver's normal run passes no args).
 
 N_QUERIES, N_CORPUS, DIM, K = 1000, 10_000, 256, 10
+# Measured 1-level selection floor on this workload (tools/exp_floor.py).
+SELECTION_FLOOR_MS = 0.107
 BATCH = 16  # stacked 1000-query requests per call for tunnel e2e throughput
 BASELINE_S = 0.045  # reference fused topk, README.md:166
 BASELINE_QPS = N_QUERIES / BASELINE_S
@@ -261,7 +263,38 @@ def main():
         out["kernel_fraction_of_mxu_peak"] = round(
             roof["fraction_of_peak"], 4
         )
+    if is_tpu:
+        # Measured selection floor for this exact workload (tools/
+        # exp_floor.py, v5e round 3): bf16x3 matmul + epilogue + the
+        # minimum 1-level packed selection pass = 0.107 ms.  The MXU-peak
+        # fraction above divides by a SINGLE-pass f32 ceiling that no
+        # exact op can reach (the bf16x3 precision contract alone takes
+        # 3 MXU passes = 0.080 ms); this fraction is against the
+        # achievable floor — see ARCHITECTURE.md "Selection floor".
+        out["fraction_of_selection_floor"] = round(
+            SELECTION_FLOOR_MS / max(kernel_ms, 1e-9), 4)
     print(json.dumps(out))
+
+    # `--autotune`: run the sweep (persisted winner cache) and report the
+    # winner next to the default-config number just printed.
+    if "--autotune" in sys.argv and is_tpu:
+        from polars_matmul_tpu.utils.autotune import autotune
+
+        win = autotune(N_QUERIES, N_CORPUS, DIM, K, "cosine")
+
+        def kernel_step_win(qq):
+            v, _ = fused_topk(qq, cj, K, "cosine", config=win)
+            return jnp.max(v, axis=1, keepdims=True)
+
+        win_ms = device_step_seconds(
+            kernel_step_win, qj, chain_lo=c_lo, chain_hi=c_hi, iters=5
+        ) * 1e3
+        base = {f: getattr(win, f) for f in
+                ("block_q", "block_n", "selection", "precision", "prune")}
+        print(json.dumps({"autotune_winner": base,
+                          "winner_device_kernel_ms": round(win_ms, 3),
+                          "default_device_kernel_ms": round(kernel_ms, 3)}),
+              file=sys.stderr)
 
     # Regression gates (VERDICT r01 item 5): `--gate MS` pins the k=10
     # device kernel time, `--gate-k100 MS` the k=100 one.  `make bench-gate`

@@ -1292,15 +1292,21 @@ def _resolve_selection(selection: str, k: int, total_groups: int,
                            -> "gpop"    (gstack build + in-kernel k-pop
                               finish; 0.12-0.14 vs bucket's 0.22-0.26 ms
                               on the canonical workload — round-3 sweep)
-      k == 1, or k <= 16 outside gpop's envelope, < 16 tiles
+      2 <= k <= 16, dense, > 128 groups, pow2 tiles
+                           -> "gstack"  (segmented; beats extract's
+                              group-pruned scan at every batch size:
+                              2M x 256d b8 2.8 vs 3.1, b256 7.5 vs
+                              15.2 ms)
+      k == 1, or k <= 16 probed/non-pow2, < 16 tiles
                            -> "bucket"  (lane-class reduce + narrow
                               merge; at k=1 measured 0.10 vs gpop's
                               0.11-0.12 — the 5-level build loses to a
                               single cheap reduce)
       k <= 16, >= 16 tiles -> "extract" (its 64-row-group prune gating
-                              dominates on many-tile corpora: 2M rows
-                              batch-256 measured 15.4 ms vs bucket's
-                              29.2 — bucket prunes whole-tile only)
+                              dominates probed/non-pow2 many-tile
+                              corpora: 2M rows batch-256 measured
+                              15.4 ms vs bucket's 29.2 — bucket prunes
+                              whole-tile only)
       k  > 16, dense       -> "gstack"  — single-segment when the corpus
                               spans <= 128 global 128-row groups (0.55
                               vs extract's 2.90 ms at canonical k=100),
@@ -1317,9 +1323,14 @@ def _resolve_selection(selection: str, k: int, total_groups: int,
     segmentable = total_groups <= _LANES or _LANES % gpt == 0
     if selection == "auto":
         if k <= 16:
-            if (2 <= k < k_pad and not use_tiles
-                    and total_groups <= _LANES):
-                return "gpop"
+            if 2 <= k and not use_tiles:
+                if total_groups <= _LANES and k < k_pad:
+                    return "gpop"
+                if segmentable:
+                    # segmented gstack beats extract's group-pruned scan
+                    # at every batch size measured (2M x 256d: b8 2.8 vs
+                    # 3.1, b64 k16 3.1 vs 6.2, b256 7.5 vs 15.2 ms)
+                    return "gstack"
             return "bucket" if n_tiles < 16 else "extract"
         if not use_tiles and segmentable and k <= _LANES:
             return "gstack"
