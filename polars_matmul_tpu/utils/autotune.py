@@ -77,8 +77,11 @@ _DISK_LOADED = [False]
 
 def _k_regime(k: int) -> str:
     """Dispatch-relevant k bucket (mirrors the kernel's crossovers:
-    selection strategy flips at 16, tile geometry above it)."""
-    return "small" if k <= 16 else "large"
+    selection strategy flips at 16, tile geometry above it, carry width
+    auto-raises past 128)."""
+    if k <= 16:
+        return "small"
+    return "large" if k <= 128 else "xl"
 
 
 def _n_regime(n: int) -> str:
@@ -114,7 +117,11 @@ def _load_disk_cache() -> None:
             raw = json.load(f)
     except (OSError, ValueError):
         return
-    base = default_config()
+    # Serialization baseline is the PRISTINE constructor, never
+    # default_config(): autotune(set_default=True) mutates the latter, so
+    # diffing against it would reconstruct (and re-save) winners relative
+    # to whatever happens to be installed in this process.
+    base = SearchConfig()
     for key_s, overrides in raw.items():
         try:
             cfg = base.with_updates(
@@ -130,8 +137,17 @@ def _save_disk_cache() -> None:
     path = _cache_path()
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        base = default_config()
+        base = SearchConfig()  # pristine baseline — see _load_disk_cache
+        # Merge the current file first so two processes tuning different
+        # regimes don't clobber each other (ours wins on shared keys).
         out = {}
+        try:
+            with open(path) as f:
+                disk = json.load(f)
+            if isinstance(disk, dict):
+                out.update(disk)
+        except (OSError, ValueError):
+            pass
         for key, cfg in _WINNER_CACHE.items():
             overrides = {
                 f: getattr(cfg, f) for f in _CFG_FIELDS
