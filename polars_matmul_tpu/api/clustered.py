@@ -986,7 +986,7 @@ class ClusteredCorpus:
 
     def _dense_view(self):
         """(n_padded, dim) f32 dense values in PERMUTED space (slack rows
-        zero), built lazily for the non-Pallas fallback (k > k_pad,
+        zero), built lazily for the non-Pallas fallback (k > max_fused_k,
         use_pallas=False).  Costs the f32 bytes once."""
         import jax
         import jax.numpy as jnp
@@ -1012,7 +1012,7 @@ class ClusteredCorpus:
     def _fallback_topk(self, qj, kk: int, metric: Metric,
                        user_mk) -> Tuple[np.ndarray, np.ndarray]:
         """Exhaustive XLA path for problems the fused kernel declines
-        (k > k_pad, use_pallas=False).  probe= is ignored here — the
+        (k > max_fused_k, use_pallas=False).  probe= is ignored here — the
         result is exact, strictly better recall than any probe."""
         dense = self._dense_view()
         mkj = self._permuted_mask(user_mk)
@@ -1301,7 +1301,8 @@ class ClusteredCorpus:
         exact f64 path for f64 data.  Exactness claims (``probe=None``,
         "exact over visited rows") are relative to this f32/quantized
         storage."""
-        from ..kernels.fused_topk import query_tile_rows, supports
+        from ..kernels.fused_topk import (max_fused_k, query_tile_rows,
+                                          supports)
 
         metric = Metric.parse(metric)
         q = np.asarray(queries)
@@ -1336,7 +1337,7 @@ class ClusteredCorpus:
         p, exhaustive = resolve_probe(probe, self.layout.n_tiles)
         sup = supports(q.shape, (self.n, self.dim),
                        np.dtype(np.float32), kk, self.config)
-        if not sup and self.storage != "f32" and kk <= self.config.k_pad:
+        if not sup and self.storage != "f32" and kk <= max_fused_k(self.config):
             # Quantized storage above max_fused_dim: same override as
             # Corpus.topk — the XLA path would materialize a dense f32
             # copy, defeating the storage tier; the K-chunked kernel

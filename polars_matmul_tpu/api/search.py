@@ -709,7 +709,7 @@ class Corpus:
                 dev = jnp.pad(dev, ((0, self._cap - self.n), (0, 0)))
             self._device = dev
         # Lazy f32 upcast of a bf16-stored corpus, built only if a
-        # non-Pallas path (k > k_pad, dim > 8192, use_pallas=False) or
+        # non-Pallas path (k > max_fused_k, dim > 8192, use_pallas=False) or
         # Corpus.matmul needs dense values; costs the f32 bytes once.
         self._f32_view = None
         # Per-(k, metric, cfg, tn, masked) single-dispatch jitted programs
@@ -1361,7 +1361,8 @@ class Corpus:
                 self.config, mask=self._combined_mask(user_mk),
             )
         else:
-            from ..kernels.fused_topk import fused_topk_prepared, supports
+            from ..kernels.fused_topk import (fused_topk_prepared, max_fused_k,
+                                              supports)
 
             dev_ok = (
                 np.dtype(self._device.dtype) == np.float32
@@ -1373,7 +1374,7 @@ class Corpus:
             sup = supports(q.shape, (self.n, self.dim), dt, kk,
                            self.config)
             if (not sup and self.storage != "f32" and dt == np.float32
-                    and kk <= self.config.k_pad):
+                    and kk <= max_fused_k(self.config)):
                 # Quantized storage above max_fused_dim: supports() says
                 # XLA is faster there, but the XLA path would materialize
                 # (and cache) a dense f32 copy — 2x/4x the quantized HBM,

@@ -268,6 +268,22 @@ def _select_insert(s, carry_vals, carry_idx, lane_n, n_base, k, kp, tm):
 
 _INT_MIN = jnp.iinfo(jnp.int32).min
 _STACK_DEPTH = 8
+# Largest k the fused path serves (big-k gstack / extract with an
+# auto-raised carry width); beyond it dispatch falls back to XLA.
+_MAX_FUSED_K = 1024
+
+
+def effective_k_pad(k: int, cfg) -> int:
+    """Carry/output lane width for this k: cfg.k_pad (default 128) covers
+    k <= 128; larger k auto-raises the width in whole 128-lane groups so
+    the fused path keeps serving up to _MAX_FUSED_K."""
+    return max(cfg.k_pad, _round_up(k, _LANES))
+
+
+def max_fused_k(cfg) -> int:
+    """Largest k the fused path accepts for this config (dispatch falls
+    back to XLA above it)."""
+    return max(cfg.k_pad, _MAX_FUSED_K)
 
 
 def _f32_to_u(bits):
@@ -462,6 +478,8 @@ def _gstack_depth(k: int, cells: int = _LANES) -> int:
     is a full extract re-run, ruinous at multi-million-row scale): e.g.
     k=100 over a 2M-row corpus needs 5 levels, not 9, nearly halving
     both build cost and panel width."""
+    if k > _LANES:
+        return _bigk_depth(k, cells)
     if cells <= _LANES:
         for k_max, levels in ((10, 5), (16, 6), (32, 7), (64, 8)):
             if k <= k_max:
@@ -472,6 +490,52 @@ def _gstack_depth(k: int, cells: int = _LANES) -> int:
            and math.comb(k, levels) / cells ** (levels - 1) > 1e-7):
         levels += 1
     return levels
+
+
+# Stack-depth ceiling for the big-k (k > 128) gstack extension.  VMEM cost
+# at the cap: (32, tm<=128, 128) i32 stacks = 2 MB — inside _pick_block_n's
+# headroom.  A k whose required depth exceeds the cap routes to "extract".
+_BIGK_MAX_LEVELS = 32
+
+
+def _bigk_tail(k: int, cells: int, levels: int) -> float:
+    """P(any (segment, class) cell holds >= ``levels`` of a row's top-k)
+    <= cells * P(Binomial(k, 1/cells) >= levels), summed directly.  The
+    small-k union bound C(k, L)/cells^(L-1) is the first term of this sum
+    and collapses once the per-cell expectation k/cells approaches 1
+    (pigeonhole fattens the tail), so big k needs the real tail."""
+    p = 1.0 / cells
+    tail = 0.0
+    for i in range(levels, min(k, levels + 96) + 1):
+        tail += math.comb(k, i) * p ** i * (1.0 - p) ** (k - i)
+    return cells * tail
+
+
+def _bigk_depth(k: int, cells: int):
+    """Stack depth for k > 128: smallest level count whose miss
+    probability (binomial tail) meets the 1e-7/row fire-rate target,
+    floored at ceil(k/128) + 1 — the tile-prune gate reads level
+    ceil(k/128) - 1 (see _kernel: an element at or below the weakest
+    entry of the first ceil(k/128) levels has >= 128*ceil(k/128) >= k
+    better-or-tied-earlier elements in the panel), and the level below
+    the detector must exist for detection to stay meaningful."""
+    lo = -(-k // _LANES) + 1
+    for levels in range(lo, _BIGK_MAX_LEVELS + 1):
+        if _bigk_tail(k, cells, levels) <= 1e-7:
+            return levels
+    return _BIGK_MAX_LEVELS
+
+
+def _bigk_gstack_ok(k: int, total_groups: int) -> bool:
+    """Whether big-k gstack has a viable depth for this geometry: the
+    fire-rate target must be reachable within the level cap (a miss
+    re-runs the whole corpus as extract — ruinous if common)."""
+    if k > _MAX_FUSED_K:
+        return False
+    n_segs = max(1, -(-total_groups // _LANES))
+    cells = _LANES * n_segs if n_segs > 1 else _LANES
+    levels = _bigk_depth(k, cells)
+    return _bigk_tail(k, cells, levels) <= 1e-6
 
 
 def _gstack_geometry(total_groups: int, k: int):
@@ -912,7 +976,11 @@ def _kernel(
     prune: bool = False,
     use_tiles: bool = False,
     total_groups: int = 0,   # gstack only: global 128-row group count
-    m_valid: int = 0,        # true (unpadded) query count, for detection
+    # True (unpadded) query count, for the exactness-fallback detectors.
+    # REQUIRED (keyword-only, no default): defaulting it to 0 would make
+    # every row_live mask all-False and silently disable the bucket/stack/
+    # gpop exact re-run — wrong results with no error.
+    m_valid: int,
 ):
     if use_tiles:
         # Probed search (clustered corpus): grid axis 1 walks a per-query-
@@ -1044,14 +1112,19 @@ def _kernel(
 
             if prune:
                 # Tile gate (exact): an element at or below the weakest
-                # class-best has >= 128 better-or-tied-earlier elements,
-                # so it cannot be top-k (k <= kp = 128).  tau decodes the
-                # truncated bound, making the test conservative; a class
-                # best that is not a real element yet — INT_MIN (never
-                # filled) or packed -inf (masked/pad rows only) — decodes
-                # to NaN, so those force a build via the <= ninf_u guard
-                # (NaN comparisons are false, which would wrongly SKIP).
-                tau_u = jnp.min(st_ref[0], axis=1, keepdims=True)
+                # entry of the first q = ceil(k/128) stack levels has
+                # >= 128*q >= k better-or-tied-earlier elements (each of
+                # the 128 classes holds q entries above it, all flushed
+                # to the panel; final stacks dominate prune-time stacks
+                # elementwise), so it cannot be top-k.  k <= 128 reads
+                # level 0 — the classic gate.  tau decodes the truncated
+                # bound, making the test conservative; a gate entry that
+                # is not a real element yet — INT_MIN (never filled) or
+                # packed -inf (masked/pad rows only) — decodes to NaN, so
+                # those force a build via the <= ninf_u guard (NaN
+                # comparisons are false, which would wrongly SKIP).
+                gate_lvl = min(-(-k // _LANES) - 1, n_levels - 1)
+                tau_u = jnp.min(st_ref[gate_lvl], axis=1, keepdims=True)
                 tau = jax.lax.bitcast_convert_type(
                     _f32_to_u(tau_u & jnp.int32(~low_mask)), jnp.float32)
                 rmax = jnp.max(s, axis=1, keepdims=True)
@@ -1242,7 +1315,11 @@ def supports(q_shape, c_shape, dtype, k: int, cfg: SearchConfig) -> bool:
     """
     if jnp.dtype(dtype) != jnp.float32:
         return False  # MXU kernel is f32; f64 path uses lax.top_k fallback
-    if k > cfg.k_pad:
+    if k > max(cfg.k_pad, _MAX_FUSED_K):
+        # 128 < k <= _MAX_FUSED_K runs fused with an auto-raised carry
+        # width (effective_k_pad): big-k gstack on dense pow2 scans,
+        # "extract" elsewhere — either way without the XLA fallback's
+        # dense (m, n) score matrix.
         return False
     if q_shape[1] > cfg.max_fused_dim:
         return q_shape[0] * c_shape[0] * 4 > cfg.fallback_score_bytes
@@ -1334,7 +1411,24 @@ def _resolve_selection(selection: str, k: int, total_groups: int,
             return "bucket" if n_tiles < 16 else "extract"
         if not use_tiles and segmentable and k <= _LANES:
             return "gstack"
+        if k > _LANES:
+            # Big-k (128 < k <= _MAX_FUSED_K): gstack still wins on dense
+            # power-of-two scans when a stack depth with a sane fire rate
+            # exists (binomial-tail math, _bigk_depth); everything else —
+            # probed scans, non-pow2 tilings, depth-capped geometries —
+            # runs "extract" with the auto-raised carry width (k full
+            # extraction passes: correct at any k <= kp, vs the XLA
+            # fallback's dense (m, n) score matrix).
+            if (not use_tiles and segmentable
+                    and _bigk_gstack_ok(k, total_groups)):
+                return "gstack"
+            return "extract"
         return "stack"
+    if k > _LANES and selection in ("bucket", "stack", "insert"):
+        raise ValueError(
+            f"selection={selection!r} supports k <= {_LANES}; use "
+            "'auto', 'extract', or 'gstack' for larger k"
+        )
     if selection == "gpop" and (
         use_tiles or total_groups > _LANES or k > 16 or k >= k_pad
     ):
@@ -1346,22 +1440,24 @@ def _resolve_selection(selection: str, k: int, total_groups: int,
             + (" (probed)" if use_tiles else "") + " — use selection='auto'"
         )
     if selection == "gstack" and (
-        use_tiles or not segmentable or k > _LANES
+        use_tiles or not segmentable or k > _MAX_FUSED_K
+        or (k > _LANES and not _bigk_gstack_ok(k, total_groups))
     ):
-        # k <= _LANES is a CORRECTNESS bound, not a tuning one: the
-        # kernel's prune gate ('an element at or below the weakest
-        # class-best has >= 128 better-or-tied elements in its segment,
-        # so it cannot be top-k') only holds for k <= 128 — with k_pad
-        # raised above 128 a pruned tile could silently drop true top-k
-        # rows that the detection level never sees (skipped tiles never
-        # enter the stacks).  Segmentation additionally needs the tile's
-        # group count to divide 128 so segment boundaries align with
-        # tile boundaries.
+        # The prune gate reads the first ceil(k/128) stack levels (an
+        # element at or below their weakest entry has >= 128*ceil(k/128)
+        # >= k better-or-tied elements in its segment, so it cannot be
+        # top-k) — sound at any k the depth math admits; beyond
+        # _MAX_FUSED_K, or where the binomial-tail fire rate cannot meet
+        # target within the level cap, gstack refuses rather than
+        # silently degrading.  Segmentation additionally needs the
+        # tile's group count to divide 128 so segment boundaries align
+        # with tile boundaries.
         raise ValueError(
             "selection='gstack' requires a dense (non-probed) scan with "
-            f"k <= {_LANES}, and beyond {_LANES * _LANES} padded corpus "
-            f"rows a power-of-two corpus tile (128 %% groups-per-tile == "
-            f"0); got {total_groups} groups, k={k}, {gpt} groups/tile"
+            f"k <= {_MAX_FUSED_K} (and a viable stack depth for this "
+            f"geometry), and beyond {_LANES * _LANES} padded corpus rows "
+            f"a power-of-two corpus tile (128 %% groups-per-tile == 0); "
+            f"got {total_groups} groups, k={k}, {gpt} groups/tile"
             + (" (probed)" if use_tiles else "") + " — use selection='auto'"
         )
     return selection
@@ -1385,7 +1481,8 @@ def effective_tiles(cfg: SearchConfig, k: int):
 def corpus_tile_rows(dim: int, cfg: SearchConfig, k: int = 1) -> int:
     """The corpus tile height the kernel will use (prep must pad to it)."""
     bq, bn = effective_tiles(cfg, k)
-    return _pick_block_n(_round_up(dim, 128), bq, bn, cfg.k_pad)
+    return _pick_block_n(_round_up(dim, 128), bq, bn,
+                         effective_k_pad(k, cfg))
 
 
 def query_tile_rows(m: int, dim: int, cfg: SearchConfig, k: int = 1) -> int:
@@ -1921,13 +2018,13 @@ def fused_topk_prepared(
     """
     cfg = resolve(config)
     metric = Metric.parse(metric)
-    if k > cfg.k_pad:
-        # The carry refs are (tm, k_pad): a larger k would silently
-        # truncate to k_pad columns (or die on an out-of-bounds ref
-        # slice).  The dispatching surfaces fall back before this.
+    if k > max(cfg.k_pad, _MAX_FUSED_K):
+        # The carry width auto-raises to effective_k_pad(k) up to
+        # _MAX_FUSED_K; beyond that the dispatching surfaces fall back.
         raise ValueError(
-            f"k={k} exceeds config.k_pad={cfg.k_pad}; raise k_pad or use "
-            f"the unprepared/fallback path")
+            f"k={k} exceeds the fused path's ceiling "
+            f"max(k_pad, {_MAX_FUSED_K})={max(cfg.k_pad, _MAX_FUSED_K)}; "
+            "use the unprepared/fallback path")
     if q.dtype != jnp.float32:
         # Half-precision query ingestion (Corpus.topk uploads f16/bf16
         # queries at half the host->device bytes): upcast on device, so
@@ -1951,7 +2048,7 @@ def fused_topk_prepared(
         vals, idx = _run_prepared_jit(
             q, cp, cbp,
             k=k, metric=metric, block_q=bq_eff, tn=tn,
-            k_pad=cfg.k_pad, precision=cfg.precision,
+            k_pad=effective_k_pad(k, cfg), precision=cfg.precision,
             selection=cfg.selection, use_bias=use_bias,
             interpret=interpret, prune=cfg.prune, mask_p=mask_p,
             tiles=tiles,
@@ -2004,7 +2101,7 @@ def fused_topk(
             metric=metric,
             block_q=bq_eff,
             block_n=bn_eff,
-            k_pad=cfg.k_pad,
+            k_pad=effective_k_pad(k, cfg),
             precision=cfg.precision,
             selection=cfg.selection,
             interpret=interpret,

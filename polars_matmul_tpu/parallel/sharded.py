@@ -660,7 +660,7 @@ def distributed_topk(
     else:
         k_local = min(k + pad_rows, ns)
 
-    from ..kernels.fused_topk import supports
+    from ..kernels.fused_topk import max_fused_k, supports
 
     dim = corpus.dim or corpus.data.shape[1]
     if quant:
@@ -670,7 +670,7 @@ def distributed_topk(
     else:
         dev_ok = _np.dtype(corpus.data.dtype) == _np.float32
     sup = supports((q.shape[0], dim), (ns, dim), _np.float32, k_local, cfg)
-    if not sup and quant and k_local <= cfg.k_pad:
+    if not sup and quant and k_local <= max_fused_k(cfg):
         # Quantized storage above max_fused_dim: never materialize dense
         # f32 shards just for the high-dim speed policy (mirrors the
         # single-device carve-out in Corpus.topk).

@@ -613,7 +613,7 @@ class TestHalfPrecisionQueries:
         h = pmt.Corpus(c)
         i, v = h.topk(q16, 3, "euclidean")
         assert (v >= 0).all()          # finalize ran in f32
-        # k > k_pad diverts to the XLA fallback, which upcasts on host
+        # 128 < k <= 1024 now stays fused (auto-raised carry width)
         i2, v2 = h.topk(q16, 200, "cosine")
         assert i2.shape == (4, 200)
 

@@ -255,10 +255,12 @@ def test_fused_topk_gstack_envelope_errors():
     with pytest.raises(ValueError, match="gstack"):
         # 384 rows/tile = 3 groups; 128 % 3 != 0 -> segments misalign
         fused_topk(q, c, 20, "dot", config=cfg, interpret=True)
-    cfg2 = SearchConfig(selection="gstack", block_q=8, block_n=128,
-                        k_pad=256)
+    # k beyond the fused ceiling: dispatch falls back to XLA before any
+    # selection runs (no raise), and an explicit gstack that does reach
+    # resolution refuses (128 < k <= 1024 is now inside the envelope).
+    from polars_matmul_tpu.kernels.fused_topk import _resolve_selection
     with pytest.raises(ValueError, match="gstack"):
-        fused_topk(q, c, 200, "dot", config=cfg2, interpret=True)
+        _resolve_selection("gstack", 1100, 200, False, 7)
 
 
 def test_fused_topk_gstack_masked_prune():
@@ -410,12 +412,19 @@ def test_fused_topk_duplicate_corpus_rows_tie_break():
     assert idx[2] == idx[0] + 8
 
 
-def test_fused_topk_large_k_falls_back(qc_f32):
-    """k > 128 exceeds the carry width -> dispatcher uses the XLA path."""
+def test_fused_topk_large_k_stays_fused(qc_f32):
+    """128 < k <= 1024 runs FUSED with the auto-raised carry width
+    (round 4; it used to divert to the XLA fallback) and must match the
+    oracle up to the documented gstack near-tie exception (the packed
+    group bits truncate scores by a few ulps, so equal-within-truncation
+    neighbors may swap index order — pair-consistent, not bit-identical).
+    Beyond _MAX_FUSED_K the dispatcher still falls back."""
     q, c = qc_f32
-    v1, i1 = fused_topk(q, c, 200, "cosine")
-    v0, i0 = topk_search(q, c, 200, "cosine")
-    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    k = min(200, c.shape[0])
+    v1, i1 = fused_topk(q, c, k, "cosine")
+    v0, i0 = topk_search(q, c, k, "cosine")
+    assert_topk_equivalent(np.asarray(i1), np.asarray(v1),
+                           np.asarray(i0), np.asarray(v0))
 
 
 def test_fused_topk_f64_falls_back(qc_f64):
@@ -725,3 +734,142 @@ class TestTilePruning:
         np.testing.assert_array_equal(i, np.asarray(i0))
         np.testing.assert_array_equal(i[:, 1], i[:, 0] + 3000)
         np.testing.assert_array_equal(i[:, 2], i[:, 0] + 6000)
+
+
+def test_bf16x3_adversarial_corner_pins_documented_bound():
+    """Pin the bf16x3 worst case (VERDICT r02 weak #6): every element has
+    all-ones low mantissa bits, so the integer-masked hi split drops the
+    largest possible lo and every dropped lo.lo product term aligns with
+    the same sign.  The dot-product error must land at the documented
+    ~1.5e-5 relative worst case (config.py:75-84) — no better (proving
+    this IS the corner) and no worse (proving the bound holds), and
+    precision="highest" must erase it."""
+    d, n, m, k = 256, 256, 4, 4
+    # 1.0 with the 15 f32 mantissa bits below the bf16 boundary all set:
+    # lo/v = (2^15-1)/2^23 ~ 2^-8, so the dropped lo.lo term is ~2^-16
+    # ~ 1.526e-5 relative, identical (and thus perfectly aligned) for
+    # every one of the d products in every score.
+    v = np.array(0x3F800000 | 0x7FFF, dtype=np.uint32).view(np.float32)
+    q = np.full((m, d), v, np.float32)
+    c = np.full((n, d), v, np.float32)
+    exact = d * float(np.float64(v)) ** 2
+
+    # selection="extract" keeps scores bit-exact through selection, so the
+    # measured error is the matmul term alone (gpop/gstack would stack
+    # their <=127-ulp group-bit truncation on top).
+    vals, _ = fused_topk(q, c, k, "dot",
+                         config=SearchConfig(selection="extract"),
+                         interpret=True)
+    rel = abs(float(np.asarray(vals)[0, 0]) - exact) / exact
+    assert 1.3e-5 < rel < 1.7e-5, rel  # the documented ~1.5e-5 corner
+
+    vals_hi, _ = fused_topk(q, c, k, "dot",
+                            config=SearchConfig(selection="extract",
+                                                precision="highest"),
+                            interpret=True)
+    rel_hi = abs(float(np.asarray(vals_hi)[0, 0]) - exact) / exact
+    assert rel_hi < 1e-6, rel_hi  # exact f32: accumulation noise only
+
+
+class TestBigK:
+    """128 < k <= 1024: the big-k fused extension (round 4).  The carry/
+    output width auto-raises in 128-lane groups (effective_k_pad); dense
+    power-of-two scans run gstack with binomial-tail stack depths and a
+    prune gate reading the first ceil(k/128) levels; everything else
+    runs extract with k full extraction passes.  Beyond _MAX_FUSED_K
+    dispatch still falls back to XLA."""
+
+    def test_depth_math(self):
+        from polars_matmul_tpu.kernels.fused_topk import (
+            _MAX_FUSED_K, _bigk_depth, _bigk_gstack_ok, _bigk_tail)
+
+        for k in (129, 200, 512, 1024):
+            for cells in (128, 256, 128 * 123):
+                levels = _bigk_depth(k, cells)
+                # prune-gate floor: the gate reads level ceil(k/128)-1
+                assert levels >= -(-k // 128) + 1, (k, cells, levels)
+                assert levels <= 32
+        # plentiful cells (2M-row corpus): k=1024 needs few extra levels
+        assert _bigk_depth(1024, 128 * 123) <= 12
+        # the tail target is genuinely met where auto picks gstack
+        assert _bigk_tail(200, 256, _bigk_depth(200, 256)) <= 1e-7
+        assert _bigk_gstack_ok(200, 200)
+        assert not _bigk_gstack_ok(_MAX_FUSED_K + 1, 200)
+
+    def test_effective_k_pad_and_supports(self):
+        from polars_matmul_tpu.kernels.fused_topk import (
+            effective_k_pad, supports)
+
+        cfg = SearchConfig()
+        assert effective_k_pad(100, cfg) == 128
+        assert effective_k_pad(129, cfg) == 256
+        assert effective_k_pad(1024, cfg) == 1024
+        assert supports((8, 64), (4000, 64), np.float32, 1024, cfg)
+        assert not supports((8, 64), (4000, 64), np.float32, 1025, cfg)
+
+    @pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+    def test_extract_bigk_matches_oracle(self, metric):
+        rng = np.random.default_rng(200)
+        q = rng.standard_normal((4, 24)).astype(np.float32)
+        c = rng.standard_normal((1000, 24)).astype(np.float32)
+        cfg = SearchConfig(selection="extract")
+        v1, i1 = fused_topk(q, c, 200, metric, config=cfg, interpret=True)
+        v0, i0 = topk_search(q, c, 200, metric)
+        assert_topk_equivalent(np.asarray(i1), np.asarray(v1),
+                               np.asarray(i0), np.asarray(v0))
+
+    def test_gstack_bigk_single_segment(self):
+        rng = np.random.default_rng(201)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c = rng.standard_normal((3000, 16)).astype(np.float32)
+        cfg = SearchConfig(selection="gstack")
+        v1, i1 = fused_topk(q, c, 300, "dot", config=cfg, interpret=True)
+        v0, i0 = topk_search(q, c, 300, "dot")
+        assert_topk_equivalent(np.asarray(i1), np.asarray(v1),
+                               np.asarray(i0), np.asarray(v0))
+
+    def test_gstack_bigk_segmented_with_prune_and_mask(self):
+        """> 16,384 padded rows (block_n=128 -> 157 tiles, 2 segments),
+        prune on (the new ceil(k/128)-level gate actually gates), plus a
+        row mask — exact vs the oracle."""
+        rng = np.random.default_rng(202)
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        c = rng.standard_normal((20_000, 16)).astype(np.float32)
+        mask = rng.random(20_000) < 0.8
+        mask[:300] = True
+        import jax.numpy as jnp
+
+        cfg = SearchConfig(selection="gstack", block_q=8, block_n=128,
+                           prune="on")
+        v1, i1 = fused_topk(q, c, 200, "cosine", mask=mask, config=cfg,
+                            interpret=True)
+        v0, i0 = topk_search(q, c, 200, "cosine", mask=jnp.asarray(mask))
+        assert_topk_equivalent(np.asarray(i1), np.asarray(v1),
+                               np.asarray(i0), np.asarray(v0))
+
+    def test_auto_routes_bigk(self):
+        from polars_matmul_tpu.kernels.fused_topk import _resolve_selection
+
+        # dense pow2 scan -> gstack; probed -> extract; k past the
+        # envelope's viable depth or _MAX_FUSED_K -> extract
+        assert _resolve_selection("auto", 200, 100, False, 7) == "gstack"
+        assert _resolve_selection("auto", 200, 100, True, 7) == "extract"
+        with pytest.raises(ValueError, match="supports k <= 128"):
+            _resolve_selection("bucket", 200, 100, False, 7)
+
+    def test_adversarial_collision_fires_exact_rerun(self):
+        """Plant > depth near-duplicate winners at stride 128 (one lane
+        class): the detection level must fire and the extract re-run must
+        keep the result exact."""
+        rng = np.random.default_rng(203)
+        dim = 16
+        c = rng.standard_normal((6000, dim)).astype(np.float32) * 0.01
+        w = rng.standard_normal(dim).astype(np.float32)
+        for j in range(40):  # 40 planted winners in lane class 0
+            c[j * 128] = w * (1.0 + 1e-6 * j)
+        q = np.stack([w, -w]).astype(np.float32)
+        cfg = SearchConfig(selection="gstack")
+        v1, i1 = fused_topk(q, c, 150, "dot", config=cfg, interpret=True)
+        v0, i0 = topk_search(q, c, 150, "dot")
+        assert_topk_equivalent(np.asarray(i1), np.asarray(v1),
+                               np.asarray(i0), np.asarray(v0))

@@ -285,18 +285,21 @@ class TestShardedBf16Storage:
         assert mask[i.reshape(-1)].all()
 
     def test_fallback_path_upcasts_per_shard(self, mesh8):
-        """k > k_pad diverts to the non-prepared path, which must upcast
-        the bf16 shards locally before the XLA fallback."""
+        """k_local > max_fused_k diverts to the non-prepared path, which
+        must upcast the bf16 shards locally before the XLA fallback.
+        The shard-local k is what gates (min(k + pad, ns)), so the shard
+        must exceed 1024 rows for the fallback to fire at all — smaller
+        k (even > 128) now stays fused with an auto-raised carry."""
         import ml_dtypes
 
         rng = np.random.default_rng(93)
         q = rng.standard_normal((4, 16)).astype(np.float32)
-        c = rng.standard_normal((2000, 16)).astype(np.float32)
+        c = rng.standard_normal((9600, 16)).astype(np.float32)
         h = pmt.Corpus(c, storage="bf16", mesh=mesh8)
-        i, v = h.topk(q, 200, "cosine")  # k > k_pad=128
-        assert i.shape == (4, 200)
+        i, v = h.topk(q, 1100, "cosine")  # k_local=1100 > 1024
+        assert i.shape == (4, 1100)
         cq = c.astype(ml_dtypes.bfloat16).astype(np.float32)
-        i0, v0 = pmt.topk(q, cq, 200, "cosine")
+        i0, v0 = pmt.topk(q, cq, 1100, "cosine")
         assert (i == i0).mean() > 0.9
 
     def test_matmul_upcasts_per_shard(self, mesh8):
@@ -354,15 +357,16 @@ class TestShardedInt8Storage:
         np.testing.assert_array_equal(i, i0)
 
     def test_fallback_path_dequantizes_per_shard(self, mesh8):
-        """k > k_pad diverts to the non-prepared path, which must
-        dequantize the int8 shards locally before the XLA fallback."""
+        """k_local > max_fused_k diverts to the non-prepared path, which
+        must dequantize the int8 shards locally before the XLA fallback
+        (shards must exceed 1024 rows — smaller k now stays fused)."""
         rng = np.random.default_rng(98)
         q = rng.standard_normal((4, 16)).astype(np.float32)
-        c = rng.standard_normal((2000, 16)).astype(np.float32)
+        c = rng.standard_normal((9600, 16)).astype(np.float32)
         h = pmt.Corpus(c, storage="int8", mesh=mesh8)
-        i, v = h.topk(q, 200, "cosine")  # k > k_pad=128
-        assert i.shape == (4, 200)
-        i0, v0 = pmt.topk(q, self._dequant(c), 200, "cosine")
+        i, v = h.topk(q, 1100, "cosine")  # k_local=1100 > 1024
+        assert i.shape == (4, 1100)
+        i0, v0 = pmt.topk(q, self._dequant(c), 1100, "cosine")
         assert (i == i0).mean() > 0.97
 
     def test_matmul_dequantizes_per_shard(self, mesh8):
@@ -684,3 +688,47 @@ class TestF64Mesh:
         # sharded panels may sum in a different order; f64-tight still
         # (an f32-truncated corpus would be off by ~1e-7 relative)
         np.testing.assert_allclose(pm, ps, rtol=1e-12)
+
+
+def test_northstar_scale_1m_mesh(mesh8):
+    """1M rows x 768d, k=100, int8 shards on the 8-device mesh — the
+    north-star scaling config's virtual-mesh correctness run (VERDICT r02
+    item 3; the real 10M-row single-chip numbers live in
+    tools/exp_northstar.py / ARCHITECTURE.md).  The fused kernel would run
+    in interpret mode on the CPU backend at this size, so the XLA
+    per-shard path is forced (use_pallas=False): under test is the
+    distributed machinery at real scale — host quantization, int8 shard
+    placement, per-shard dequantize + local top-k with global index
+    offsets, and the candidate merge."""
+    rng = np.random.default_rng(4242)
+    n, dim, m, k = 1_000_000, 768, 8, 100
+    # Blob structure like tools/exp_northstar.py: real neighbor structure,
+    # non-uniform per-shard hit counts (iid noise would spread winners
+    # evenly and never stress the merge with lopsided shards).  The noise
+    # block is tiled 8x to keep single-core generation under a minute;
+    # random center assignment keeps rows distinct in all but measure-zero
+    # collisions (and exact duplicates are themselves a tie-break case
+    # both paths must agree on).
+    centers = rng.standard_normal((256, dim)).astype(np.float32)
+    noise = rng.standard_normal((n // 8, dim), dtype=np.float32)
+    c = centers[rng.integers(0, 256, size=n)]
+    c += 0.6 * np.tile(noise, (8, 1))
+    del noise
+    q = centers[rng.integers(0, 256, size=m)]
+    q = q + 0.6 * rng.standard_normal(q.shape).astype(np.float32)
+
+    from polars_matmul_tpu.api.search import _quantize_rows_np
+
+    codes, scales = _quantize_rows_np(c)
+    cdeq = codes.astype(np.float32) * scales[:, None]
+
+    cfg = pmt.SearchConfig(use_pallas=False)
+    h = pmt.Corpus(c, storage="int8", mesh=mesh8, config=cfg)
+    del c
+    i1, v1 = h.topk(q, k, "cosine")
+    i0, v0 = pmt.topk(q, cdeq, k, "cosine", config=cfg)
+    assert i1.shape == (m, k)
+    # f32 accumulation-order differences across shard boundaries can swap
+    # near-ties; demand near-total index agreement and tight scores.
+    assert (i1 == i0).mean() > 0.97, (i1 == i0).mean()
+    np.testing.assert_allclose(v1, v0, rtol=2e-4, atol=2e-4)
