@@ -274,10 +274,12 @@ _MAX_FUSED_K = 1024
 
 
 def effective_k_pad(k: int, cfg) -> int:
-    """Carry/output lane width for this k: cfg.k_pad (default 128) covers
-    k <= 128; larger k auto-raises the width in whole 128-lane groups so
-    the fused path keeps serving up to _MAX_FUSED_K."""
-    return max(cfg.k_pad, _round_up(k, _LANES))
+    """Carry/output lane width for this k: cfg.k_pad (default 128) is
+    used verbatim while k fits it (including deliberately small widths —
+    tests and tuned configs pin them); beyond it the width auto-raises in
+    whole 128-lane groups so the fused path keeps serving up to
+    _MAX_FUSED_K."""
+    return cfg.k_pad if k <= cfg.k_pad else _round_up(k, _LANES)
 
 
 def max_fused_k(cfg) -> int:

@@ -781,6 +781,21 @@ class TestInt8Storage:
         ])
         assert recall > 0.95, recall
 
+    def test_bigk_stays_on_codes(self):
+        """128 < k <= 1024 on int8 storage runs the fused big-k path
+        (int8c gstack) straight from the codes — never a dense f32 view —
+        and matches the dequantized oracle."""
+        rng = np.random.default_rng(124)
+        q = rng.standard_normal((4, 32)).astype(np.float32)
+        c = rng.standard_normal((900, 32)).astype(np.float32)
+        h = pmt.Corpus(c, storage="int8")
+        i1, v1 = h.topk(q, 200, "cosine")
+        assert i1.shape == (4, 200)
+        i0, v0 = pmt.topk(q, self._dequant(c), 200, "cosine")
+        assert (i1 == i0).mean() > 0.97
+        np.testing.assert_allclose(v1, v0, rtol=2e-4, atol=2e-4)
+        assert h._f32_view is None  # the dense fallback view never built
+
     def test_dtype_contracts_and_fallbacks(self):
         rng = np.random.default_rng(123)
         q = rng.standard_normal((4, 16)).astype(np.float32)
@@ -1079,12 +1094,14 @@ class TestReviewRegressions:
         mesh = pmt.make_mesh(n_data=1, n_corpus=8)
         rng = np.random.default_rng(154)
         q = rng.standard_normal((3, 16)).astype(np.float32)
-        c = rng.standard_normal((2000, 16)).astype(np.float32)
+        # shards must exceed 1024 rows so k_local > max_fused_k actually
+        # diverts to the fallback (smaller k now stays fused, round 4)
+        c = rng.standard_normal((9600, 16)).astype(np.float32)
         h = pmt.Corpus(c, storage="int8", mesh=mesh)
-        h.topk(q, 200)                        # k > k_pad: fallback
+        h.topk(q, 1100)                       # k_local > 1024: fallback
         assert h._device._f32_view is not None
         view1 = h._device._f32_view
-        h.topk(q, 200)
+        h.topk(q, 1100)
         assert h._device._f32_view is view1   # built once, reused
 
 
@@ -1336,10 +1353,16 @@ class TestInt4Storage:
         i0, _ = pmt.topk(q, c, 10)
         rec = np.mean([len(set(i1[r]) & set(i0[r]))/10 for r in range(30)])
         assert rec > 0.7, rec
-        # dense fallback (k > k_pad) ranks the dequantized values
+        # 128 < k <= 1024 stays fused on the int4 codes (big-k gstack;
+        # near-tie index order may swap within the packed-bit truncation)
         i2, _ = h.topk(q, 200)
         i3, _ = pmt.topk(q, self._dequant(c), 200)
-        np.testing.assert_array_equal(i2, i3)
+        assert (i2 == i3).mean() > 0.97
+        # k past the fused ceiling: the dense fallback ranks the
+        # dequantized values bit-deterministically
+        i4, _ = h.topk(q, 1100)
+        i5, _ = pmt.topk(q, self._dequant(c), 1100)
+        np.testing.assert_array_equal(i4, i5)
         out = h.matmul(q[:3])
         np.testing.assert_allclose(out, q[:3] @ self._dequant(c).T,
                                    rtol=1e-4, atol=1e-4)

@@ -46,14 +46,33 @@ def gen_chunk(i, centers):
             + 0.6 * rng.standard_normal((CHUNK, DIM)).astype(np.float32))
 
 
+CORPUS_CACHE = "/tmp/northstar_corpus.npy"
+
+
 def gen_corpus():
+    """Deterministic 10M x 768 blob corpus; cached to disk so the later
+    stages (dense4, probed — each its own process) skip the ~20-minute
+    single-core regeneration."""
     centers = gen_centers()
-    c = np.empty((N, DIM), np.float32)
     t0 = time.time()
+    try:
+        c = np.load(CORPUS_CACHE, mmap_mode=None)
+        if c.shape == (N, DIM):
+            print(json.dumps({"tag": "gen-cached",
+                              "wall_s": round(time.time() - t0, 1)}),
+                  flush=True)
+            return c, centers
+    except (OSError, ValueError):
+        pass
+    c = np.empty((N, DIM), np.float32)
     for i in range(N // CHUNK):
         c[i * CHUNK:(i + 1) * CHUNK] = gen_chunk(i, centers)
     print(json.dumps({"tag": "gen", "wall_s": round(time.time() - t0, 1)}),
           flush=True)
+    try:
+        np.save(CORPUS_CACHE, c)
+    except OSError:
+        pass
     return c, centers
 
 
@@ -62,40 +81,42 @@ def gen_queries(m=256):
     rng = np.random.default_rng(777)
     ids = rng.integers(0, CENTERS, size=m)
     return (centers[ids]
-            + 0.6 * rng.standard_normal((m, DIM)).astype(np.float32))
+            + 0.6 * rng.standard_normal((m, DIM)).astype(np.float32)
+            ).astype(np.float32)
 
 
-def chain_ms(fn_step, q, jnp, jax, chain_lo=2, chain_hi=10, iters=3):
-    """Device ms/step by chain differencing (see utils/autotune)."""
-    @jax.jit
-    def f(qq, t):
-        qq = qq + t
+def chain_ms(fn_step, q, jnp, jax, extra=(), chain_lo=2, chain_hi=10,
+             iters=3):
+    """Device ms/step by chain differencing (see utils/autotune).
 
-        def body(i, qq):
-            return qq + fn_step(qq) * 1e-30
+    ``extra``: device operands (e.g. the prepared corpus) passed as REAL
+    jit arguments — closing over a multi-GB device array would bake it
+    into each executable as a lowering constant, and serializing that
+    through the RPC tunnel stalls for minutes per compile."""
+    def chained(n):
+        @jax.jit
+        def f(qq, t, *ex):
+            qq = qq + t
 
-        return jax.lax.fori_loop(0, chain_hi, body, qq)[0, 0]
+            def body(i, qq):
+                return qq + fn_step(qq, *ex) * 1e-30
 
-    @jax.jit
-    def f_lo(qq, t):
-        qq = qq + t
+            return jax.lax.fori_loop(0, n, body, qq)[0, 0]
 
-        def body(i, qq):
-            return qq + fn_step(qq) * 1e-30
+        return f
 
-        return jax.lax.fori_loop(0, chain_lo, body, qq)[0, 0]
-
+    f_lo, f_hi = chained(chain_lo), chained(chain_hi)
     tick = [0.0]
 
     def run(g):
         tick[0] += 1e-7
         t0 = time.time()
-        float(np.asarray(g(q, jnp.float32(tick[0]))))
+        float(np.asarray(g(q, jnp.float32(tick[0]), *extra)))
         return time.time() - t0
 
-    run(f_lo), run(f)  # compile both
+    run(f_lo), run(f_hi)  # compile both
     lo = min(run(f_lo) for _ in range(iters))
-    hi = min(run(f) for _ in range(iters))
+    hi = min(run(f_hi) for _ in range(iters))
     return (hi - lo) / (chain_hi - chain_lo) * 1e3
 
 
@@ -104,6 +125,7 @@ def stage_dense(storage):
     import jax.numpy as jnp
     import polars_matmul_tpu as pmt
     from polars_matmul_tpu.kernels.fused_topk import fused_topk_prepared
+    from polars_matmul_tpu.ops.metrics import Metric
 
     assert jax.default_backend() == "tpu"
     c, _ = gen_corpus()
@@ -114,21 +136,24 @@ def stage_dense(storage):
                       "wall_s": round(time.time() - t0, 1)}), flush=True)
     q = gen_queries(256)
 
-    cp, cbp, tn = corpus._prepared_for("cosine", K)
+    cp, cbp, tn = corpus._prepared_for(Metric.parse("cosine"), K)
     cp, cbp = jax.block_until_ready((cp, cbp))
     code_bytes = cp.size * cp.dtype.itemsize
-    cfg = corpus.config
+    # The prepared form is quantized codes: the kernel must run in the
+    # storage's precision mode, exactly as Corpus.topk derives it.
+    cfg = corpus.config.with_updates(
+        precision=corpus._effective_precision())
     for (m, k) in ((256, 100), (8, 100), (256, 10)):
         if storage == "int4" and (m, k) != (256, 100):
             continue
         qj = jax.block_until_ready(jnp.asarray(q[:m]))
 
-        def step(qq, k=k):
-            v, _ = fused_topk_prepared(qq, cp, cbp, k, "cosine", tn=tn,
+        def step(qq, cpx, cbx, k=k):
+            v, _ = fused_topk_prepared(qq, cpx, cbx, k, "cosine", tn=tn,
                                        config=cfg)
             return jnp.max(v, axis=1, keepdims=True)
 
-        ms = chain_ms(step, qj, jnp, jax)
+        ms = chain_ms(step, qj, jnp, jax, extra=(cp, cbp))
         floor = code_bytes / (HBM_GBPS * 1e9) * 1e3
         print(json.dumps({
             "tag": f"{storage}-k{k}-b{m}", "device_ms": round(ms, 3),
@@ -159,7 +184,8 @@ def stage_probed():
     print(json.dumps({"tag": "clustered-build",
                       "wall_s": round(time.time() - t0, 1),
                       "clusters": cc.clusters,
-                      "n_tiles": cc.layout.n_tiles}), flush=True)
+                      "n_tiles": int(cc.layout.tile_cluster.shape[0])}),
+          flush=True)
     for probe in (0.1, 0.25):
         t0 = time.time()
         idx, scores = cc.topk(q, K, "cosine", probe=probe)
