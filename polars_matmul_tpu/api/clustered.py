@@ -237,8 +237,12 @@ class ClusteredCorpus:
             self._scales = None
             with jax.enable_x64(False):
                 if storage in ("int8", "int4"):
-                    # Quantize on host (the upload then moves quantized
-                    # bytes) and permute the small code rows on device.
+                    # Quantize AND permute on host, then upload only the
+                    # final permuted codes: a device-side permute holds
+                    # source + gathered copies simultaneously (2x the
+                    # code bytes — an ingestion OOM at the 10M x 768
+                    # north-star scale, where 2 x 8.6 GB of padded codes
+                    # exceeds the 15.75 GB v5e HBM).
                     if storage == "int8":
                         codes, scales = _quantize_rows_np(cf)
                     else:
@@ -246,15 +250,13 @@ class ClusteredCorpus:
 
                         ck, dpp, _ = feature_geometry(self.dim)
                         codes, scales = _quantize_rows_int4_np(cf, ck, dpp)
-                    codes_d = _to_jax(codes, np.dtype(np.int8))
-                    scales_d = _to_jax(scales, np.dtype(np.float32))
-                    pj = self._perm_dev
-                    self._base = jax.block_until_ready(
-                        permute_rows(codes_d, pj))
-                    safe = jnp.clip(pj, 0, self.n - 1)
-                    self._scales = jax.block_until_ready(jnp.where(
-                        pj >= 0, jnp.take(scales_d, safe), 1.0
-                    ).astype(jnp.float32))
+                    safe = np.clip(perm, 0, self.n - 1)
+                    codes_p = codes[safe]
+                    codes_p[perm < 0] = 0
+                    scales_p = np.where(perm >= 0, scales[safe],
+                                        1.0).astype(np.float32)
+                    self._base = _to_jax(codes_p, np.dtype(np.int8))
+                    self._scales = _to_jax(scales_p, np.dtype(np.float32))
                 else:
                     base = permute_rows(_to_jax(cf, np.dtype(np.float32)),
                                         self._perm_dev)
@@ -553,6 +555,41 @@ class ClusteredCorpus:
         precision = self._effective_precision()
         key = (metric.value, precision)
         if key in self._prepared:
+            return self._prepared[key]
+
+        from ..kernels.fused_topk import feature_geometry
+
+        _, dpp, _ = feature_geometry(self.dim)
+        shareable = (precision == "int4c"
+                     or (precision == "int8c"
+                         and self._base.shape[1] == dpp))
+        if shareable:
+            # Shared storage: the permuted code buffer IS the prepared
+            # cp (int8/int4 prep never changes the codes), so only the
+            # (2, rows) scale|bias operand is computed — a jitted
+            # pass-through of the codes would COPY them, and two live
+            # 8.6 GB code copies OOM a v5e at the 10M x 768 north-star
+            # scale.  Interior cluster-tail slack is killed by the live
+            # mask (n_valid=rows: the suffix rule cannot see it).
+            # int4's packed (rows, dpp/2) buffer always matches the
+            # kernel contract; int8 shares only when dim is already a
+            # multiple of 128 (else the prep's feature padding needs the
+            # copying path below — small relative cost off the 128 grid).
+            from ..kernels.fused_topk import (prepare_int4_bias,
+                                              prepare_int8_bias)
+
+            bias_fn = (prepare_int4_bias if precision == "int4c"
+                       else prepare_int8_bias)
+
+            def prep_bias(base, live, scales):
+                cbp = bias_fn(base, scales, metric, base.shape[0])
+                bias = jnp.where(live, cbp[-1], -np.inf)[None, :]
+                return jnp.concatenate([cbp[:-1], bias], axis=0)
+
+            with jax.enable_x64(False):
+                cbp = jax.block_until_ready(jax.jit(prep_bias)(
+                    self._base, self._live_dev, self._scales))
+            self._prepared[key] = (self._base, cbp)
             return self._prepared[key]
 
         def prep(base, live, *rest):

@@ -142,15 +142,26 @@ def make_assigner(centroids):
 def assign_rows(c, centroids, *, chunk_rows: int = 65536) -> np.ndarray:
     """Nearest-centroid assignment of the FULL corpus, in row chunks (the
     transient (chunk, C) distance panel stays bounded regardless of n).
-    Returns host (n,) int32 — the layout builder is host-side anyway."""
+    Returns host (n,) int32 — the layout builder is host-side anyway.
+
+    A HOST corpus is sliced on host and uploaded one chunk at a time:
+    `jnp.asarray(c)` here once put the whole corpus on device, which is
+    exactly what chunking exists to avoid (a 10M x 768 f32 corpus is
+    28.6 GB — found as an ingestion OOM on a 15.75 GB v5e).  An already-
+    device-resident corpus keeps the on-device dynamic_slice path."""
     one = make_assigner(centroids)
-    c = jnp.asarray(c)
     n = c.shape[0]
+    on_host = not isinstance(c, jax.Array)
+    if not on_host:
+        c = jnp.asarray(c)
     out = np.empty(n, np.int32)
     row0 = 0
     while row0 < n:
         rows = min(chunk_rows, n - row0)
-        chunk = jax.lax.dynamic_slice_in_dim(c, row0, rows, axis=0)
+        if on_host:
+            chunk = np.ascontiguousarray(c[row0:row0 + rows])
+        else:
+            chunk = jax.lax.dynamic_slice_in_dim(c, row0, rows, axis=0)
         out[row0:row0 + rows] = np.asarray(one(chunk))
         row0 += rows
     return out

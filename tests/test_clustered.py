@@ -18,6 +18,8 @@ from polars_matmul_tpu.ops.cluster import (
     resolve_probe,
 )
 
+from conftest import assert_topk_equivalent
+
 CFG = SearchConfig(block_q=8, block_n=128)
 
 
@@ -216,8 +218,13 @@ class TestClusteredCorpus:
         ref = pmt.Corpus(c, config=CFG)
         ei, ev = cc.topk(q, 10, metric, probe=None)
         ri, rv = ref.topk(q, 10, metric)
-        np.testing.assert_array_equal(ei, ri)
-        np.testing.assert_allclose(ev, rv, rtol=1e-5, atol=1e-6)
+        # The default selection (gpop/gstack since round 3) packs the
+        # corpus-group id into the score's low mantissa bits, and the
+        # clustered handle scans a PERMUTED layout — so near-ties within
+        # the <=127-ulp truncation band may come back in either order
+        # (euclidean amplifies the band through the final sqrt when
+        # |2qc - |c||| is large).  Pair-consistent, not bit-identical.
+        assert_topk_equivalent(ei, ev, ri, rv, rtol=1e-4, atol=5e-4)
 
     @pytest.mark.parametrize("storage", ["f32", "bf16", "int8", "int4"])
     def test_matmul_matches_corpus_handle(self, storage):
@@ -524,8 +531,10 @@ class TestClusteredMesh:
         cs = pmt.ClusteredCorpus(c, clusters=12, config=CFG)
         mi, mv = cm.topk(q, 9, metric)
         si, sv = cs.topk(q, 9, metric)
-        np.testing.assert_array_equal(mi, si)
-        np.testing.assert_allclose(mv, sv, rtol=1e-5, atol=1e-6)
+        # Mesh handles stripe + dead-pad the layout, so the packed group
+        # bits differ from the single-device permutation: near-ties
+        # within the truncation band may swap (see the exhaustive test).
+        assert_topk_equivalent(mi, mv, si, sv, rtol=1e-4, atol=5e-4)
 
     def test_matmul_matches_oracle(self, mesh8):
         rng = np.random.default_rng(46)
@@ -624,13 +633,18 @@ class TestClusteredMesh:
             np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-2)
 
     def test_large_k_fallback_on_mesh(self, mesh8):
+        """k past the fused ceiling diverts to the exhaustive XLA
+        fallback, which ignores probe.  On a mesh the gate is the
+        SHARD-local k (min(k + pad, shard rows)), so shards must exceed
+        1024 rows for the fallback to fire — any smaller k (even above
+        k_pad, since round 4) stays fused and genuinely honors probe=."""
         rng = np.random.default_rng(46)
-        q, c = blobs(rng, 1200, 6, 16)
+        q, c = blobs(rng, 9600, 6, 16)
         cfg = SearchConfig(block_q=8, block_n=128, k_pad=16)
         cm = pmt.ClusteredCorpus(c, clusters=4, mesh=mesh8, config=cfg)
         ref = pmt.Corpus(c, config=cfg)
-        mi, mv = cm.topk(q, 50, "cosine", probe=1)  # probe ignored: exact
-        ri, rv = ref.topk(q, 50, "cosine")
+        mi, mv = cm.topk(q, 1100, "cosine", probe=1)  # probe ignored
+        ri, rv = ref.topk(q, 1100, "cosine")
         np.testing.assert_array_equal(mi, ri)
 
 
