@@ -24,6 +24,20 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _drop_jax_caches_between_modules():
+    """Clear jax's compilation caches at each module boundary.
+
+    The full suite compiles thousands of distinct executables on the
+    8-virtual-device CPU backend; letting them accumulate in one process
+    ended in a segfault inside XLA:CPU's compiler (~test #340 of 378,
+    reproducibly, in whatever test happened to compile next — round 4).
+    Per-module clearing bounds the live-executable count; recompiles
+    within a module still amortize."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

@@ -144,7 +144,7 @@ def stage_dense(storage):
     cfg = corpus.config.with_updates(
         precision=corpus._effective_precision())
     for (m, k) in ((256, 100), (8, 100), (256, 10)):
-        if storage == "int4" and (m, k) != (256, 100):
+        if storage == "int4" and (m, k) == (256, 10):
             continue
         qj = jax.block_until_ready(jnp.asarray(q[:m]))
 
