@@ -90,6 +90,25 @@ def main() -> None:
         # holds the full answer and verifies it independently.
         check(v, i, merge)
 
+    # ---- big-k (k > 128, round 4) across processes -------------------------
+    # Shard kernels clamp to shard size; what big-k exercises here is the
+    # merge re-select with the auto-raised carry width on a mesh that
+    # spans processes.
+    kb = 150
+    refb_idx = np.argsort(-s, axis=1, kind="stable")[:, :kb]
+    refb_val = np.take_along_axis(s, refb_idx, 1)
+    cfgb = SearchConfig()
+    shardedb = pmt.shard_corpus(c, mesh, cfgb)
+    vb, ib = pmt.distributed_topk(qj, shardedb, kb, "cosine", mesh, cfgb)
+    vb = np.asarray(vb).astype(np.float64)
+    ib = np.asarray(ib)
+    assert np.allclose(vb, refb_val, rtol=2e-5, atol=8e-6), (
+        f"bigk: scores diverge (max err {np.abs(vb - refb_val).max():.2e})")
+    mismb = ib != refb_idx
+    assert np.all(np.abs(vb[mismb] - refb_val[mismb])
+                  <= 8e-6 + 2e-5 * np.abs(refb_val[mismb])), \
+        "bigk: index mismatch without score tie"
+
     # ---- int8 shared-storage shards on the spanning mesh ------------------
     # (VERDICT r02 item 7: the multi-host matrix covered only f32.)  The
     # oracle is exact search over the DEQUANTIZED rows — quantization error

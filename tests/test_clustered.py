@@ -1191,8 +1191,12 @@ class TestReserveTilesMesh:
         ref = pmt.Corpus(np.vstack([c, extra]), config=CFG)
         i1, v1 = cm.topk(q, 6)
         i2, v2 = ref.topk(q, 6)
-        np.testing.assert_array_equal(i1, i2)
-        np.testing.assert_allclose(v1, v2, rtol=1e-4, atol=1e-5)
+        # Tight blobs put same-cluster neighbors within ulps of each
+        # other in cosine; the permuted/striped layouts pack different
+        # group bits, so such near-ties may come back rotated — demand
+        # pair-consistency, not bit-equality (same contract as the
+        # exhaustive tests above).
+        assert_topk_equivalent(i1, v1, i2, v2, rtol=1e-4, atol=1e-5)
         # probed search sees the claimed tiles (tc_sharded refreshed):
         # queries near center 0 find the added rows under a tight probe
         pi, _ = cm.topk(q[:4], 8, "euclidean", probe=3)
