@@ -873,3 +873,30 @@ class TestBigK:
         v0, i0 = topk_search(q, c, 150, "dot")
         assert_topk_equivalent(np.asarray(i1), np.asarray(v1),
                                np.asarray(i0), np.asarray(v0))
+
+    def test_bigk_masked_underfilled_slots(self):
+        """Fewer matching rows than k at k > 128: every unfilled slot
+        must carry the (-inf, int32-max) sentinels, on both big-k
+        routes (gstack fires its detection when the k-th best is dead
+        and re-runs extract; extract emits sentinels directly)."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(204)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        c = rng.standard_normal((3000, 16)).astype(np.float32)
+        mask = np.zeros(3000, bool)
+        live = rng.choice(3000, size=40, replace=False)
+        mask[live] = True
+        for sel in ("gstack", "extract"):
+            v, i = fused_topk(q, c, 200, "dot", mask=mask,
+                              config=SearchConfig(selection=sel),
+                              interpret=True)
+            v, i = np.asarray(v), np.asarray(i)
+            assert (np.isin(i[:, :40], live)).all(), sel
+            assert (i[:, 40:] == np.iinfo(np.int32).max).all(), sel
+            assert np.isneginf(v[:, 40:]).all(), sel
+            v0, i0 = topk_search(q, c, 200, "dot", mask=jnp.asarray(mask))
+            # raw-dot scores are not unit scale: bf16x3's absolute error
+            # grows with |score| (same scaling as the fuzz test)
+            assert_topk_equivalent(i, v, np.asarray(i0), np.asarray(v0),
+                                   rtol=2e-4, atol=1e-4)
