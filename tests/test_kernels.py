@@ -900,3 +900,48 @@ class TestBigK:
             # grows with |score| (same scaling as the fuzz test)
             assert_topk_equivalent(i, v, np.asarray(i0), np.asarray(v0),
                                    rtol=2e-4, atol=1e-4)
+
+    def test_bigk_fuzz(self):
+        """Randomized big-k coverage: shapes off the tile grid, every
+        metric, both routes, duplicates and zero rows sprinkled in."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(205)
+        metrics = ["cosine", "dot", "euclidean"]
+        for trial in range(6):
+            n = int(rng.integers(300, 4000))
+            d = int(rng.integers(8, 96))
+            m = int(rng.integers(1, 12))
+            k = int(rng.integers(129, min(n, 1024) + 1))
+            metric = metrics[trial % 3]
+            sel = ("auto", "extract", "gstack")[trial % 3]
+            q = rng.standard_normal((m, d)).astype(np.float32)
+            c = rng.standard_normal((n, d)).astype(np.float32)
+            c[n // 2] = c[0]
+            c[-1] = 0.0
+            mask = None
+            if trial % 2:
+                mask = rng.random(n) < 0.8
+                mask[rng.choice(n, size=min(k, n), replace=False)] = True
+            try:
+                v1, i1 = fused_topk(q, c, k, metric, mask=mask,
+                                    config=SearchConfig(selection=sel),
+                                    interpret=True)
+            except ValueError:
+                # explicit gstack outside its envelope (e.g. depth-capped
+                # geometry) legitimately refuses; auto never does
+                assert sel == "gstack"
+                continue
+            mk = None if mask is None else jnp.asarray(mask)
+            v0, i0 = topk_search(q, c, k, metric, mask=mk)
+            try:
+                # big-k draws m*k score samples (thousands), so the
+                # bf16x3 sqrt(d)-scaled absolute tail needs more room
+                # than the small-k fuzz's 8e-6 multiplier
+                assert_topk_equivalent(
+                    np.asarray(i1), np.asarray(v1), np.asarray(i0),
+                    np.asarray(v0), rtol=2e-4, atol=8e-6 + 2e-5 * d ** 0.5)
+            except AssertionError as e:
+                raise AssertionError(
+                    f"trial {trial}: m={m} n={n} d={d} k={k} {metric} "
+                    f"{sel}: {e}") from e
