@@ -32,6 +32,7 @@ from ..ops.metrics import Metric
 from ..ops.cluster import (
     ClusterLayout,
     assign_rows,
+    assign_rows_native,
     cluster_layout,
     kmeans,
     make_assigner,
@@ -209,8 +210,28 @@ class ClusteredCorpus:
                                  sample_rows, kmeans_iters, seed)
         self.centroids = cent  # (clusters, dim) f32, device
         self.clusters = int(cent.shape[0])  # kmeans clamps to sample size
+        codes = scales = None
         with jax.enable_x64(False):
-            assign = assign_rows(cf, cent)
+            if storage in ("int8", "int4"):
+                # Quantize BEFORE assignment so the chunked assignment
+                # uploads the codes (needed anyway), not f32 chunks —
+                # host->device traffic is what ingestion waits on at
+                # corpus scale (10M x 768: 30 GB of f32 assignment
+                # chunks vs 7.7 GB of codes).  Assignment on the
+                # dequantized rows places each row where its SERVED
+                # value lives — if anything a closer fit than the exact
+                # f32 row.
+                if storage == "int8":
+                    codes, scales = _quantize_rows_np(cf)
+                else:
+                    from ..kernels.fused_topk import feature_geometry
+
+                    ck, dpp, _ = feature_geometry(self.dim)
+                    codes, scales = _quantize_rows_int4_np(cf, ck, dpp)
+                assign = assign_rows_native(codes, scales, cent, storage,
+                                            self.dim)
+            else:
+                assign = assign_rows(cf, cent)
         self.layout: ClusterLayout = cluster_layout(
             assign, self.clusters, self._tn)
         # Dead-tile reserve for in-place growth: ``reserve_tiles`` empty
@@ -227,7 +248,7 @@ class ClusteredCorpus:
 
         if mesh is not None:
             self._align_layout_for_mesh()
-            self._install_mesh_base(cf)
+            self._install_mesh_base(cf, codes=codes, scales=scales)
         else:
             # --- permuted device base in storage-native form ------------
             perm = self.layout.perm
@@ -237,19 +258,13 @@ class ClusteredCorpus:
             self._scales = None
             with jax.enable_x64(False):
                 if storage in ("int8", "int4"):
-                    # Quantize AND permute on host, then upload only the
-                    # final permuted codes: a device-side permute holds
-                    # source + gathered copies simultaneously (2x the
-                    # code bytes — an ingestion OOM at the 10M x 768
-                    # north-star scale, where 2 x 8.6 GB of padded codes
-                    # exceeds the 15.75 GB v5e HBM).
-                    if storage == "int8":
-                        codes, scales = _quantize_rows_np(cf)
-                    else:
-                        from ..kernels.fused_topk import feature_geometry
-
-                        ck, dpp, _ = feature_geometry(self.dim)
-                        codes, scales = _quantize_rows_int4_np(cf, ck, dpp)
+                    # Permute the codes on host (quantized above, before
+                    # assignment), then upload only the final permuted
+                    # buffer: a device-side permute holds source +
+                    # gathered copies simultaneously (2x the code bytes
+                    # — an ingestion OOM at the 10M x 768 north-star
+                    # scale, where 2 x 8.6 GB of padded codes exceeds
+                    # the 15.75 GB v5e HBM).
                     safe = np.clip(perm, 0, self.n - 1)
                     codes_p = codes[safe]
                     codes_p[perm < 0] = 0
@@ -448,10 +463,11 @@ class ClusteredCorpus:
         self.layout = ClusterLayout(perm, row_pos, tcl, lay.counts, tn)
         return gather
 
-    def _install_mesh_base(self, cf: np.ndarray):
+    def _install_mesh_base(self, cf: np.ndarray, codes=None, scales=None):
         """Host-permute into the clustered layout, storage-native
         (quantization runs on host, so the upload moves quantized
-        bytes), then install."""
+        bytes), then install.  ``codes``/``scales`` reuse a quantization
+        already done for assignment (constructor path)."""
         perm = self.layout.perm
         live = perm >= 0
         src = perm[live]
@@ -461,10 +477,11 @@ class ClusteredCorpus:
             from ..kernels.fused_topk import feature_geometry
 
             ck, dpp, _ = feature_geometry(self.dim)
-            if self.storage == "int8":
-                codes, scales = _quantize_rows_np(cf)
-            else:
-                codes, scales = _quantize_rows_int4_np(cf, ck, dpp)
+            if codes is None:
+                if self.storage == "int8":
+                    codes, scales = _quantize_rows_np(cf)
+                else:
+                    codes, scales = _quantize_rows_int4_np(cf, ck, dpp)
             base = np.zeros((n_padded, codes.shape[1]), np.int8)
             base[live] = codes[src]
             scales_np = np.ones(n_padded, np.float32)
@@ -1228,16 +1245,22 @@ class ClusteredCorpus:
             sample_rows, kmeans_iters, seed)
         self.centroids = cent
         self.clusters = int(cent.shape[0])  # kmeans clamps to sample size
-        assign = np.empty(n, np.int32)
         with jax.enable_x64(False):
-            one = make_assigner(cent)
-            chunk = 65536
-            for r0 in range(0, n, chunk):
-                rows = slice(r0, min(r0 + chunk, n))
-                assign[rows] = np.asarray(one(
-                    deq(orig[rows],
-                        None if orig_scales is None
-                        else orig_scales[rows])))
+            if self.storage in ("int8", "int4"):
+                # upload the native codes for assignment (4-8x less
+                # traffic than dequantized f32 chunks); dequant on device
+                assign = assign_rows_native(orig, orig_scales, cent,
+                                            self.storage, self.dim)
+            else:
+                assign = np.empty(n, np.int32)
+                one = make_assigner(cent)
+                chunk = 65536
+                for r0 in range(0, n, chunk):
+                    rows = slice(r0, min(r0 + chunk, n))
+                    assign[rows] = np.asarray(one(
+                        deq(orig[rows],
+                            None if orig_scales is None
+                            else orig_scales[rows])))
         self.layout = cluster_layout(assign, self.clusters, self._tn)
 
         # -- permute the NATIVE rows into the new layout ------------------

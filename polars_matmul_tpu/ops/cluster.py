@@ -139,6 +139,45 @@ def make_assigner(centroids):
     return one
 
 
+def make_assigner_native(centroids, storage: str, dim: int):
+    """Chunk assigner over STORAGE-NATIVE rows (int8 codes or int4
+    nibble-packed) + per-row scales, dequantized ON DEVICE.  Chunked
+    assignment then uploads quantized bytes — 4x (int8) / 8x (int4)
+    less host->device traffic than f32 chunks, which dominates
+    corpus-scale ingestion through a remote transport (the 10M x 768
+    north-star build moved 30 GB of f32 just to assign clusters)."""
+    cent = jnp.asarray(centroids, jnp.float32)
+    csq = jnp.sum(cent * cent, axis=1)[None, :]
+
+    @jax.jit
+    def one(rows, scales):
+        if storage == "int4":
+            from ..kernels.fused_topk import dequant_int4
+
+            x = dequant_int4(rows, scales, dim)
+        else:
+            x = rows.astype(jnp.float32) * scales[:, None]
+        d = -2.0 * (x @ cent.T) + csq
+        return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+    return one
+
+
+def assign_rows_native(codes, scales, centroids, storage: str, dim: int,
+                       *, chunk_rows: int = 65536) -> np.ndarray:
+    """assign_rows over quantized host rows: host-sliced chunks, device
+    dequant + nearest-centroid.  Returns host (n,) int32."""
+    one = make_assigner_native(centroids, storage, dim)
+    n = codes.shape[0]
+    out = np.empty(n, np.int32)
+    for r0 in range(0, n, chunk_rows):
+        sl = slice(r0, min(r0 + chunk_rows, n))
+        out[sl] = np.asarray(one(
+            np.ascontiguousarray(codes[sl]),
+            np.ascontiguousarray(scales[sl], dtype=np.float32)))
+    return out
+
+
 def assign_rows(c, centroids, *, chunk_rows: int = 65536) -> np.ndarray:
     """Nearest-centroid assignment of the FULL corpus, in row chunks (the
     transient (chunk, C) distance panel stays bounded regardless of n).
