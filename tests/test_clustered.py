@@ -1202,3 +1202,34 @@ class TestReserveTilesMesh:
         pi, _ = cm.topk(q[:4], 8, "euclidean", probe=3)
         ri, _ = ref.topk(q[:4], 8, "euclidean")
         assert recall(pi, ri) > 0.8
+
+
+def test_probed_bigk_raised_carry():
+    """128 < k <= 1024 on the probed path (round 4): the scalar-prefetch
+    tile walk runs extract with the auto-raised carry width.  Exhaustive
+    matches Corpus; a tight probe returns exact results over the visited
+    tiles with sentinels for slots it cannot fill."""
+    rng = np.random.default_rng(300)
+    q, c = blobs(rng, 4000, 8, 24)
+    cc = pmt.ClusteredCorpus(c, clusters=8, config=CFG)
+    ref = pmt.Corpus(c, config=CFG)
+    k = 200
+    ei, ev = cc.topk(q, k, "cosine", probe=None)
+    ri, rv = ref.topk(q, k, "cosine")
+    assert_topk_equivalent(ei, ev, ri, rv, rtol=1e-4, atol=5e-4)
+    # tight probe: one tile per block = at most CFG.block_n=128 real
+    # rows per query; the rest of the k slots must carry sentinels
+    pi, pv = cc.topk(q, k, "cosine", probe=1)
+    assert pi.shape == (q.shape[0], k)
+    big = np.iinfo(np.int32).max
+    assert (pi[:, CFG.block_n:] == big).all()
+    assert np.isneginf(pv[:, CFG.block_n:]).all()
+    # the filled slots are exact over the visited tiles: every returned
+    # real (index, score) pair appears identically in the exhaustive run
+    for r in range(q.shape[0]):
+        real = pi[r] != big
+        returned = dict(zip(pi[r][real].tolist(), pv[r][real].tolist()))
+        full = dict(zip(ri[r].tolist(), rv[r].tolist()))
+        for idx_, v_ in returned.items():
+            if idx_ in full:
+                assert abs(full[idx_] - v_) <= 5e-4
