@@ -1233,3 +1233,22 @@ def test_probed_bigk_raised_carry():
         for idx_, v_ in returned.items():
             if idx_ in full:
                 assert abs(full[idx_] - v_) <= 5e-4
+
+
+def test_mesh_probed_bigk(mesh8):
+    """128 < k <= 1024 on the MESH probed path: per-shard raised-carry
+    extract over each shard's tile list + the candidate merge."""
+    rng = np.random.default_rng(301)
+    q, c = blobs(rng, 6000, 6, 24)
+    cm = pmt.ClusteredCorpus(c, clusters=8, mesh=mesh8, config=CFG)
+    cs = pmt.ClusteredCorpus(c, clusters=8, config=CFG)
+    k = 160
+    mi, mv = cm.topk(q, k, "cosine")          # exhaustive on the mesh
+    si, sv = cs.topk(q, k, "cosine")
+    assert_topk_equivalent(mi, mv, si, sv, rtol=1e-4, atol=5e-4)
+    # probed on the mesh: generous per-shard budget -> high recall vs
+    # the single-device exhaustive truth
+    pi, _ = cm.topk(q, k, "cosine", probe=0.8)
+    hits = np.mean([len(set(pi[r].tolist()) & set(si[r].tolist())) / k
+                    for r in range(q.shape[0])])
+    assert hits > 0.9, hits
