@@ -1,9 +1,10 @@
 # polars-matmul-tpu build/test/bench entry points
 .PHONY: native test test-fast bench bench-gate clean
 
-# Pinned TPU perf gates (round-3 v5e measurements + ~40% regression
-# headroom; the gates only bite when the backend is a real TPU).
-# Round-3: k=10 gpop 0.12-0.14 ms, k=100 gstack+approx finish 0.27-0.28.
+# Pinned TPU perf gates (v5e measurements + ~40% regression headroom;
+# the gates only bite when the backend is a real TPU).
+# Round-4 measured bands: k=10 gpop 0.125-0.136 ms, k=100 gstack+approx
+# finish 0.268-0.275 (k=512 big-k runs 0.55, ungated).
 # Update when bench.py's device_kernel_ms / device_kernel_k100_ms improve.
 GATE_K10_MS ?= 0.20
 GATE_K100_MS ?= 0.40
