@@ -1295,6 +1295,26 @@ class TestTraceableOps:
         i0, v0 = pmt.topk(emb, np.asarray(c), 5)
         np.testing.assert_array_equal(np.asarray(i), i0)
 
+    def test_topk_jax_bigk_inside_user_jit(self):
+        """128 < k <= 1024 composes under an outer jit too: the big-k
+        gstack build, its XLA finish, and the lax.cond exact re-run all
+        trace (round 4)."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(193)
+        c = jnp.asarray(rng.standard_normal((900, 24)).astype(np.float32))
+
+        @jax.jit
+        def search(q, c):
+            return pmt.topk_jax(q, c, 200, "cosine")
+
+        q = jnp.asarray(rng.standard_normal((4, 24)).astype(np.float32))
+        v, i = search(q, c)
+        assert v.shape == (4, 200) and i.shape == (4, 200)
+        i0, v0 = pmt.topk(np.asarray(q), np.asarray(c), 200)
+        assert (np.asarray(i) == i0).mean() > 0.97
+
     def test_matmul_jax_grad_flows(self):
         # the dense op is differentiable — usable inside training losses
         import jax
