@@ -1,13 +1,17 @@
 # polars-matmul-tpu build/test/bench entry points
 .PHONY: native test test-fast bench bench-gate clean
 
-# Pinned TPU perf gates (v5e measurements + ~40% regression headroom;
+# Pinned TPU perf gates (v5e measurements + ~25% regression headroom;
 # the gates only bite when the backend is a real TPU).
 # Round-4 measured bands: k=10 gpop 0.125-0.136 ms, k=100 gstack+approx
-# finish 0.268-0.275 (k=512 big-k runs 0.55, ungated).
-# Update when bench.py's device_kernel_ms / device_kernel_k100_ms improve.
-GATE_K10_MS ?= 0.20
-GATE_K100_MS ?= 0.40
+# finish 0.268-0.275, k=512 big-k 0.54-0.56, exact-f32 tier 0.195-0.205.
+# Update when bench.py's device_kernel*_ms numbers improve; VERDICT r04
+# weak #4: slack gates let round-2's 0.275->0.328 regression through, so
+# keep headroom tight (~25%, just above the ±10% chain-timing noise band).
+GATE_K10_MS ?= 0.17
+GATE_K100_MS ?= 0.33
+GATE_K512_MS ?= 0.70
+GATE_HIGHEST_MS ?= 0.26
 
 native: polars_matmul_tpu/interop/_pmm_native.so
 
@@ -22,10 +26,12 @@ test: native
 bench: native
 	python bench.py
 
-# Regression guard for CI-on-TPU: fails (exit 2) when the device kernel
-# time exceeds the pinned thresholds at k=10 or k=100.
+# Regression guard for CI-on-TPU: fails (exit 2) when any measured
+# device kernel time exceeds its pinned threshold (k=10, k=100, big-k
+# k=512, exact-f32 tier).
 bench-gate: native
-	python bench.py --gate $(GATE_K10_MS) --gate-k100 $(GATE_K100_MS)
+	python bench.py --gate $(GATE_K10_MS) --gate-k100 $(GATE_K100_MS) \
+	  --gate-k512 $(GATE_K512_MS) --gate-highest $(GATE_HIGHEST_MS)
 
 clean:
 	rm -f polars_matmul_tpu/interop/_pmm_native.so

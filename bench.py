@@ -319,22 +319,23 @@ def main():
                           "default_device_kernel_ms": round(kernel_ms, 3)}),
               file=sys.stderr)
 
-    # Regression gates (VERDICT r01 item 5): `--gate MS` pins the k=10
-    # device kernel time, `--gate-k100 MS` the k=100 one.  `make bench-gate`
-    # runs both with the pinned round numbers.
+    # Regression gates (VERDICT r01 item 5, r04 item 6): `--gate MS` pins
+    # the k=10 device kernel time; `--gate-k100`, `--gate-k512`, and
+    # `--gate-highest` pin the other three measured tiers.  `make
+    # bench-gate` runs all four with the pinned round numbers.
     failed = False
-    if "--gate" in sys.argv:
-        limit = float(sys.argv[sys.argv.index("--gate") + 1])
-        if backend == "tpu" and kernel_ms > limit:
-            print(f"PERF GATE FAILED: device_kernel_ms {kernel_ms:.3f} > "
-                  f"{limit}", file=sys.stderr)
-            failed = True
-    if "--gate-k100" in sys.argv:
-        limit = float(sys.argv[sys.argv.index("--gate-k100") + 1])
-        if backend == "tpu" and k100_ms > limit:
-            print(f"PERF GATE FAILED: device_kernel_k100_ms {k100_ms:.3f} > "
-                  f"{limit}", file=sys.stderr)
-            failed = True
+    for flag, name, measured in (
+        ("--gate", "device_kernel_ms", kernel_ms),
+        ("--gate-k100", "device_kernel_k100_ms", k100_ms),
+        ("--gate-k512", "device_kernel_k512_ms", k512_ms),
+        ("--gate-highest", "device_kernel_highest_ms", highest_ms),
+    ):
+        if flag in sys.argv:
+            limit = float(sys.argv[sys.argv.index(flag) + 1])
+            if backend == "tpu" and measured > limit:
+                print(f"PERF GATE FAILED: {name} {measured:.3f} > {limit}",
+                      file=sys.stderr)
+                failed = True
     if failed:
         sys.exit(2)
 
