@@ -91,6 +91,14 @@ class SearchConfig:
     prune: str = "auto"
     # Use the Pallas kernel when possible; False forces the XLA lax.top_k path.
     use_pallas: bool = True
+    # Let an all-defaults dispatch adopt the persisted autotune winner for
+    # this (device kind, problem class) when one exists (see
+    # utils.autotune.cached_winner): run pmt.autotune(...) once on a new
+    # TPU generation and every later default-config call uses the measured
+    # winner instead of the v5e regime map.  Any explicitly pinned tuning
+    # field (tiling/selection/precision/prune) disables consultation for
+    # that call; False disables it outright.
+    use_autotune_cache: bool = True
     # Above this dim the fused kernel runs K-chunked (third grid axis,
     # partial dots accumulated in VMEM) — correct at any dim, but measured
     # slower than the XLA fallback at high dim (see kernels.fused_topk

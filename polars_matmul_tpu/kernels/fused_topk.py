@@ -2061,6 +2061,32 @@ def fused_topk_prepared(
     return vals, idx
 
 
+# Tuning fields a cached autotune winner may override on an all-defaults
+# dispatch (mirrors utils.autotune._CFG_FIELDS).
+_TUNED_FIELDS = ("block_q", "block_n", "k_pad", "selection", "auto_tile",
+                 "precision", "prune")
+
+
+def _consult_autotune_cache(cfg: SearchConfig, dim: int, k: int, n: int,
+                            metric) -> SearchConfig:
+    """Adopt the persisted autotune winner's tuning fields when the caller
+    left every one of them at its compiled default (VERDICT r04 item 7:
+    the v5e regime map should yield to a measured winner on other device
+    kinds).  Any explicit pin — or use_autotune_cache=False — wins."""
+    if not cfg.use_autotune_cache:
+        return cfg
+    base = SearchConfig()
+    if any(getattr(cfg, f) != getattr(base, f) for f in _TUNED_FIELDS):
+        return cfg
+    from ..utils.autotune import cached_winner
+
+    win = cached_winner(dim, k, n, metric, cfg.precision)
+    if win is None:
+        return cfg
+    return cfg.with_updates(
+        **{f: getattr(win, f) for f in _TUNED_FIELDS})
+
+
 def fused_topk(
     q: jax.Array,
     c: jax.Array,
@@ -2081,6 +2107,7 @@ def fused_topk(
     """
     cfg = resolve(config)
     metric = Metric.parse(metric)
+    cfg = _consult_autotune_cache(cfg, q.shape[1], k, c.shape[0], metric)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 

