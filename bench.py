@@ -30,6 +30,7 @@ Self-verifies indices/scores against the NumPy oracle before timing
 """
 
 import json
+import os
 import sys
 import time
 
@@ -39,11 +40,27 @@ import numpy as np
 # (regression guard for future rounds; the driver's normal run passes no args).
 
 N_QUERIES, N_CORPUS, DIM, K = 1000, 10_000, 256, 10
-# Measured 1-level selection floor on this workload (tools/exp_floor.py).
-SELECTION_FLOOR_MS = 0.107
 BATCH = 16  # stacked 1000-query requests per call for tunnel e2e throughput
 BASELINE_S = 0.045  # reference fused topk, README.md:166
 BASELINE_QPS = N_QUERIES / BASELINE_S
+
+
+def _load_floors(device_kind: str):
+    """Measured per-k selection floors from tools/floors.json (written by
+    tools/exp_floor.py — VERDICT r04 item 5: the floor constants carry
+    their provenance instead of living here as hardcoded numbers).
+    Returns None when absent or measured on a different device kind, so a
+    stale artifact silently omits the fractions rather than lying."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "floors.json")
+    try:
+        with open(path) as f:
+            floors = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if floors.get("device_kind") != device_kind:
+        return None
+    return floors
 
 
 def numpy_oracle(q, c, k):
@@ -187,6 +204,79 @@ def main():
 
     rpc_floor_ms = best_ms(floor_call)
 
+    # ---- serial phase attribution (VERDICT r04 item 3) ---------------------
+    # serial_ms = RPC floor + query upload + dispatch + kernel + result
+    # readback + host-side packing.  Each phase is probed with the same
+    # call anatomy as serial_call and reported net of the floor, so the
+    # drift (25.4 -> 34.3 ms across r2 -> r4) has an owner.
+    #
+    # upload: the full 1 MB query payload, a trivial kernel, a 4-byte
+    # readback — floor anatomy with the serial call's host->device bytes.
+    @jax.jit
+    def touch(x):
+        return x[:1, :1] + 1.0
+
+    def upload_call():
+        np.asarray(touch(jnp.asarray(fresh_queries())))
+
+    upload_ms = max(best_ms(upload_call) - rpc_floor_ms, 0.0)
+
+    # readback: the packed (m, 2k) result transfer.  jax Arrays memoize
+    # np.asarray after the first fetch, so each buffer is fetched exactly
+    # once: drain the stream via the LAST result, then time first-touch
+    # fetches of the completed earlier ones (pure transfer).
+    rs = [step_packed(jnp.asarray(fresh_queries())) for _ in range(8)]
+    np.asarray(rs[-1])  # stream is in-order: this drains all 8
+    fetch_ts = []
+    for r in rs[:-1]:
+        t0 = time.perf_counter()
+        np.asarray(r)
+        fetch_ts.append(time.perf_counter() - t0)
+    readback_ms = max(min(fetch_ts) * 1e3 - rpc_floor_ms, 0.0)
+
+    # host: the python/numpy work inside the timed region (query-batch
+    # build + result unpack), no device involved.
+    t0 = time.perf_counter()
+    for _ in range(8):
+        fresh_queries()
+    host_ms = (time.perf_counter() - t0) / 8 * 1e3
+    sample = np.asarray(rs[0])
+    t0 = time.perf_counter()
+    for _ in range(8):
+        _unpack_pair(sample, K)
+    host_ms += (time.perf_counter() - t0) / 8 * 1e3
+
+    # ---- half-precision query upload (serving tier, TPU only) --------------
+    # Corpus.topk documents f16/bf16 query ingestion (upcast on device,
+    # kernels/fused_topk.py::fused_topk_prepared): the wire payload
+    # halves.  Scores move by the bf16 rounding of the QUERIES only
+    # (~2^-8 relative) — a documented serving trade, reported as its own
+    # field, never as the primary serial number.
+    serial_bf16_ms = None
+    if is_tpu:
+        import ml_dtypes
+
+        from polars_matmul_tpu.kernels.fused_topk import (
+            corpus_tile_rows, fused_topk_prepared, prepare_corpus)
+
+        tn16 = corpus_tile_rows(DIM, cfg, K)
+        cp16, cbp16 = jax.block_until_ready(
+            prepare_corpus(cj, "cosine", tn=tn16, precision=cfg.precision))
+
+        @jax.jit
+        def step_packed16(qq, cp_, cb_):
+            v, i = fused_topk_prepared(qq, cp_, cb_, K, "cosine",
+                                       tn=tn16, config=cfg)
+            return _pack_pair(v, i)
+
+        def serial16_call():
+            q16 = fresh_queries().astype(ml_dtypes.bfloat16)
+            _unpack_pair(
+                np.asarray(step_packed16(jnp.asarray(q16), cp16, cbp16)),
+                K)
+
+        serial_bf16_ms = best_ms(serial16_call)
+
     # ---- tunnel end-to-end throughput: one STACKED batch per call ----------
     # The tunnel serializes RPCs (pipelined requests do not overlap), so the
     # serving-throughput mode here is batch accumulation: BATCH concurrent
@@ -270,6 +360,17 @@ def main():
         "vs_baseline_serial_net": round(
             (N_QUERIES / (max(serial_ms - rpc_floor_ms, 1e-6) / 1e3))
             / BASELINE_QPS, 3),
+        # net-of-floor phase breakdown of the serial call (VERDICT r04
+        # item 3): upload = the 1 MB query payload's transfer, readback =
+        # the packed result's, host = python/numpy batch build + unpack,
+        # dispatch_residual = what's left after those and the kernel —
+        # per-call framework/tunnel overhead not explained by payload.
+        "serial_upload_ms": round(upload_ms, 2),
+        "serial_readback_ms": round(readback_ms, 2),
+        "serial_host_ms": round(host_ms, 2),
+        "serial_dispatch_residual_ms": round(
+            max(serial_ms - rpc_floor_ms - upload_ms - readback_ms
+                - host_ms - kernel_ms, 0.0), 2),
         # batch-accumulation serving (BATCH stacked requests per call)
         # vs the same single-call baseline — amortizes the RPC floor,
         # so it is a throughput comparison, not a latency one
@@ -282,20 +383,36 @@ def main():
         "kernel_gflops": round(roof["achieved_gflops"], 1),
         "backend": backend,
     }
+    if serial_bf16_ms is not None:
+        out["serial_latency_bf16q_ms"] = round(serial_bf16_ms, 2)
+        out["serial_bf16q_net_of_rpc_ms"] = round(
+            max(serial_bf16_ms - rpc_floor_ms, 0.0), 2)
+        out["vs_baseline_serial_bf16q_net"] = round(
+            (N_QUERIES / (max(serial_bf16_ms - rpc_floor_ms, 1e-6) / 1e3))
+            / BASELINE_QPS, 3)
     if "fraction_of_peak" in roof:
-        out["kernel_fraction_of_mxu_peak"] = round(
-            roof["fraction_of_peak"], 4
-        )
+        # ONE denominator (VERDICT r04 weak #2): the fraction of the
+        # 197 TF/s v5e bf16 MXU peak the kernel keeps busy, counting the
+        # bf16x3 precision contract's real 3 passes — equivalently,
+        # nominal f32 FLOPs over the 197/3 TF/s 3-pass ceiling
+        # (utils/profiling.py's "float32" peak entry).  ARCHITECTURE
+        # "Roofline accounting" uses the same arithmetic.
+        out["mxu_active_fraction"] = round(roof["fraction_of_peak"], 4)
     if is_tpu:
-        # Measured selection floor for this exact workload (tools/
-        # exp_floor.py, v5e round 3): bf16x3 matmul + epilogue + the
-        # minimum 1-level packed selection pass = 0.107 ms.  The MXU-peak
-        # fraction above divides by a SINGLE-pass f32 ceiling that no
-        # exact op can reach (the bf16x3 precision contract alone takes
-        # 3 MXU passes = 0.080 ms); this fraction is against the
-        # achievable floor — see ARCHITECTURE.md "Selection floor".
-        out["fraction_of_selection_floor"] = round(
-            SELECTION_FLOOR_MS / max(kernel_ms, 1e-9), 4)
+        # Measured per-k selection floors (tools/exp_floor.py writes
+        # tools/floors.json; see _load_floors): bf16x3 matmul + epilogue
+        # + the structural minimum of packed exact selection — 1 stack
+        # level for k <= 128, ceil(k/128) levels beyond (pigeonhole).
+        # These fractions, not MXU MFU, are the honest headline for an
+        # exact fused top-k — see ARCHITECTURE.md "Roofline accounting".
+        floors = _load_floors(jax.devices()[0].device_kind)
+        if floors:
+            for kk, ms in ((10, kernel_ms), (100, k100_ms),
+                           (512, k512_ms)):
+                frac = floors[f"floor_k{kk}_ms"] / max(ms, 1e-9)
+                key = ("fraction_of_selection_floor" if kk == K
+                       else f"fraction_of_selection_floor_k{kk}")
+                out[key] = round(frac, 4)
     print(json.dumps(out))
 
     # `--autotune`: run the sweep (persisted winner cache) and report the

@@ -1,33 +1,39 @@
-"""Round-3: measured selection-floor for the canonical k=10 workload.
+"""Measured selection-floor for the canonical workload, per k tier.
 
-VERDICT r02 item 5: the >= 85% MXU target (BASELINE.md:26-28) assumes the
-op is matmul-bound, but an exact fused top-k must ALSO run selection on
-the VPU — scores never materialize in HBM, so selection reads them from
-registers/VMEM and its cost adds to (not hides under) the MXU time
-whenever it exceeds the per-tile matmul latency.  This experiment
-measures the LOWER BOUND stack empirically, as three nested Pallas
-programs on the exact canonical tiling (1000x10000x256d, bq=256,
-bn=2048, 4 query blocks x 5 corpus tiles):
+VERDICT r02 item 5 origin (k=10), extended round 5 (r04 item 5) to the
+k=100 and k=512 tiers and to a persisted artifact bench.py derives its
+floor constants from (previously a hardcoded 0.107 valid only at k=10).
 
-  A. matmul+epilogue only: the bf16x3 MXU work + bias + a (tm,1) max
-     write — what a selection-free kernel costs.  [the MXU/HBM floor]
-  B. A + the minimum any *stack-packed exact* selection pays per score:
-     u-transform (3 VPU ops) + group-bit pack (2) + ONE max/min stack
-     level (2) over every score, one (tm,128) result write.  [the
-     1-level selection floor; k-independent]
-  C. the shipped gpop kernel (5 levels at k=10 + in-kernel 10-pop
-     finish), via the product path.
+The >= 85% MXU target (BASELINE.md:26-28) assumes the op is matmul-bound,
+but an exact fused top-k must ALSO run selection on the VPU — scores
+never materialize in HBM, so selection reads them from registers/VMEM
+and its cost adds to (not hides under) the MXU time whenever it exceeds
+the per-tile matmul latency.  This experiment measures the LOWER BOUND
+stack empirically as nested Pallas programs on the exact tiling each
+shipped k tier uses (1000x10000x256d; k<=16 runs bq=256/bn=2048,
+k>16 retiles to bq=128/bn=4096):
 
-floor_ms (B) is what bench.py's fraction_of_selection_floor divides by;
-(B - A) / 7 is the measured per-VPU-pass cost over the 10.5M scores;
-(C - B) / 8 the per-extra-level cost (4 levels x 2 ops).  If B >> A, no
-exact fused top-k on this workload can approach the MXU roofline and the
-honest headline is the selection-floor fraction, not MXU MFU.
+  A.  matmul+epilogue only: the bf16x3 MXU work + bias + a (tm,1) max
+      write — what a selection-free kernel costs.  [the MXU floor]
+  B1. A + the minimum any *stack-packed exact* selection pays per score:
+      u-transform (3 VPU ops) + group-bit pack (2) + ONE max/min stack
+      level (2) over every score.  [the 1-level selection floor — the
+      k <= 128 floor: one level is the structural minimum]
+  B4. A + FOUR levels: the k=512 structural floor — pigeonhole says any
+      128-cell-parallel exact selection must retain >= ceil(k/128) = 4
+      candidates per cell.
+  C.  the shipped paths (gpop k=10, gstack k=100/k=512), product config.
+
+Floors land in tools/floors.json keyed by device_kind; bench.py reads
+that file (fraction_of_selection_floor per tier) so the constants carry
+their provenance and go stale loudly (device-kind mismatch -> omitted),
+not silently.
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/exp_floor.py
 """
 import functools
 import json
+import os
 
 import numpy as np
 import jax
@@ -41,13 +47,15 @@ from polars_matmul_tpu.kernels.fused_topk import (
     _f32_to_u, _split_hi_lo, fused_topk, prepare_corpus, _LANES)
 from polars_matmul_tpu.utils.autotune import device_step_seconds
 
-M, N, DIM, K = 1000, 10_000, 256, 10
-TM, TN = 256, 2048
+M, N, DIM = 1000, 10_000, 256
+OUT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "floors.json")
 
 
-def _kernel_ab(q_ref, c_ref, cb_ref, out_ref, st_ref, *, levels: int):
+def _kernel_ab(q_ref, c_ref, cb_ref, out_ref, st_ref, *, levels: int,
+               tm: int, tn: int):
     """bf16x3 matmul + epilogue (+ ``levels`` stack levels of packed
-    selection over every score).  levels=0 is program A, 1 is B."""
+    selection over every score).  levels=0 is program A."""
     j = pl.program_id(1)
     n_j = pl.num_programs(1)
     dsplit = q_ref.shape[1] // 2
@@ -66,20 +74,20 @@ def _kernel_ab(q_ref, c_ref, cb_ref, out_ref, st_ref, *, levels: int):
     if levels == 0:
         @pl.when(j == 0)
         def _():
-            st_ref[0] = jnp.zeros((TM, _LANES), jnp.int32)
+            st_ref[0] = jnp.zeros((tm, _LANES), jnp.int32)
         m1 = jnp.max(s, axis=1, keepdims=True)
         st_ref[0] = st_ref[0] + m1.astype(jnp.int32)
     else:
         @pl.when(j == 0)
         def _():
             for i in range(levels):
-                st_ref[i] = jnp.full((TM, _LANES), jnp.iinfo(jnp.int32).min,
+                st_ref[i] = jnp.full((tm, _LANES), jnp.iinfo(jnp.int32).min,
                                      jnp.int32)
         clean = jnp.int32(~127)
         u = _f32_to_u(jax.lax.bitcast_convert_type(s, jnp.int32))
         st = [st_ref[i] for i in range(levels)]
-        base = jnp.int32(79) - j * jnp.int32(TN // _LANES)
-        for g in range(TN // _LANES):
+        base = jnp.int32(127) - j * jnp.int32(tn // _LANES)
+        for g in range(tn // _LANES):
             t = (u[:, g * _LANES:(g + 1) * _LANES] & clean) | (base - g)
             for i in range(levels):
                 hi = jnp.maximum(st[i], t)
@@ -93,20 +101,21 @@ def _kernel_ab(q_ref, c_ref, cb_ref, out_ref, st_ref, *, levels: int):
         out_ref[:] = st_ref[0][:, :_LANES]
 
 
-def measure_ab(levels: int, q, cp, cbp):
-    mp, np_ = 1024, 10_240
-    kern = functools.partial(_kernel_ab, levels=levels)
+def measure_ab(levels: int, q, cp, cbp, tm: int, tn: int):
+    mp = 1024
+    np_ = cbp.shape[1]
+    kern = functools.partial(_kernel_ab, levels=levels, tm=tm, tn=tn)
     call = pl.pallas_call(
         kern,
-        grid=(mp // TM, np_ // TN),
+        grid=(mp // tm, np_ // tn),
         in_specs=[
-            pl.BlockSpec((TM, 2 * DIM), lambda i, j: (i, 0)),
-            pl.BlockSpec((TN, 2 * DIM), lambda i, j: (j, 0)),
-            pl.BlockSpec((1, TN), lambda i, j: (0, j)),
+            pl.BlockSpec((tm, 2 * DIM), lambda i, j: (i, 0)),
+            pl.BlockSpec((tn, 2 * DIM), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),
         ],
-        out_specs=[pl.BlockSpec((TM, _LANES), lambda i, j: (i, 0))],
+        out_specs=[pl.BlockSpec((tm, _LANES), lambda i, j: (i, 0))],
         out_shape=[jax.ShapeDtypeStruct((mp, _LANES), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((max(levels, 1), TM, _LANES),
+        scratch_shapes=[pltpu.VMEM((max(levels, 1), tm, _LANES),
                                    jnp.int32)],
     )
 
@@ -124,52 +133,81 @@ def measure_ab(levels: int, q, cp, cbp):
     return ts
 
 
+def measure_shipped(k: int, qf, cf, selection: str):
+    cq = jnp.asarray(qf)
+    cc = jnp.asarray(cf)
+    jax.block_until_ready((cq, cc))
+    cfg = SearchConfig(selection=selection, use_autotune_cache=False)
+
+    def step(qq):
+        v, _ = fused_topk(qq, cc, k, "cosine", config=cfg)
+        return jnp.max(v, axis=1, keepdims=True)
+
+    return [device_step_seconds(step, cq, chain_lo=8, chain_hi=136,
+                                iters=3) * 1e3 for _ in range(3)]
+
+
 def main():
     assert jax.default_backend() == "tpu"
     rng = np.random.default_rng(7)
     qf = rng.standard_normal((M, DIM)).astype(np.float32)
     cf = rng.standard_normal((N, DIM)).astype(np.float32)
-    cp, cbp = prepare_corpus(jnp.asarray(cf), "cosine", tn=TN,
-                             precision="bf16x3")
-    cp, cbp = jax.block_until_ready((cp, cbp))
     qn = qf / np.linalg.norm(qf, axis=1, keepdims=True)
     qp = np.zeros((1024, DIM), np.float32)
     qp[:M] = qn
     q = jax.block_until_ready(
         jnp.asarray(np.asarray(_split_hi_lo(jnp.asarray(qp)))))
 
-    a = measure_ab(0, q, cp, cbp)
-    print(json.dumps({"program": "A matmul+epilogue", "ms": [round(t, 4)
-                      for t in a]}), flush=True)
-    b = measure_ab(1, q, cp, cbp)
-    print(json.dumps({"program": "B +1-level packed selection",
-                      "ms": [round(t, 4) for t in b]}), flush=True)
-    b5 = measure_ab(5, q, cp, cbp)
-    print(json.dumps({"program": "B5 +5-level packed selection",
-                      "ms": [round(t, 4) for t in b5]}), flush=True)
+    res = {}
+    # ---- k<=16 tiling (bq=256, bn=2048) --------------------------------
+    cp, cbp = prepare_corpus(jnp.asarray(cf), "cosine", tn=2048,
+                             precision="bf16x3")
+    cp, cbp = jax.block_until_ready((cp, cbp))
+    for tag, lv in (("A_2048", 0), ("B1_2048", 1), ("B5_2048", 5)):
+        ts = measure_ab(lv, q, cp, cbp, 256, 2048)
+        res[tag] = ts
+        print(json.dumps({"program": tag, "ms": [round(t, 4) for t in ts]}),
+              flush=True)
 
-    cq = jnp.asarray(qf)
-    cc = jnp.asarray(cf)
-    jax.block_until_ready((cq, cc))
-    cfg = SearchConfig(selection="gpop")
+    # ---- k>16 tiling (bq=128, bn=4096; what shipped k=100/512 use) -----
+    cp4, cbp4 = prepare_corpus(jnp.asarray(cf), "cosine", tn=4096,
+                               precision="bf16x3")
+    cp4, cbp4 = jax.block_until_ready((cp4, cbp4))
+    for tag, lv in (("A_4096", 0), ("B1_4096", 1), ("B4_4096", 4)):
+        ts = measure_ab(lv, q, cp4, cbp4, 128, 4096)
+        res[tag] = ts
+        print(json.dumps({"program": tag, "ms": [round(t, 4) for t in ts]}),
+              flush=True)
 
-    def step(qq):
-        v, _ = fused_topk(qq, cc, K, "cosine", config=cfg)
-        return jnp.max(v, axis=1, keepdims=True)
+    # ---- shipped paths --------------------------------------------------
+    for tag, k, sel in (("C_k10_gpop", 10, "gpop"),
+                        ("C_k100_gstack", 100, "gstack"),
+                        ("C_k512_gstack", 512, "gstack")):
+        ts = measure_shipped(k, qf, cf, sel)
+        res[tag] = ts
+        print(json.dumps({"program": tag, "ms": [round(t, 4) for t in ts]}),
+              flush=True)
 
-    c_ms = [device_step_seconds(step, cq, chain_lo=8, chain_hi=136,
-                                iters=3) * 1e3 for _ in range(3)]
-    print(json.dumps({"program": "C shipped gpop k=10",
-                      "ms": [round(t, 4) for t in c_ms]}), flush=True)
-    am, bm, b5m, cm = (min(a), min(b), min(b5), min(c_ms))
-    print(json.dumps({
-        "floor_ms": round(bm, 4),
-        "mxu_epilogue_ms": round(am, 4),
-        "per_pass_ms": round((bm - am) / 7, 4),
-        "per_level_ms": round((b5m - bm) / 8, 4),
-        "shipped_ms": round(cm, 4),
-        "fraction_of_selection_floor": round(bm / cm, 4),
-    }), flush=True)
+    floors = {
+        "device_kind": jax.devices()[0].device_kind,
+        "workload": f"{M}x{N}x{DIM}d f32 cosine (canonical)",
+        "mxu_epilogue_ms": round(min(res["A_2048"]), 4),
+        "mxu_epilogue_bn4096_ms": round(min(res["A_4096"]), 4),
+        # per-tier floors: the tiling each shipped tier uses
+        "floor_k10_ms": round(min(res["B1_2048"]), 4),
+        "floor_k100_ms": round(min(res["B1_4096"]), 4),
+        "floor_k512_ms": round(min(res["B4_4096"]), 4),
+        "shipped_k10_ms": round(min(res["C_k10_gpop"]), 4),
+        "shipped_k100_ms": round(min(res["C_k100_gstack"]), 4),
+        "shipped_k512_ms": round(min(res["C_k512_gstack"]), 4),
+        "provenance": "tools/exp_floor.py",
+    }
+    for k in (10, 100, 512):
+        floors[f"fraction_of_floor_k{k}"] = round(
+            floors[f"floor_k{k}_ms"] / floors[f"shipped_k{k}_ms"], 4)
+    with open(OUT_PATH, "w") as f:
+        json.dump(floors, f, indent=1, sort_keys=True)
+    print(json.dumps(floors), flush=True)
 
 
 if __name__ == "__main__":

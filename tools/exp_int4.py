@@ -1,0 +1,215 @@
+"""int4 unpack-cost attribution + variants (VERDICT r04 item 2).
+
+At dim 768 batch-8 the int4 tier measures 16.4 ms vs int8's 14.8 on the
+10M north-star despite HALF the HBM bytes (floors 4.69 vs 9.38): the
+per-element i32 nibble unpack outruns the bandwidth it saves.  This
+experiment isolates the unpack on a 2M x 768 proxy (same per-byte work,
+8x faster to build) and races repack/unpack variants:
+
+  int8c     the int8 tier at the same tiling — the bar to beat.
+  int4-i32  the shipped unpack: i8->i32 widen, mask/xor/sub per nibble
+            (Mosaic has no i8 shifts, so everything runs in i32).
+  int4-rint ARITHMETIC repack b = 16*hi + lo (lo, hi in [-7,7], so
+            |lo/16| <= 0.4375 < 0.5): unpack in FLOAT — one convert,
+            hi = rint(b/16) exact, lo = b - 16*hi — no masks, no shifts.
+  int4-raw  packed bytes fed straight to the MXU as bf16 (WRONG results;
+            the zero-unpack cost floor: what a free unpack would give).
+
+Each variant: batch 8 and 256, k=100, chain-differenced device ms.
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/exp_int4.py
+"""
+import functools
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import polars_matmul_tpu  # noqa: F401
+from polars_matmul_tpu.kernels import fused_topk as FT
+
+N, DIM = 2_000_000, 768
+_LANES = 128
+
+
+def chain(step, q, extra=(), lo=2, hi=8, iters=3):
+    def chained(n):
+        @jax.jit
+        def f(qq, t, *ex):
+            qq = qq + t
+
+            def body(i, qq):
+                return qq + step(qq, *ex) * 1e-30
+
+            return jax.lax.fori_loop(0, n, body, qq)[0, 0]
+
+        return f
+
+    f_lo, f_hi = chained(lo), chained(hi)
+    tick = [0.0]
+
+    def run(g):
+        tick[0] += 1e-7
+        t0 = time.time()
+        float(np.asarray(g(q, jnp.float32(tick[0]), *extra)))
+        return time.time() - t0
+
+    run(f_lo), run(f_hi)
+    a = min(run(f_lo) for _ in range(iters))
+    b = min(run(f_hi) for _ in range(iters))
+    return (b - a) / (hi - lo) * 1e3
+
+
+def _kernel_mm(q_ref, c_ref, cb_ref, out_ref, st_ref, *, mode: str,
+               tm: int, tn: int):
+    """Matmul + epilogue + 1-level selection floor, corpus decoded per
+    ``mode``.  Selection is the same for all modes so deltas isolate the
+    decode."""
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+    dsplit = q_ref.shape[1] // 2
+    qh, ql = q_ref[:, :dsplit], q_ref[:, dsplit:]
+    if mode == "int8":
+        ch = c_ref[:].astype(jnp.bfloat16)
+    elif mode == "i32":
+        lo, hi = FT._unpack_int4_i32(c_ref[:].astype(jnp.int32))
+        ch = jnp.concatenate([lo, hi], axis=1).astype(jnp.bfloat16)
+    elif mode == "rint":
+        b = c_ref[:].astype(jnp.float32)
+        t = b * 0.0625
+        hi = jnp.rint(t)
+        lo = b - 16.0 * hi
+        ch = jnp.concatenate([lo, hi], axis=1).astype(jnp.bfloat16)
+    elif mode == "raw":
+        # wrong results on purpose: zero-unpack cost floor.  Feed the
+        # packed bytes twice so the matmul shape matches the others.
+        cb16 = c_ref[:].astype(jnp.bfloat16)
+        ch = jnp.concatenate([cb16, cb16], axis=1)
+    p = jax.lax.Precision.DEFAULT
+    d = (jax.lax.dot_general(qh, ch, (((1,), (1,)), ((), ())), precision=p,
+                             preferred_element_type=jnp.float32)
+         + jax.lax.dot_general(ql, ch, (((1,), (1,)), ((), ())),
+                               precision=p,
+                               preferred_element_type=jnp.float32))
+    s = d * cb_ref[0:1, :] + cb_ref[1:2, :]
+
+    @pl.when(j == 0)
+    def _():
+        st_ref[0] = jnp.full((tm, _LANES), jnp.iinfo(jnp.int32).min,
+                             jnp.int32)
+    clean = jnp.int32(~127)
+    u = FT._f32_to_u(jax.lax.bitcast_convert_type(s, jnp.int32))
+    st0 = st_ref[0]
+    for g in range(tn // _LANES):
+        t2 = (u[:, g * _LANES:(g + 1) * _LANES] & clean) | jnp.int32(g)
+        st0 = jnp.maximum(st0, t2)
+    st_ref[0] = st0
+
+    @pl.when(j == n_j - 1)
+    def _():
+        out_ref[:] = st_ref[0]
+
+
+def measure(mode, qp, cp, cbp, tm, tn, dk_c):
+    mp = qp.shape[0]
+    np_ = cbp.shape[1]
+    kern = functools.partial(_kernel_mm, mode=mode, tm=tm, tn=tn)
+    call = pl.pallas_call(
+        kern,
+        grid=(mp // tm, np_ // tn),
+        in_specs=[
+            pl.BlockSpec((tm, 2 * DIM), lambda i, j: (i, 0)),
+            pl.BlockSpec((tn, dk_c), lambda i, j: (j, 0)),
+            pl.BlockSpec((2, tn), lambda i, j: (0, j)),
+        ],
+        out_specs=[pl.BlockSpec((tm, _LANES), lambda i, j: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((mp, _LANES), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((1, tm, _LANES), jnp.int32)],
+    )
+
+    def step(qq, cp_, cb_):
+        with jax.enable_x64(False):
+            (o,) = call(qq, cp_, cb_)
+        return o[:, :1].astype(jnp.float32)
+
+    return chain(step, qp, extra=(cp, cbp))
+
+
+def main():
+    assert jax.default_backend() == "tpu"
+    rng = np.random.default_rng(21)
+    c = np.empty((N, DIM), np.float32)
+    for i in range(0, N, 250_000):
+        r2 = np.random.default_rng(500 + i)
+        c[i:i + 250_000] = r2.standard_normal((250_000, DIM))
+
+    # the tile height the PRODUCT kernel picks for this (dim, k): the
+    # VMEM model shrinks block_n below the k>16 default 4096 at dim 768
+    from polars_matmul_tpu.config import SearchConfig
+
+    tn = FT.corpus_tile_rows(DIM, SearchConfig(precision="int8c",
+                                               use_autotune_cache=False),
+                             k=100)
+    print(json.dumps({"tag": "tiling", "tn": tn}), flush=True)
+    np_pad = ((N + tn - 1) // tn) * tn
+
+    # int8 codes
+    codes8, scales8 = map(np.asarray, FT.quantize_int8(jnp.asarray(c)))
+    cp8 = np.zeros((np_pad, DIM), np.int8)
+    cp8[:N] = codes8
+    cb8 = np.asarray(FT.prepare_int8_bias(
+        jnp.asarray(cp8), jnp.asarray(np.pad(scales8, (0, np_pad - N),
+                                             constant_values=1.0)),
+        "cosine", N))
+    del codes8
+
+    # int4 nibble-packed (shipped layout) + arithmetic repack
+    ck = FT.feature_chunk(DIM)
+    codes4, scales4 = map(np.asarray, FT.quantize_int4(jnp.asarray(c), ck))
+    del c
+    cp4 = np.zeros((np_pad, DIM // 2), np.int8)
+    cp4[:N] = codes4
+    cb4 = np.asarray(FT.prepare_int4_bias(
+        jnp.asarray(cp4), jnp.asarray(np.pad(scales4, (0, np_pad - N),
+                                             constant_values=1.0)),
+        "cosine", N))
+    # arithmetic repack: b = 16*hi + lo from the same nibbles
+    lo = ((codes4.astype(np.int32) & 0xF) ^ 8) - 8
+    hi = (((codes4.astype(np.int32) >> 4) & 0xF) ^ 8) - 8
+    cpA = np.zeros((np_pad, DIM // 2), np.int8)
+    cpA[:N] = (16 * hi + lo).astype(np.int8)
+    del codes4, lo, hi
+
+    q = rng.standard_normal((256, DIM)).astype(np.float32)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+
+    for b in (8, 256):
+        qp = np.zeros((max(b, 8), DIM), np.float32)
+        qp[:b] = qn[:b]
+        qsplit = jax.block_until_ready(jnp.asarray(np.asarray(
+            FT._split_hi_lo(jnp.asarray(qp)))))
+        tm = min(128, qp.shape[0])
+        for tag, mode, cp_np, cb_np, dk in (
+            ("int8c", "int8", cp8, cb8, DIM),
+            ("int4-i32", "i32", cp4, cb4, DIM // 2),
+            ("int4-rint", "rint", cpA, cb4, DIM // 2),
+            ("int4-raw", "raw", cp4, cb4, DIM // 2),
+        ):
+            cpj = jax.block_until_ready(jnp.asarray(cp_np))
+            cbj = jax.block_until_ready(jnp.asarray(cb_np))
+            ms = measure(mode, qsplit, cpj, cbj, tm, tn, dk)
+            gb = cpj.size / 1e9
+            floor = gb / 819.0 * 1e3
+            print(json.dumps({
+                "tag": f"{tag}-b{b}", "ms": round(ms, 3),
+                "hbm_floor_ms": round(floor, 3),
+                "fraction_of_floor": round(floor / ms, 3)}), flush=True)
+            del cpj, cbj
+
+
+if __name__ == "__main__":
+    main()
