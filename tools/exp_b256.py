@@ -32,18 +32,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import importlib
+
 import polars_matmul_tpu  # noqa: F401
 from polars_matmul_tpu.config import SearchConfig
-from polars_matmul_tpu.kernels import fused_topk as FT
-from polars_matmul_tpu.utils.autotune import device_step_seconds
+
+FT = importlib.import_module("polars_matmul_tpu.kernels.fused_topk")
 
 N, DIM, K, B = 2_000_000, 256, 100, 256
 _LANES = 128
 
 
-def make_data():
+def make_data_queries():
     rng = np.random.default_rng(11)
-    q = rng.standard_normal((B, DIM)).astype(np.float32)
+    return rng.standard_normal((B, DIM)).astype(np.float32), True
+
+
+def make_data():
+    q, _ = make_data_queries()
     # corpus in chunks to bound host memory churn
     c = np.empty((N, DIM), np.float32)
     for i in range(0, N, 250_000):
@@ -167,17 +173,34 @@ def measure_build(levels, qp, cp, cbp, tm, tn, posu=False):
 # ---------------------------------------------------------------------------
 
 
+CODES_CACHE = "/tmp/exp_b256_codes.npz"
+
+
 def main():
     assert jax.default_backend() == "tpu"
     stage = sys.argv[1] if len(sys.argv) > 1 else "all"
-    q, c = make_data()
+    q, _have = make_data_queries()
 
-    codes, scales = map(np.asarray, FT.quantize_int8(jnp.asarray(c)))
-    del c
+    try:
+        z = np.load(CODES_CACHE)
+        codes, scales = z["codes"], z["scales"]
+    except OSError:
+        _, c = make_data()
+        codes, scales = map(np.asarray, FT.quantize_int8(jnp.asarray(c)))
+        del c
+        np.savez(CODES_CACHE, codes=codes, scales=scales)
     cfg = SearchConfig(precision="int8c", use_autotune_cache=False)
     tn = FT.corpus_tile_rows(DIM, cfg, K)
-    cp = jnp.asarray(codes)
-    cbp = FT.prepare_int8_bias(cp, jnp.asarray(scales), "cosine", N)
+    # TILE-PAD like prepare_corpus does (first run of this experiment
+    # passed the raw 2M rows: 2M % 2048 != 0 left the last panel slab
+    # unflushed garbage, which fired the exactness fallback on every
+    # call and mismeasured "full" as 152 ms)
+    np_pad = ((N + tn - 1) // tn) * tn
+    codes_p = np.zeros((np_pad, DIM), np.int8)
+    codes_p[:N] = codes
+    scales_p = np.pad(scales, (0, np_pad - N), constant_values=1.0)
+    cp = jnp.asarray(codes_p)
+    cbp = FT.prepare_int8_bias(cp, jnp.asarray(scales_p), "cosine", N)
     cp, cbp = jax.block_until_ready((cp, cbp))
     print(json.dumps({"tag": "setup", "tn": tn,
                       "corpus_gb": round(cp.size / 1e9, 2)}), flush=True)
@@ -194,9 +217,49 @@ def main():
         ms = chain(stepf, qj, extra=(cp, cbp))
         print(json.dumps({"tag": "full", "ms": round(ms, 3)}), flush=True)
 
-        # finish stubbed to a slice: kernel cost only (build + flush)
         orig = FT._gstack_decode
 
+        # detection force-disabled: same kernel + same finish, the
+        # lax.cond exact-fallback branch can never run.  full - nobad =
+        # what the detection/cond costs (it should be ~0 when bad never
+        # fires; a large delta means the cond itself, not the finish, is
+        # the regression).
+        def nobad(*a, **kw):
+            vals, idx, _bad = orig(*a, **kw)
+            return vals, idx, jnp.zeros((), jnp.bool_)
+
+        FT._gstack_decode = nobad
+        FT._run_prepared_jit.clear_cache()
+        try:
+            ms_nb = chain(stepf, qj, extra=(cp, cbp))
+        finally:
+            FT._gstack_decode = orig
+            FT._run_prepared_jit.clear_cache()
+        print(json.dumps({"tag": "full-nobad", "ms": round(ms_nb, 3)}),
+              flush=True)
+
+        # does bad actually fire on this data?  single un-chained call,
+        # decode instrumented to smuggle bad out through vals[0, 0]
+        # (returning the tracer itself would escape the jit).
+        def spy(*a, **kw):
+            vals, idx, bad = orig(*a, **kw)
+            vals = vals.at[0, 0].set(
+                jnp.where(bad, 12345.0, vals[0, 0]))
+            return vals, idx, jnp.zeros((), jnp.bool_)
+
+        FT._gstack_decode = spy
+        FT._run_prepared_jit.clear_cache()
+        try:
+            vv, _ = FT.fused_topk_prepared(qj, cp, cbp, K, "cosine",
+                                           tn=tn, config=cfg)
+            fired = bool(np.asarray(vv)[0, 0] == 12345.0)
+        finally:
+            FT._gstack_decode = orig
+            FT._run_prepared_jit.clear_cache()
+        print(json.dumps({"tag": "detection-fired", "bad": fired}),
+              flush=True)
+
+        # finish stubbed to a slice: kernel cost only (build + flush)
         def raw(u_panel, k, total_groups, low_mask, depth, n_levels,
                 m_valid, n_segs=1):
             vals = u_panel[:, :k].astype(jnp.float32)
@@ -255,12 +318,20 @@ def main():
                                          recall_target=1.0)
             return jnp.max(v2, axis=1, keepdims=True)
 
-        for tag, fn in (("approx_max_k", f_approx),
+        def f_passonly(p):
+            # the chain-coupling elementwise pass alone (subtract this
+            # from the others: p + per-row qq scalar defeats the
+            # loop-invariant hoisting that zeroed the first measurement)
+            return jnp.max(p, axis=1, keepdims=True)
+
+        for tag, fn in (("passonly", f_passonly),
+                        ("approx_max_k", f_approx),
                         ("lax.top_k", f_topk),
                         ("two-stage", f_twostage)):
             try:
-                ms = chain(lambda qq, pp, fn=fn: fn(pp), qj,
-                           extra=(panel,), lo=2, hi=8)
+                ms = chain(
+                    lambda qq, pp, fn=fn: fn(pp + qq[:, :1]), qj,
+                    extra=(panel,), lo=2, hi=8)
             except Exception as e:
                 print(json.dumps({"tag": f"finish-{tag}",
                                   "error": str(e)[:120]}), flush=True)

@@ -29,8 +29,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import importlib
+
 import polars_matmul_tpu  # noqa: F401
-from polars_matmul_tpu.kernels import fused_topk as FT
+
+FT = importlib.import_module("polars_matmul_tpu.kernels.fused_topk")
 
 N, DIM = 2_000_000, 768
 _LANES = 128
@@ -139,6 +142,23 @@ def measure(mode, qp, cp, cbp, tm, tn, dk_c):
     return chain(step, qp, extra=(cp, cbp))
 
 
+def _host_quantize_int8(c):
+    amax = np.max(np.abs(c), axis=1, keepdims=True)
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    return np.rint(c / scale).astype(np.int8), scale[:, 0]
+
+
+def _host_quantize_int4(c, ck):
+    amax = np.max(np.abs(c), axis=1, keepdims=True)
+    scale = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+    codes = np.clip(np.rint(c / scale), -7, 7).astype(np.int32)
+    n, dim = c.shape
+    lo = codes[:, : dim // 2]
+    hi = codes[:, dim // 2:]
+    packed = ((lo & 0xF) | ((hi & 0xF) << 4)).astype(np.int8)
+    return packed, scale[:, 0]
+
+
 def main():
     assert jax.default_backend() == "tpu"
     rng = np.random.default_rng(21)
@@ -157,29 +177,34 @@ def main():
     print(json.dumps({"tag": "tiling", "tn": tn}), flush=True)
     np_pad = ((N + tn - 1) // tn) * tn
 
-    # int8 codes
-    codes8, scales8 = map(np.asarray, FT.quantize_int8(jnp.asarray(c)))
+    # everything host-side (numpy): the first run of this experiment
+    # hung > 30 min computing the bias rows op-by-op on device through
+    # the tunnel; cosine bias needs only 1/code_norm + the -inf tail
+    codes8, scales8 = _host_quantize_int8(c)
     cp8 = np.zeros((np_pad, DIM), np.int8)
     cp8[:N] = codes8
-    cb8 = np.asarray(FT.prepare_int8_bias(
-        jnp.asarray(cp8), jnp.asarray(np.pad(scales8, (0, np_pad - N),
-                                             constant_values=1.0)),
-        "cosine", N))
+
+    def host_cosine_bias(sumsq):
+        cn = np.sqrt(sumsq.astype(np.float32))
+        cs = np.where(cn > 0, 1.0 / cn, 0.0).astype(np.float32)
+        cb = np.zeros(np_pad, np.float32)
+        cb[N:] = -np.inf
+        return np.ascontiguousarray(np.stack([cs, cb]))
+
+    cb8 = host_cosine_bias(np.pad(
+        (codes8.astype(np.float64) ** 2).sum(axis=1), (0, np_pad - N)))
     del codes8
 
     # int4 nibble-packed (shipped layout) + arithmetic repack
-    ck = FT.feature_chunk(DIM)
-    codes4, scales4 = map(np.asarray, FT.quantize_int4(jnp.asarray(c), ck))
+    codes4, scales4 = _host_quantize_int4(c, FT.feature_chunk(DIM))
     del c
     cp4 = np.zeros((np_pad, DIM // 2), np.int8)
     cp4[:N] = codes4
-    cb4 = np.asarray(FT.prepare_int4_bias(
-        jnp.asarray(cp4), jnp.asarray(np.pad(scales4, (0, np_pad - N),
-                                             constant_values=1.0)),
-        "cosine", N))
-    # arithmetic repack: b = 16*hi + lo from the same nibbles
     lo = ((codes4.astype(np.int32) & 0xF) ^ 8) - 8
     hi = (((codes4.astype(np.int32) >> 4) & 0xF) ^ 8) - 8
+    cb4 = host_cosine_bias(np.pad(
+        (lo.astype(np.float64) ** 2 + hi.astype(np.float64) ** 2)
+        .sum(axis=1), (0, np_pad - N)))
     cpA = np.zeros((np_pad, DIM // 2), np.int8)
     cpA[:N] = (16 * hi + lo).astype(np.int8)
     del codes4, lo, hi

@@ -143,8 +143,11 @@ def stage_dense(storage):
     # storage's precision mode, exactly as Corpus.topk derives it.
     cfg = corpus.config.with_updates(
         precision=corpus._effective_precision())
-    for (m, k) in ((256, 100), (8, 100), (256, 10)):
-        if storage == "int4" and (m, k) == (256, 10):
+    # round 5 adds the dense big-k batch-256 rows (k=256/512): the
+    # panel-reduce finish is where their r4 cost (137/214 ms) lived
+    for (m, k) in ((256, 100), (8, 100), (256, 10), (256, 256),
+                   (256, 512)):
+        if storage == "int4" and (m, k) != (256, 100) and (m, k) != (8, 100):
             continue
         qj = jax.block_until_ready(jnp.asarray(q[:m]))
 
@@ -205,6 +208,68 @@ def stage_probed():
         }), flush=True)
 
 
+def stage_probed_device():
+    """Chain-differenced DEVICE ms for the probed path (VERDICT r04 item
+    4: the r4 table mixed wall-clock probed rows into a device-ms table)
+    over probe x batch x k, with recall against the dense-int8 ground
+    truth.  Reuses the product's own jitted dispatch (_probed_fn) with
+    the prepared buffers passed as chain arguments."""
+    import jax
+    import jax.numpy as jnp
+
+    import polars_matmul_tpu as pmt
+    from polars_matmul_tpu.api.clustered import _probed_fn
+    from polars_matmul_tpu.kernels.fused_topk import query_tile_rows
+    from polars_matmul_tpu.ops.cluster import resolve_probe
+    from polars_matmul_tpu.ops.metrics import Metric
+
+    assert jax.default_backend() == "tpu"
+    gt = np.load(GT_PATH)
+    gt_idx, q = gt["idx"], gt["q"]
+    c, _ = gen_corpus()
+    t0 = time.time()
+    cc = pmt.ClusteredCorpus(c, storage="int8", seed=3)
+    del c
+    print(json.dumps({"tag": "clustered-build",
+                      "wall_s": round(time.time() - t0, 1)}), flush=True)
+    met = Metric.parse("cosine")
+    cp, cbp = jax.block_until_ready(cc._prepared_for(met))
+    run_cfg = cc.config
+    eff = cc._effective_precision()
+    if eff != run_cfg.precision:
+        run_cfg = run_cfg.with_updates(precision=eff)
+    extras = (cc.centroids, cc._tile_cluster_dev, cc._perm_dev)
+    for m in (256, 8):
+        for k in (100, 256):
+            for probe in (0.05, 0.1, 0.25):
+                p, _ex = resolve_probe(probe, cc.layout.n_tiles)
+                tm = query_tile_rows(m, cc.dim, cc.config, k)
+                fn = _probed_fn(k, met, run_cfg, cc._tn, p, tm, False)
+
+                def step(qq, cpx, cbx, ce, tc, pm, fn=fn):
+                    packed = fn(qq, cpx, cbx, ce, tc, pm)
+                    return jnp.max(packed[:, :1].astype(jnp.float32),
+                                   axis=1, keepdims=True)
+
+                qj = jax.block_until_ready(jnp.asarray(q[:m]))
+                ms = chain_ms(step, qj, jnp, jax,
+                              extra=(cp, cbp) + extras)
+                # recall of the dense top-100 inside this probed top-k
+                idx, _ = cc.topk(q[:m], k, "cosine", probe=probe,
+                                 route=False)
+                hits = np.mean([
+                    len(set(idx[r].tolist())
+                        & set(gt_idx[r][:100].tolist())) / 100
+                    for r in range(m)])
+                print(json.dumps({
+                    "tag": f"probedev-p{probe}-k{k}-b{m}",
+                    "device_ms": round(ms, 3),
+                    "ms_per_query": round(ms / m, 4),
+                    "recall@100": round(float(hits), 4),
+                    "tiles_visited": p,
+                    "n_tiles": int(cc.layout.n_tiles)}), flush=True)
+
+
 def main():
     stage = sys.argv[1] if len(sys.argv) > 1 else "gen"
     if stage == "gen":
@@ -216,6 +281,8 @@ def main():
         stage_dense("int4")
     elif stage == "probed":
         stage_probed()
+    elif stage == "probedev":
+        stage_probed_device()
     else:
         raise SystemExit(f"unknown stage {stage}")
 
