@@ -614,6 +614,99 @@ def _gstack_update(st_ref, s, j, gpt, total_groups, low_mask, n_levels,
         st_ref[i] = st[i]
 
 
+# Finish-tree chunk width: top-k reductions over panels wider than this
+# run as a chunked tree (exact per-chunk top-k, then top-k over the chunk
+# winners) instead of one flat reduce.  Measured on v5e at the 2M x 256d
+# b256 proxy (tools/exp_b256.py): flat approx_max_k over the (256, 78720)
+# segmented panel costs 6.8 ms while the two-stage tree costs 3.8 — the
+# flat PartialReduce op does not tile well at 5-digit widths.  2048 keeps
+# every stage's operand MXU/VPU-friendly and bounds tree depth at 2 for
+# any panel this kernel can emit (<= 1024 segments).
+_FINISH_CHUNK = 2048
+
+
+def _chunked_top_k(f_panel, k):
+    """Exact top-k over a wide f32 panel as a chunked reduction tree.
+
+    Drop-in for ``lax.approx_max_k(f_panel, k, recall_target=1.0)`` /
+    ``lax.top_k``: returns (vals, positions) with positions indexing the
+    ORIGINAL panel columns.  Each chunk's exact top-k is a superset
+    filter — the union of per-chunk winners contains the global top-k —
+    so the tree is exact end to end.  Order among EQUAL values may
+    differ from the flat reduce (chunk position, not panel position,
+    breaks ties first), which stays inside the documented gstack
+    duplicate-index-order exception.
+
+    Chunks are padded with -inf; a padded slot can only surface in an
+    underfilled row, where the caller's dead-sentinel mapping (value
+    <= packed -inf) already overwrites both value and index.
+    """
+    m_rows, w = f_panel.shape
+    chunk = max(_FINISH_CHUNK, 2 * k)
+
+    def reduce_k(x):
+        # approx_max_k with recall_target=1.0 is exact (PartialReduce
+        # degenerates to full reduction) and measured faster than
+        # lax.top_k for k > 16 (0.227 vs 0.370 ms on the canonical
+        # (1024, 1152) k=100 panel); top_k wins at small k.
+        if k > 16:
+            return jax.lax.approx_max_k(x, k, recall_target=1.0)
+        return jax.lax.top_k(x, k)
+
+    if w <= chunk:
+        return reduce_k(f_panel)
+    nch = -(-w // chunk)
+    wp = nch * chunk
+    if wp != w:
+        f_panel = jnp.pad(f_panel, ((0, 0), (0, wp - w)),
+                          constant_values=_NEG_INF)
+    fv, sp = reduce_k(f_panel.reshape(m_rows, nch, chunk))
+    pos = sp + (jnp.arange(nch, dtype=jnp.int32) * chunk)[None, :, None]
+    vals = fv.reshape(m_rows, nch * k)
+    pos = pos.reshape(m_rows, nch * k)
+    while vals.shape[1] > chunk:
+        w2 = vals.shape[1]
+        nch2 = -(-w2 // chunk)
+        wp2 = nch2 * chunk
+        if wp2 != w2:
+            vals = jnp.pad(vals, ((0, 0), (0, wp2 - w2)),
+                           constant_values=_NEG_INF)
+            pos = jnp.pad(pos, ((0, 0), (0, wp2 - w2)))
+        fv, sp = reduce_k(vals.reshape(m_rows, nch2, chunk))
+        pos = jnp.take_along_axis(pos.reshape(m_rows, nch2, chunk), sp,
+                                  axis=2)
+        vals = fv.reshape(m_rows, nch2 * k)
+        pos = pos.reshape(m_rows, nch2 * k)
+    fv, sp = reduce_k(vals)
+    return fv, jnp.take_along_axis(pos, sp, axis=1)
+
+
+def _gstack_fast_levels(k: int, n_segs: int, n_levels: int,
+                        m_valid: int) -> int:
+    """How many stack levels the segmented finish reads on its FAST pass.
+
+    The finish only needs level L of a (segment, class) cell when >= L+1
+    of a row's top-k collide in that one cell; reading fewer levels than
+    the kernel keeps is exact as long as a detector over the unread
+    levels triggers a full-panel re-finish (cheap: the panel is already
+    in HBM — no kernel re-run).  The fast depth is the smallest level
+    count whose batch-level re-finish probability (binomial collision
+    tail x live rows) stays under 1e-2 — expected re-finish cost ~1% of
+    one full finish — floored at ceil(k/128) (shallower could not even
+    hold k entries of a single-cell pile-up) and capped at n_levels
+    (where the fast pass IS the full pass and no second detector is
+    needed).  More cells (bigger corpora) spread collisions thinner, so
+    exactly where panels get wide the fast pass reads a smaller
+    fraction: 10M rows k=100 b256 reads 2 of 4 levels; 2M reads 3 of 5.
+    """
+    cells = _LANES * n_segs
+    lo = min(n_levels, max(1, -(-k // _LANES)))
+    for lp in range(lo, n_levels):
+        if m_valid * _bigk_tail(k, cells, lp + 1) <= 1e-2:
+            return lp
+    return n_levels
+
+
 def _gstack_decode(u_panel, k, total_groups, low_mask, depth, n_levels,
                    m_valid, n_segs: int = 1):
     """XLA-side finish for the gstack kernel: top-k over the raw u panel,
@@ -650,45 +743,83 @@ def _gstack_decode(u_panel, k, total_groups, low_mask, depth, n_levels,
     )
     u_live = jnp.where(u_panel <= ninf_u, ninf_exact, u_panel)
     f_panel = jax.lax.bitcast_convert_type(_f32_to_u(u_live), jnp.float32)
-    if k > 16:
-        # approx_max_k(recall_target=1.0) is EXACT (the PartialReduce op
-        # degenerates to full reduction; docs: "when recall_target is
-        # 1.0 ... calculates the exact top-k") and measured 0.227 ms vs
-        # lax.top_k's 0.370 on the canonical (1024, 1152) k=100 panel
-        # (tools/exp_finish.py) — the finish was the k=100 bottleneck.
-        # Order among EQUAL panel values may differ from top_k's
-        # lower-position rule, which only widens the already-documented
-        # gstack duplicate-index-order exception (values stay exact).
-        fv, sp = jax.lax.approx_max_k(f_panel, k, recall_target=1.0)
-    else:
-        fv, sp = jax.lax.top_k(f_panel, k)
+    if n_segs > 1:
+        # Segmented finish: fast pass over the first lp levels of every
+        # slab; a detector over the unread levels (same >= kth rule as
+        # the kernel-fallback detector, against the fast pass's kth —
+        # a LOWER bound on the true kth, so never a false negative)
+        # re-finishes the full panel in the rare collision case.  The
+        # full pass keeps the deepest-level detector that can still
+        # fire the exact kernel re-run.
+        slab = n_levels * _LANES
+        m_rows = u_panel.shape[0]
+
+        def seg_finish(lv: int):
+            if lv == n_levels:
+                f_sub, sub_w = f_panel, slab
+            else:
+                sub_w = lv * _LANES
+                f_sub = f_panel.reshape(
+                    m_rows, n_segs, n_levels, _LANES
+                )[:, :, :lv, :].reshape(m_rows, n_segs * sub_w)
+            fv, sp = _chunked_top_k(f_sub, k)
+            seg = sp // jnp.int32(sub_w)
+            spf = seg * jnp.int32(slab) + sp % jnp.int32(sub_w)
+            sv = _f32_to_u(jax.lax.bitcast_convert_type(fv, jnp.int32))
+            vals = jax.lax.bitcast_convert_type(
+                _f32_to_u(sv & clean), jnp.float32)
+            grp = seg * _LANES + (jnp.int32(_LANES - 1)
+                                  - (sv & jnp.int32(low_mask)))
+            idx = grp * _LANES + jnp.remainder(spf, jnp.int32(_LANES))
+            dead = sv <= ninf_u
+            vals = jnp.where(dead, _NEG_INF, vals)
+            idx = jnp.where(dead, _BIG_I32, idx)
+            return vals, idx, sv
+
+        def deep_bad(sv, lv0: int):
+            # Any LIVE entry in levels >= lv0 at or above the computed
+            # k-th best belongs in the result (or, for the deepest
+            # level, signals a possible overflow past the stacks).
+            # Padded query rows (identically-zero scores, all-tied)
+            # must not fire it.
+            det = u_panel.reshape(
+                m_rows, n_segs, n_levels, _LANES)[:, :, lv0:, :]
+            kth = (sv[:, k - 1:k] & clean)[:, :, None, None]
+            live_row = (
+                jnp.arange(m_rows) < m_valid)[:, None, None, None]
+            return jnp.any(
+                live_row & (det > ninf_u) & ((det & clean) >= kth))
+
+        def full_finish():
+            vals, idx, sv = seg_finish(n_levels)
+            return vals, idx, deep_bad(sv, n_levels - 1)
+
+        lp = _gstack_fast_levels(k, n_segs, n_levels, m_valid)
+        if lp >= n_levels:
+            return full_finish()
+        vals_f, idx_f, sv_f = seg_finish(lp)
+        return jax.lax.cond(
+            deep_bad(sv_f, lp),
+            full_finish,
+            lambda: (vals_f, idx_f, jnp.zeros((), jnp.bool_)),
+        )
+    # _chunked_top_k picks approx_max_k(recall_target=1.0) for k > 16
+    # (EXACT — the PartialReduce op degenerates to full reduction; docs:
+    # "when recall_target is 1.0 ... calculates the exact top-k" — and
+    # measured 0.227 ms vs lax.top_k's 0.370 on the canonical
+    # (1024, 1152) k=100 panel, tools/exp_finish.py) and lax.top_k
+    # otherwise, chunking panels wider than _FINISH_CHUNK into an exact
+    # reduction tree.  Order among EQUAL panel values may differ from
+    # top_k's lower-position rule, which only widens the already-
+    # documented gstack duplicate-index-order exception (values exact).
+    fv, sp = _chunked_top_k(f_panel, k)
     sv = _f32_to_u(jax.lax.bitcast_convert_type(fv, jnp.int32))
     vals = jax.lax.bitcast_convert_type(_f32_to_u(sv & clean), jnp.float32)
-    if n_segs == 1:
-        grp = jnp.int32(total_groups - 1) - (sv & jnp.int32(low_mask))
-    else:
-        # segmented: packed id is the LOCAL group; the slot's segment is
-        # its panel position divided by the per-segment slab width.
-        seg = sp // jnp.int32(n_levels * _LANES)
-        grp = seg * _LANES + (jnp.int32(_LANES - 1)
-                              - (sv & jnp.int32(low_mask)))
+    grp = jnp.int32(total_groups - 1) - (sv & jnp.int32(low_mask))
     idx = grp * _LANES + jnp.remainder(sp, _LANES)
     dead = sv <= ninf_u
     vals = jnp.where(dead, _NEG_INF, vals)
     idx = jnp.where(dead, _BIG_I32, idx)
-    if n_segs > 1:
-        # Every segment slab carries its own detection level; a live deep
-        # value at or above the row's global k-th best fires the exact
-        # re-run (same rule as the single-segment case, per segment).
-        m_rows = u_panel.shape[0]
-        det = u_panel.reshape(m_rows, n_segs, n_levels, _LANES)[
-            :, :, n_levels - 1, :]
-        kth = (sv[:, k - 1:k] & clean)[:, :, None]
-        live_row = (jnp.arange(m_rows) < m_valid)[:, None, None]
-        bad = jnp.any(
-            live_row & (det > ninf_u) & ((det & clean) >= kth)
-        )
-        return vals, idx, bad
     if n_levels == depth:
         # total_groups <= depth: the stacks hold EVERY element of every
         # class — lossless, nothing to detect.

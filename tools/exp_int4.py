@@ -159,13 +159,55 @@ def _host_quantize_int4(c, ck):
     return packed, scale[:, 0]
 
 
+CACHE = "/tmp/exp_int4_cache.npz"
+
+
+def _prep(np_pad):
+    """Host-side corpus prep, CHUNKED (the unchunked first version blew
+    the experiment's time budget on 6 GB float temporaries) and cached:
+    int8 codes, nibble-packed int4 (shipped layout), arithmetic-repack
+    int4 (16*hi + lo), plus the cosine bias rows for each."""
+    cp8 = np.zeros((np_pad, DIM), np.int8)
+    cp4 = np.zeros((np_pad, DIM // 2), np.int8)
+    cpA = np.zeros((np_pad, DIM // 2), np.int8)
+    ss8 = np.zeros(np_pad, np.float32)
+    ss4 = np.zeros(np_pad, np.float32)
+    for i in range(0, N, 250_000):
+        r2 = np.random.default_rng(500 + i)
+        c = r2.standard_normal((250_000, DIM)).astype(np.float32)
+        codes8, _ = _host_quantize_int8(c)
+        cp8[i:i + 250_000] = codes8
+        ss8[i:i + 250_000] = np.einsum(
+            "ij,ij->i", codes8.astype(np.float32),
+            codes8.astype(np.float32))
+        del codes8
+        codes4, _ = _host_quantize_int4(c, FT.feature_chunk(DIM))
+        del c
+        cp4[i:i + 250_000] = codes4
+        lo = ((codes4.astype(np.int16) & 0xF) ^ 8) - 8
+        hi = (((codes4.astype(np.int16) >> 4) & 0xF) ^ 8) - 8
+        del codes4
+        ss4[i:i + 250_000] = np.einsum(
+            "ij,ij->i", lo.astype(np.float32), lo.astype(np.float32)
+        ) + np.einsum(
+            "ij,ij->i", hi.astype(np.float32), hi.astype(np.float32))
+        cpA[i:i + 250_000] = (16 * hi + lo).astype(np.int8)
+        del lo, hi
+
+    def host_cosine_bias(sumsq):
+        cn = np.sqrt(sumsq[:N])
+        cs = np.zeros(np_pad, np.float32)
+        cs[:N] = np.where(cn > 0, 1.0 / cn, 0.0)
+        cb = np.zeros(np_pad, np.float32)
+        cb[N:] = -np.inf
+        return np.ascontiguousarray(np.stack([cs, cb]))
+
+    return cp8, host_cosine_bias(ss8), cp4, host_cosine_bias(ss4), cpA
+
+
 def main():
     assert jax.default_backend() == "tpu"
     rng = np.random.default_rng(21)
-    c = np.empty((N, DIM), np.float32)
-    for i in range(0, N, 250_000):
-        r2 = np.random.default_rng(500 + i)
-        c[i:i + 250_000] = r2.standard_normal((250_000, DIM))
 
     # the tile height the PRODUCT kernel picks for this (dim, k): the
     # VMEM model shrinks block_n below the k>16 default 4096 at dim 768
@@ -177,37 +219,14 @@ def main():
     print(json.dumps({"tag": "tiling", "tn": tn}), flush=True)
     np_pad = ((N + tn - 1) // tn) * tn
 
-    # everything host-side (numpy): the first run of this experiment
-    # hung > 30 min computing the bias rows op-by-op on device through
-    # the tunnel; cosine bias needs only 1/code_norm + the -inf tail
-    codes8, scales8 = _host_quantize_int8(c)
-    cp8 = np.zeros((np_pad, DIM), np.int8)
-    cp8[:N] = codes8
-
-    def host_cosine_bias(sumsq):
-        cn = np.sqrt(sumsq.astype(np.float32))
-        cs = np.where(cn > 0, 1.0 / cn, 0.0).astype(np.float32)
-        cb = np.zeros(np_pad, np.float32)
-        cb[N:] = -np.inf
-        return np.ascontiguousarray(np.stack([cs, cb]))
-
-    cb8 = host_cosine_bias(np.pad(
-        (codes8.astype(np.float64) ** 2).sum(axis=1), (0, np_pad - N)))
-    del codes8
-
-    # int4 nibble-packed (shipped layout) + arithmetic repack
-    codes4, scales4 = _host_quantize_int4(c, FT.feature_chunk(DIM))
-    del c
-    cp4 = np.zeros((np_pad, DIM // 2), np.int8)
-    cp4[:N] = codes4
-    lo = ((codes4.astype(np.int32) & 0xF) ^ 8) - 8
-    hi = (((codes4.astype(np.int32) >> 4) & 0xF) ^ 8) - 8
-    cb4 = host_cosine_bias(np.pad(
-        (lo.astype(np.float64) ** 2 + hi.astype(np.float64) ** 2)
-        .sum(axis=1), (0, np_pad - N)))
-    cpA = np.zeros((np_pad, DIM // 2), np.int8)
-    cpA[:N] = (16 * hi + lo).astype(np.int8)
-    del codes4, lo, hi
+    try:
+        z = np.load(CACHE)
+        cp8, cb8, cp4, cb4, cpA = (z["cp8"], z["cb8"], z["cp4"], z["cb4"],
+                                   z["cpA"])
+    except OSError:
+        cp8, cb8, cp4, cb4, cpA = _prep(np_pad)
+        np.savez(CACHE, cp8=cp8, cb8=cb8, cp4=cp4, cb4=cb4, cpA=cpA)
+    print(json.dumps({"tag": "prep-done"}), flush=True)
 
     q = rng.standard_normal((256, DIM)).astype(np.float32)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
