@@ -642,7 +642,16 @@ def _chunked_top_k(f_panel, k):
     <= packed -inf) already overwrites both value and index.
     """
     m_rows, w = f_panel.shape
-    chunk = max(_FINISH_CHUNK, 2 * k)
+    # Chunks must stay WIDE relative to k: a per-chunk top-k at k/chunk
+    # ~ 1/4 degenerates (measured: canonical k=512 over a 2560-wide
+    # single-segment panel ran 5.5 ms through 2048-chunks vs 0.55 flat),
+    # and a tree pays off only once the flat reduce is several chunks
+    # wide.  8x keeps every stage's discard ratio >= 87%.
+    chunk = max(_FINISH_CHUNK, 8 * k)
+    if w <= 2 * chunk:
+        if k > 16:
+            return jax.lax.approx_max_k(f_panel, k, recall_target=1.0)
+        return jax.lax.top_k(f_panel, k)
 
     def reduce_k(x):
         # approx_max_k with recall_target=1.0 is exact (PartialReduce
@@ -653,8 +662,6 @@ def _chunked_top_k(f_panel, k):
             return jax.lax.approx_max_k(x, k, recall_target=1.0)
         return jax.lax.top_k(x, k)
 
-    if w <= chunk:
-        return reduce_k(f_panel)
     nch = -(-w // chunk)
     wp = nch * chunk
     if wp != w:
