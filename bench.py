@@ -183,8 +183,6 @@ def main():
     def serial_call():
         _unpack_pair(np.asarray(step_packed(jnp.asarray(fresh_queries()))), K)
 
-    serial_ms = best_ms(serial_call)
-
     # ---- RPC floor: an (almost) empty dispatch through the same tunnel -----
     # Same call anatomy as serial_call (host->device upload of fresh bytes,
     # one jitted dispatch, one device->host readback) with ~zero device
@@ -202,7 +200,27 @@ def main():
         _serial[0] += 1
         np.asarray(nop(jnp.asarray(t)))
 
-    rpc_floor_ms = best_ms(floor_call)
+    # Serial and floor are measured INTERLEAVED and the net is the
+    # median of per-round differences: the tunnel's baseline latency
+    # drifts by tens of ms across minutes (r05 observed the same bench
+    # report 26.6 and then 50.9 net an hour apart), and differencing two
+    # minima taken at different times compounds that drift into the one
+    # number the gate reads.  Pairing each serial sample with an
+    # adjacent floor sample cancels the common tunnel term.
+    serial_call()   # warmup / compile
+    floor_call()
+    _serial_ts, _floor_ts = [], []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        serial_call()
+        _serial_ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        floor_call()
+        _floor_ts.append(time.perf_counter() - t0)
+    serial_ms = min(_serial_ts) * 1e3
+    rpc_floor_ms = min(_floor_ts) * 1e3
+    _diffs = sorted(max(s - f, 0.0) for s, f in zip(_serial_ts, _floor_ts))
+    serial_net_ms = _diffs[len(_diffs) // 2] * 1e3
 
     # ---- serial phase attribution (VERDICT r04 item 3) ---------------------
     # serial_ms = RPC floor + query upload + dispatch + kernel + result
@@ -356,9 +374,11 @@ def main():
         # through the same tunnel; serial minus floor is the work this
         # framework adds per request (upload + kernel + packed fetch)
         "rpc_floor_ms": round(rpc_floor_ms, 2),
-        "serial_net_of_rpc_ms": round(max(serial_ms - rpc_floor_ms, 0.0), 2),
+        # median of interleaved per-round (serial - floor) pairs — the
+        # drift-cancelled framework cost per request
+        "serial_net_of_rpc_ms": round(serial_net_ms, 2),
         "vs_baseline_serial_net": round(
-            (N_QUERIES / (max(serial_ms - rpc_floor_ms, 1e-6) / 1e3))
+            (N_QUERIES / (max(serial_net_ms, 1e-6) / 1e3))
             / BASELINE_QPS, 3),
         # net-of-floor phase breakdown of the serial call (VERDICT r04
         # item 3): upload = the 1 MB query payload's transfer, readback =
@@ -369,7 +389,7 @@ def main():
         "serial_readback_ms": round(readback_ms, 2),
         "serial_host_ms": round(host_ms, 2),
         "serial_dispatch_residual_ms": round(
-            max(serial_ms - rpc_floor_ms - upload_ms - readback_ms
+            max(serial_net_ms - upload_ms - readback_ms
                 - host_ms - kernel_ms, 0.0), 2),
         # batch-accumulation serving (BATCH stacked requests per call)
         # vs the same single-call baseline — amortizes the RPC floor,

@@ -288,6 +288,29 @@ def max_fused_k(cfg) -> int:
     return max(cfg.k_pad, _MAX_FUSED_K)
 
 
+# --- posu: order-isomorphic packing WITHOUT the 3-op u transform --------
+# For the quantized cosine tiers the epilogue can bias scores by +1.0
+# (folded into the existing FMA via an in-kernel (1, tn) row op on the
+# bias row), making every live score a non-negative float whose raw i32
+# bit pattern is already monotone — the per-element shift/and/xor of
+# _f32_to_u disappears from the gstack build.  Dead rows (pad tail,
+# masked) are encoded as _POSU_PAD = -1e-30: its bit pattern (-1.919e9
+# as i32) sits BELOW _POSU_CUT (-1.640e9), while the smallest nonzero
+# biased live score (f32 addition near -1.0 + 1.0 yields 0 or >= 2^-25)
+# has bits >= -1.292e9 — so `u <= _POSU_CUT` separates dead from live
+# with ~3e8 of margin on each side, and INT_MIN (unfilled stack slots)
+# is dead too.  Live scores within rounding of exact -1.0 bias to tiny
+# NEGATIVE floats whose raw patterns order reversed among themselves —
+# a tie-class inversion confined to values within 2^-24 of -1.0, far
+# inside the documented truncation exception.  The +1.0 bias moves the
+# packed-bits truncation to <= 127 ulps of the BIASED value (~3e-5
+# absolute near score 1.0, vs 1.5e-5 unbiased) — noise against the
+# int8/int4 quantization error that dominates these tiers, which is why
+# posu is scoped to them.
+_POSU_PAD = np.float32(-1e-30)
+_POSU_CUT = int(np.float32(-1e-20).view(np.int32))
+
+
 def _f32_to_u(bits):
     """Monotone f32-bits -> sortable SIGNED i32 (an involution: applying
     it to the result recovers the bits).  Positive floats keep their bit
@@ -583,7 +606,7 @@ def _gstack_ninf_u(low_mask: int):
 
 
 def _gstack_update(st_ref, s, j, gpt, total_groups, low_mask, n_levels,
-                   tiles_per_seg: int = 0):
+                   tiles_per_seg: int = 0, posu: bool = False):
     """Insert one corpus tile's scores into the persistent per-class
     stacks (st_ref: (n_levels, TM, 128) i32 VMEM scratch, sorted
     descending in u space per class).  The insertion chain is pure
@@ -595,7 +618,10 @@ def _gstack_update(st_ref, s, j, gpt, total_groups, low_mask, n_levels,
     within the current 128-group segment — j % tiles_per_seg is the
     tile's position inside its segment (tiles_per_seg * gpt == 128)."""
     clean = jnp.int32(~low_mask)
-    u = _f32_to_u(jax.lax.bitcast_convert_type(s, jnp.int32))
+    bits = jax.lax.bitcast_convert_type(s, jnp.int32)
+    # posu scores are non-negative floats (dead = _POSU_PAD, still below
+    # everything live as raw i32): the bit pattern IS the order.
+    u = bits if posu else _f32_to_u(bits)
     st = [st_ref[i] for i in range(n_levels)]
     if tiles_per_seg:
         # local group of slice g is (j % tiles_per_seg)*gpt + g
@@ -642,6 +668,15 @@ def _chunked_top_k(f_panel, k):
     <= packed -inf) already overwrites both value and index.
     """
     m_rows, w = f_panel.shape
+    # k <= 16 never chunks: the flat reduce is already excellent at any
+    # width (v5e, (256, 160000) panel: flat 1.8-1.9 ms vs 14.6 through
+    # 2048-chunks — the per-chunk pass pays the full operand read for a
+    # tiny k, then a tree of gathers; tools/exp_finish2.py) — approx
+    # edges out top_k once the panel is wide.
+    if k <= 16:
+        if w > 8192:
+            return jax.lax.approx_max_k(f_panel, k, recall_target=1.0)
+        return jax.lax.top_k(f_panel, k)
     # Chunks must stay WIDE relative to k: a per-chunk top-k at k/chunk
     # ~ 1/4 degenerates (measured: canonical k=512 over a 2560-wide
     # single-segment panel ran 5.5 ms through 2048-chunks vs 0.55 flat),
@@ -649,9 +684,7 @@ def _chunked_top_k(f_panel, k):
     # wide.  8x keeps every stage's discard ratio >= 87%.
     chunk = max(_FINISH_CHUNK, 8 * k)
     if w <= 2 * chunk:
-        if k > 16:
-            return jax.lax.approx_max_k(f_panel, k, recall_target=1.0)
-        return jax.lax.top_k(f_panel, k)
+        return jax.lax.approx_max_k(f_panel, k, recall_target=1.0)
 
     def reduce_k(x):
         # approx_max_k with recall_target=1.0 is exact (PartialReduce
@@ -715,7 +748,7 @@ def _gstack_fast_levels(k: int, n_segs: int, n_levels: int,
 
 
 def _gstack_decode(u_panel, k, total_groups, low_mask, depth, n_levels,
-                   m_valid, n_segs: int = 1):
+                   m_valid, n_segs: int = 1, posu: bool = False):
     """XLA-side finish for the gstack kernel: top-k over the raw u panel,
     decode, and the exactness flag.  Runs OUTSIDE the Pallas kernel —
     measured 0.02 ms for lax.top_k(128) on a (1024, 1152) f32 panel, vs
@@ -743,13 +776,21 @@ def _gstack_decode(u_panel, k, total_groups, low_mask, depth, n_levels,
     slots (never filled / masked / pad) as (-inf, int32-max) sentinels.
     """
     clean = jnp.int32(~low_mask)
-    ninf_u = _gstack_ninf_u(low_mask)
-    ninf_exact = jnp.int32(
-        int(np.float32(_NEG_INF).view(np.int32))
-        ^ ((int(np.float32(_NEG_INF).view(np.int32)) >> 31) & 0x7FFFFFFF)
-    )
-    u_live = jnp.where(u_panel <= ninf_u, ninf_exact, u_panel)
-    f_panel = jax.lax.bitcast_convert_type(_f32_to_u(u_live), jnp.float32)
+    if posu:
+        # posu panels hold RAW bit patterns of non-negative biased
+        # scores; dead (pad/masked/unfilled) entries sit at or below
+        # _POSU_CUT.  The dead-collapse target is the raw -inf pattern:
+        # f_sub needs dead slots to sort below every live float.
+        assert n_segs > 1, "posu is scoped to segmented gstack"
+        ninf_u = jnp.int32(_POSU_CUT)
+        ninf_exact = jnp.int32(int(np.float32(_NEG_INF).view(np.int32)))
+    else:
+        ninf_u = _gstack_ninf_u(low_mask)
+        ninf_exact = jnp.int32(
+            int(np.float32(_NEG_INF).view(np.int32))
+            ^ ((int(np.float32(_NEG_INF).view(np.int32)) >> 31)
+               & 0x7FFFFFFF)
+        )
     if n_segs > 1:
         # Segmented finish: fast pass over the first lp levels of every
         # slab; a detector over the unread levels (same >= kth rule as
@@ -762,23 +803,48 @@ def _gstack_decode(u_panel, k, total_groups, low_mask, depth, n_levels,
         m_rows = u_panel.shape[0]
 
         def seg_finish(lv: int):
+            # Slice the fast levels BEFORE the dead-collapse + u->f
+            # transform, and keep both inside this function: seg_finish
+            # is called from the lax.cond branch bodies, so the
+            # full-panel transform traces into the rare re-finish
+            # branch instead of becoming an eagerly-computed cond
+            # operand (free variables of a branch closure are hoisted
+            # and evaluated unconditionally).
             if lv == n_levels:
-                f_sub, sub_w = f_panel, slab
+                u_sub, sub_w = u_panel, slab
             else:
                 sub_w = lv * _LANES
-                f_sub = f_panel.reshape(
+                u_sub = u_panel.reshape(
                     m_rows, n_segs, n_levels, _LANES
                 )[:, :, :lv, :].reshape(m_rows, n_segs * sub_w)
-            fv, sp = _chunked_top_k(f_sub, k)
+            u_l = jnp.where(u_sub <= ninf_u, ninf_exact, u_sub)
+            if posu:
+                # raw patterns ARE f32-ordered once dead is collapsed
+                # to -inf; no involution on either side of the top-k.
+                f_sub = jax.lax.bitcast_convert_type(u_l, jnp.float32)
+                fv, sp = _chunked_top_k(f_sub, k)
+                sv = jax.lax.bitcast_convert_type(fv, jnp.int32)
+                dead = fv == _NEG_INF
+                vals = jax.lax.bitcast_convert_type(
+                    sv & clean, jnp.float32) - 1.0
+                # dead k-th slots must compare BELOW every live deep
+                # entry (underfilled rows pull in any live candidate);
+                # the collapsed -inf pattern (-8388608) would not.
+                sv = jnp.where(dead, jnp.int32(_INT_MIN), sv)
+            else:
+                f_sub = jax.lax.bitcast_convert_type(
+                    _f32_to_u(u_l), jnp.float32)
+                fv, sp = _chunked_top_k(f_sub, k)
+                sv = _f32_to_u(
+                    jax.lax.bitcast_convert_type(fv, jnp.int32))
+                dead = sv <= ninf_u
+                vals = jax.lax.bitcast_convert_type(
+                    _f32_to_u(sv & clean), jnp.float32)
             seg = sp // jnp.int32(sub_w)
             spf = seg * jnp.int32(slab) + sp % jnp.int32(sub_w)
-            sv = _f32_to_u(jax.lax.bitcast_convert_type(fv, jnp.int32))
-            vals = jax.lax.bitcast_convert_type(
-                _f32_to_u(sv & clean), jnp.float32)
             grp = seg * _LANES + (jnp.int32(_LANES - 1)
                                   - (sv & jnp.int32(low_mask)))
             idx = grp * _LANES + jnp.remainder(spf, jnp.int32(_LANES))
-            dead = sv <= ninf_u
             vals = jnp.where(dead, _NEG_INF, vals)
             idx = jnp.where(dead, _BIG_I32, idx)
             return vals, idx, sv
@@ -819,6 +885,8 @@ def _gstack_decode(u_panel, k, total_groups, low_mask, depth, n_levels,
     # reduction tree.  Order among EQUAL panel values may differ from
     # top_k's lower-position rule, which only widens the already-
     # documented gstack duplicate-index-order exception (values exact).
+    u_live = jnp.where(u_panel <= ninf_u, ninf_exact, u_panel)
+    f_panel = jax.lax.bitcast_convert_type(_f32_to_u(u_live), jnp.float32)
     fv, sp = _chunked_top_k(f_panel, k)
     sv = _f32_to_u(jax.lax.bitcast_convert_type(fv, jnp.int32))
     vals = jax.lax.bitcast_convert_type(_f32_to_u(sv & clean), jnp.float32)
@@ -1116,6 +1184,7 @@ def _kernel(
     prune: bool = False,
     use_tiles: bool = False,
     total_groups: int = 0,   # gstack only: global 128-row group count
+    posu: bool = False,      # gstack build on raw biased bit patterns
     # True (unpadded) query count, for the exactness-fallback detectors.
     # REQUIRED (keyword-only, no default): defaulting it to 0 would make
     # every row_live mask all-False and silently disable the bucket/stack/
@@ -1228,7 +1297,19 @@ def _kernel(
         # scale (multiplicative), the euclidean -|c|^2 term, and the
         # padding-tail mask (both additive) ----------------------------------
         if precision in ("int8c", "int4c"):
-            s = d * cb_ref[0:1, :] + cb_ref[1:2, :]
+            if posu:
+                # posu (see _POSU_PAD): fold the +1.0 score bias into
+                # the SAME FMA by rewriting the bias row in-kernel — a
+                # (1, tn) row op, ~1/tm of an elementwise pass — with
+                # the -inf pad tail mapped to the finite dead encoding
+                # (straight -inf + 1.0 would stay -inf, whose raw
+                # pattern out-sorts live scores).
+                cb1 = cb_ref[1:2, :]
+                prow = jnp.where(cb1 == _NEG_INF,
+                                 jnp.float32(_POSU_PAD), cb1 + 1.0)
+                s = d * cb_ref[0:1, :] + prow
+            else:
+                s = d * cb_ref[0:1, :] + cb_ref[1:2, :]
         elif use_bias:
             s = d + cb_ref[:]
         else:
@@ -1236,7 +1317,8 @@ def _kernel(
         if use_mask:
             # Filter by SELECT, not arithmetic: a -inf bias on a masked row
             # whose dot product is NaN/inf would poison the whole selection.
-            s = jnp.where(mb_ref[:] > 0, s, _NEG_INF)
+            s = jnp.where(mb_ref[:] > 0, s,
+                          jnp.float32(_POSU_PAD) if posu else _NEG_INF)
 
         if use_tiles:
             n_base = tiles_ref[i0, j] * block_n
@@ -1248,7 +1330,7 @@ def _kernel(
 
             def build():
                 _gstack_update(st_ref, s, j, gpt, total_groups, low_mask,
-                               n_levels, tiles_per_seg)
+                               n_levels, tiles_per_seg, posu)
 
             if prune:
                 # Tile gate (exact): an element at or below the weakest
@@ -1265,10 +1347,17 @@ def _kernel(
                 # comparisons are false, which would wrongly SKIP).
                 gate_lvl = min(-(-k // _LANES) - 1, n_levels - 1)
                 tau_u = jnp.min(st_ref[gate_lvl], axis=1, keepdims=True)
-                tau = jax.lax.bitcast_convert_type(
-                    _f32_to_u(tau_u & jnp.int32(~low_mask)), jnp.float32)
+                if posu:
+                    tau = jax.lax.bitcast_convert_type(
+                        tau_u & jnp.int32(~low_mask), jnp.float32)
+                    dead_gate = tau_u <= jnp.int32(_POSU_CUT)
+                else:
+                    tau = jax.lax.bitcast_convert_type(
+                        _f32_to_u(tau_u & jnp.int32(~low_mask)),
+                        jnp.float32)
+                    dead_gate = tau_u <= _gstack_ninf_u(low_mask)
                 rmax = jnp.max(s, axis=1, keepdims=True)
-                need = (rmax > tau) | (tau_u <= _gstack_ninf_u(low_mask))
+                need = (rmax > tau) | dead_gate
                 upd = jnp.max(jnp.where(need, 1, 0).astype(jnp.int32))
 
                 @pl.when(upd == 1)
@@ -1900,6 +1989,19 @@ def _run_prepared(
     selection = _resolve_selection(selection, k, np_ // _LANES, use_tiles,
                                    n_tiles, k_pad, tn // _LANES)
 
+    # posu (quantized cosine tiers, segmented gstack, dense scan): the
+    # epilogue biases scores +1.0 so the build packs raw bit patterns —
+    # the 3-op _f32_to_u disappears from the hottest per-element loop.
+    # Scoped to tiers whose quantization error dominates the slightly
+    # widened (<= 127 ulps of the BIASED value, ~3e-5) truncation bound.
+    posu = (
+        selection == "gstack"
+        and metric is Metric.COSINE
+        and precision in ("int8c", "int4c")
+        and not use_tiles
+        and _gstack_geometry(np_ // _LANES, k)[4] > 1
+    )
+
     # Probed search: index maps pull each visited corpus block's id from
     # the scalar-prefetched tile list instead of the grid position, so
     # unlisted tiles never leave HBM.  The prefetch ref arrives as the
@@ -1975,6 +2077,7 @@ def _run_prepared(
             prune=prune_eff,
             use_tiles=use_tiles,
             total_groups=np_ // _LANES if sel in ("gstack", "gpop") else 0,
+            posu=posu and sel == "gstack",
             m_valid=m,
         )
         if sel == "gstack":
@@ -2055,7 +2158,7 @@ def _run_prepared(
         (u_panel,) = call("gstack")
         vals, idx, bad = _gstack_decode(
             u_panel, k, total_groups, low_mask, depth, n_levels, m,
-            n_segs)
+            n_segs, posu)
         vals, idx = jax.lax.cond(
             bad,
             lambda: tuple(x[:, :k] for x in call("extract")),
