@@ -261,7 +261,7 @@ def main():
 
         # finish stubbed to a slice: kernel cost only (build + flush)
         def raw(u_panel, k, total_groups, low_mask, depth, n_levels,
-                m_valid, n_segs=1):
+                m_valid, n_segs=1, posu=False):
             vals = u_panel[:, :k].astype(jnp.float32)
             return vals, u_panel[:, :k], jnp.zeros((), jnp.bool_)
 
