@@ -21,6 +21,7 @@ Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/exp_int4.py
 """
 import functools
 import json
+import sys
 import time
 
 import numpy as np
@@ -227,6 +228,8 @@ def main():
         cp8, cb8, cp4, cb4, cpA = _prep(np_pad)
         np.savez(CACHE, cp8=cp8, cb8=cb8, cp4=cp4, cb4=cb4, cpA=cpA)
     print(json.dumps({"tag": "prep-done"}), flush=True)
+    if len(sys.argv) > 1 and sys.argv[1] == "prep":
+        return
 
     q = rng.standard_normal((256, DIM)).astype(np.float32)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
