@@ -17,7 +17,18 @@ experiment isolates the unpack on a 2M x 768 proxy (same per-byte work,
 
 Each variant: batch 8 and 256, k=100, chain-differenced device ms.
 
+MEASURED (v5e, round 5) — batch-8: int8c 2.826, int4-i32 2.835,
+int4-rint 3.247, int4-raw 2.278 (bytes floors 1.876 / 0.938); batch-256:
+9.56 / 9.70 / 10.03 / 9.88.  The raw control IS the verdict: even a free
+unpack buys only 1.24x over int8 at batch-8 — a ~1.34 ms non-bytes term
+(tiny-m MXU passes + per-tile orchestration) caps the bytes tier, the
+i32 unpack's 0.56 ms erases exactly the remaining headroom, and the
+float repack pays more for the f32 convert + rint than the bit math it
+removes.  At batch-256 raw TIES int8: compute-bound, bytes irrelevant.
+int4 stays the capacity tier (ARCHITECTURE "north-star" section).
+
 Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/exp_int4.py
+     [prep]  (prep: build/cache the host-side corpora only, no TPU)
 """
 import functools
 import json
