@@ -640,17 +640,6 @@ def _gstack_update(st_ref, s, j, gpt, total_groups, low_mask, n_levels,
         st_ref[i] = st[i]
 
 
-# Finish-tree chunk width: top-k reductions over panels wider than this
-# run as a chunked tree (exact per-chunk top-k, then top-k over the chunk
-# winners) instead of one flat reduce.  Measured on v5e at the 2M x 256d
-# b256 proxy (tools/exp_b256.py): flat approx_max_k over the (256, 78720)
-# segmented panel costs 6.8 ms while the two-stage tree costs 3.8 — the
-# flat PartialReduce op does not tile well at 5-digit widths.  2048 keeps
-# every stage's operand MXU/VPU-friendly and bounds tree depth at 2 for
-# any panel this kernel can emit (<= 1024 segments).
-_FINISH_CHUNK = 2048
-
-
 def _chunked_top_k(f_panel, k):
     """Exact top-k over a wide f32 panel as a chunked reduction tree.
 
@@ -677,13 +666,17 @@ def _chunked_top_k(f_panel, k):
         if w > 8192:
             return jax.lax.approx_max_k(f_panel, k, recall_target=1.0)
         return jax.lax.top_k(f_panel, k)
-    # Chunks must stay WIDE relative to k: a per-chunk top-k at k/chunk
-    # ~ 1/4 degenerates (measured: canonical k=512 over a 2560-wide
-    # single-segment panel ran 5.5 ms through 2048-chunks vs 0.55 flat),
-    # and a tree pays off only once the flat reduce is several chunks
-    # wide.  8x keeps every stage's discard ratio >= 87%.
-    chunk = max(_FINISH_CHUNK, 8 * k)
-    if w <= 2 * chunk:
+    # Chunk width: NARROW wins once the tree engages — the v5e
+    # PartialReduce has a cost cliff between 1024- and 2048-wide
+    # operands (k=100 over the 10M fast panel (256, 160k): chunk
+    # 512/1024/2048/4096 = 3.7/5.3/7.5/9.1 ms; over the 2M panel
+    # (256, 47k): 0.52/0.43/3.0 ms), and k=256/512 over (256, 480k)
+    # prefer 512-1024.  max(512, 2k) tracks those optima.  But the
+    # tree itself only pays on WIDE panels: the canonical k=512
+    # single-segment panel (2560 wide) ran 5.5 ms through chunks vs
+    # 0.55 flat — panels under max(8192, 4 chunks) reduce flat.
+    chunk = max(512, 2 * k)
+    if w <= max(8192, 4 * chunk):
         return jax.lax.approx_max_k(f_panel, k, recall_target=1.0)
 
     def reduce_k(x):
@@ -881,7 +874,7 @@ def _gstack_decode(u_panel, k, total_groups, low_mask, depth, n_levels,
     # "when recall_target is 1.0 ... calculates the exact top-k" — and
     # measured 0.227 ms vs lax.top_k's 0.370 on the canonical
     # (1024, 1152) k=100 panel, tools/exp_finish.py) and lax.top_k
-    # otherwise, chunking panels wider than _FINISH_CHUNK into an exact
+    # otherwise, chunking wide panels into an exact
     # reduction tree.  Order among EQUAL panel values may differ from
     # top_k's lower-position rule, which only widens the already-
     # documented gstack duplicate-index-order exception (values exact).
