@@ -657,6 +657,15 @@ def _chunked_top_k(f_panel, k):
     <= packed -inf) already overwrites both value and index.
     """
     m_rows, w = f_panel.shape
+    if k >= w:
+        # Structurally underfilled (fewer panel slots than k — e.g. a
+        # probe=1 scan whose visited rows < k): sort everything and pad
+        # to k with -inf, which the caller's dead-sentinel mapping
+        # already converts to (-inf, int32-max) result slots.
+        fv, sp = jax.lax.top_k(f_panel, w)
+        fv = jnp.pad(fv, ((0, 0), (0, k - w)), constant_values=_NEG_INF)
+        sp = jnp.pad(sp, ((0, 0), (0, k - w)))
+        return fv, sp
     # k <= 16 never chunks: the flat reduce is already excellent at any
     # width (v5e, (256, 160000) panel: flat 1.8-1.9 ms vs 14.6 through
     # 2048-chunks — the per-chunk pass pays the full operand read for a
@@ -1619,7 +1628,15 @@ def _resolve_selection(selection: str, k: int, total_groups: int,
     An explicit "gstack"/"gpop" outside its envelope raises rather than
     silently degrading.
     """
-    segmentable = total_groups <= _LANES or _LANES % gpt == 0
+    # Probed scans (round 5): gstack runs over the VISITED tile
+    # sequence — grid axis 1 walks the tile list either way, so the
+    # per-128-group segmentation, stacks, flush, and detection are the
+    # dense machinery verbatim with "group" meaning visited group; only
+    # the decode maps visited ids back through the tile list.  The
+    # group count that sizes stacks/segments/fire-rates is therefore
+    # the visited one.
+    groups = n_tiles * gpt if use_tiles else total_groups
+    segmentable = groups <= _LANES or _LANES % gpt == 0
     if selection == "auto":
         if k <= 16:
             if 2 <= k and not use_tiles:
@@ -1631,18 +1648,17 @@ def _resolve_selection(selection: str, k: int, total_groups: int,
                     # 3.1, b64 k16 3.1 vs 6.2, b256 7.5 vs 15.2 ms)
                     return "gstack"
             return "bucket" if n_tiles < 16 else "extract"
-        if not use_tiles and segmentable and k <= _LANES:
+        if segmentable and k <= _LANES:
             return "gstack"
         if k > _LANES:
-            # Big-k (128 < k <= _MAX_FUSED_K): gstack still wins on dense
-            # power-of-two scans when a stack depth with a sane fire rate
-            # exists (binomial-tail math, _bigk_depth); everything else —
-            # probed scans, non-pow2 tilings, depth-capped geometries —
-            # runs "extract" with the auto-raised carry width (k full
+            # Big-k (128 < k <= _MAX_FUSED_K): gstack wins on pow2
+            # scans (dense or probed) when a stack depth with a sane
+            # fire rate exists (binomial-tail math, _bigk_depth);
+            # non-pow2 tilings and depth-capped geometries run
+            # "extract" with the auto-raised carry width (k full
             # extraction passes: correct at any k <= kp, vs the XLA
             # fallback's dense (m, n) score matrix).
-            if (not use_tiles and segmentable
-                    and _bigk_gstack_ok(k, total_groups)):
+            if segmentable and _bigk_gstack_ok(k, groups):
                 return "gstack"
             return "extract"
         return "stack"
@@ -1662,8 +1678,8 @@ def _resolve_selection(selection: str, k: int, total_groups: int,
             + (" (probed)" if use_tiles else "") + " — use selection='auto'"
         )
     if selection == "gstack" and (
-        use_tiles or not segmentable or k > _MAX_FUSED_K
-        or (k > _LANES and not _bigk_gstack_ok(k, total_groups))
+        not segmentable or k > _MAX_FUSED_K
+        or (k > _LANES and not _bigk_gstack_ok(k, groups))
     ):
         # The prune gate reads the first ceil(k/128) stack levels (an
         # element at or below their weakest entry has >= 128*ceil(k/128)
@@ -1675,11 +1691,11 @@ def _resolve_selection(selection: str, k: int, total_groups: int,
         # tile's group count to divide 128 so segment boundaries align
         # with tile boundaries.
         raise ValueError(
-            "selection='gstack' requires a dense (non-probed) scan with "
+            "selection='gstack' requires "
             f"k <= {_MAX_FUSED_K} (and a viable stack depth for this "
-            f"geometry), and beyond {_LANES * _LANES} padded corpus rows "
+            f"geometry), and beyond {_LANES} scanned groups "
             f"a power-of-two corpus tile (128 %% groups-per-tile == 0); "
-            f"got {total_groups} groups, k={k}, {gpt} groups/tile"
+            f"got {groups} groups, k={k}, {gpt} groups/tile"
             + (" (probed)" if use_tiles else "") + " — use selection='auto'"
         )
     return selection
@@ -1982,6 +1998,12 @@ def _run_prepared(
     selection = _resolve_selection(selection, k, np_ // _LANES, use_tiles,
                                    n_tiles, k_pad, tn // _LANES)
 
+    # gstack's group universe: the visited tile sequence when probed
+    # (see _resolve_selection's round-5 note), the padded corpus
+    # otherwise.
+    gpt_g = tn // _LANES
+    g_groups = n_tiles * gpt_g if use_tiles else np_ // _LANES
+
     # posu (quantized cosine tiers, segmented gstack, dense scan): the
     # epilogue biases scores +1.0 so the build packs raw bit patterns —
     # the 3-op _f32_to_u disappears from the hottest per-element loop.
@@ -2069,19 +2091,29 @@ def _run_prepared(
             nk=nk,
             prune=prune_eff,
             use_tiles=use_tiles,
-            total_groups=np_ // _LANES if sel in ("gstack", "gpop") else 0,
+            total_groups=g_groups if sel in ("gstack", "gpop") else 0,
             posu=posu and sel == "gstack",
             m_valid=m,
         )
         if sel == "gstack":
-            _, _, _, n_levels, n_segs = _gstack_geometry(np_ // _LANES, k)
+            _, _, _, n_levels, n_segs = _gstack_geometry(g_groups, k)
             if n_segs > 1:
                 # Segmented: one panel slab per 128-group segment; the
                 # output index map revisits a slab for all of its
                 # segment's tiles (the kernel writes it on the last one)
-                # and rolls to the next slab at the boundary.
+                # and rolls to the next slab at the boundary.  Probed
+                # scans segment the VISITED sequence: j is the list
+                # position, so the same j // tps map applies (the
+                # prefetch ref rides as the trailing index-map arg).
                 tps = (_LANES * _LANES) // tn
-                if nk == 1:
+                if use_tiles:
+                    if nk == 1:
+                        po_map = (
+                            lambda i, j, t: (i, j // tps))      # noqa: E731
+                    else:
+                        po_map = (
+                            lambda i, j, kf, t: (i, j // tps))  # noqa: E731
+                elif nk == 1:
                     po_map = lambda i, j: (i, j // tps)       # noqa: E731
                 else:
                     po_map = lambda i, j, kf: (i, j // tps)   # noqa: E731
@@ -2120,6 +2152,13 @@ def _run_prepared(
         if nk > 1:
             scratch.append(pltpu.VMEM((tm, tn), jnp.float32))
         if use_tiles:
+            # dimension_semantics: without it Mosaic treats the
+            # prefetch-indexed corpus walk as unpipelinable and stalls
+            # ~60 us per grid step (measured: 61 us/tile-visit flat in
+            # tile count and list locality, vs the dense path's 3.3) —
+            # "arbitrary" on the tile axis restores double-buffering
+            # while keeping sequential-revisit semantics.
+            dims = (("parallel",) + ("arbitrary",) * (len(grid) - 1))
             return pl.pallas_call(
                 kernel,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -2131,6 +2170,8 @@ def _run_prepared(
                 ),
                 out_shape=out_shape,
                 cost_estimate=cost,
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=dims),
                 interpret=interpret,
             )(tiles.astype(jnp.int32), *operands)
         return pl.pallas_call(
@@ -2145,13 +2186,26 @@ def _run_prepared(
         )(*operands)
 
     if selection == "gstack":
-        total_groups = np_ // _LANES
         _, low_mask, depth, n_levels, n_segs = _gstack_geometry(
-            total_groups, k)
+            g_groups, k)
         (u_panel,) = call("gstack")
         vals, idx, bad = _gstack_decode(
-            u_panel, k, total_groups, low_mask, depth, n_levels, m,
+            u_panel, k, g_groups, low_mask, depth, n_levels, m,
             n_segs, posu)
+        if use_tiles:
+            # The decode's idx lives in the VISITED universe
+            # (visited_group * 128 + lane); map it through each query
+            # block's tile list to corpus row ids BEFORE the fallback
+            # cond (the extract branch returns corpus ids directly).
+            dead = idx == _BIG_I32
+            vg = jnp.minimum(idx, _BIG_I32 - 1) // _LANES
+            lane = idx % _LANES
+            jv = jnp.clip(vg // gpt_g, 0, n_tiles - 1)
+            g2 = vg % gpt_g
+            blk = jnp.arange(idx.shape[0]) // tm
+            corpus_tile = tiles.astype(jnp.int32)[blk[:, None], jv]
+            idx = jnp.where(dead, _BIG_I32,
+                            corpus_tile * tn + g2 * _LANES + lane)
         vals, idx = jax.lax.cond(
             bad,
             lambda: tuple(x[:, :k] for x in call("extract")),
